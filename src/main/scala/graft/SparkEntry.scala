@@ -1,13 +1,235 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/query shape from SURVEY.md §2
+  * (or the LLM-pipeline extension packs); [[oracleSql]] carries the DuckDB
+  * ANSI-SQL equivalent the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The /coin_table shape: broadcast dims ⋈ latest-fact-row-per-key. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.coinTable(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // aggregation / scan headliners
+    "q1_agg" -> (Analytics.q1Agg _),
+    "q3_top_orders" -> (Analytics.q3TopOrders _),
+    // the five Flask-endpoint shapes
+    "q_price_chart" -> (Analytics.priceChart _),
+    "q_ohlc_resample" -> (Analytics.ohlcResample _),
+    "q_latest_per_key" -> (Analytics.latestPerKey _),
+    "q_coin_table" -> (Analytics.coinTable _),
+    "q_coin_table_ref" -> (Analytics.coinTableRef _),
+    "q_mcap_share" -> (Analytics.marketCapShare _),
+    // series / scalar surface
+    "q_series_stats" -> (Analytics.seriesStats _),
+    "q_topk_per_group" -> (Analytics.topkPerGroup _),
+    "q_scalar_pack" -> (Analytics.scalarPack _),
+    "q_json_extract" -> (Analytics.jsonExtract _),
+    // indicator engine
+    "q_indicators" -> (Analytics.indicatorTable _),
+    "q_lag_diff" -> (Analytics.lagDiff _),
+  )
+
+  /** DuckDB oracle SQL per query (column names/aliases must match the
+    * Spark result exactly — the driver sorts columns by name and hashes). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_price_chart" ->
+      """SELECT event_id, user_id, event_type, ts, round(value, 6) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |  AND event_type LIKE '%e'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ohlc_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts, event_id) AS rn_open,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_close
+        |  FROM events)
+        |SELECT user_id, day,
+        |  round(max(CASE WHEN rn_open = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rn_close = 1 THEN value END), 6) AS close,
+        |  count(*) AS n_ticks
+        |FROM ev
+        |GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_latest_per_key" ->
+      """SELECT user_id, event_type, ts, event_id, round(value, 6) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts DESC, event_id DESC) AS rnk
+        |      FROM events)
+        |WHERE rnk = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_coin_table" ->
+      """SELECT c_custkey, c_name, n_name, r_name, o_orderkey,
+        |  round(o_totalprice, 6) AS o_totalprice, o_orderdate
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnk
+        |      FROM orders) o
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE rnk = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_coin_table_ref" ->
+      """WITH a AS (SELECT user_id, ts AS a_ts, event_id AS a_id, value AS a_value
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, ts AS b_ts, event_id AS b_id, value AS b_value
+        |      FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id, value AS c_value
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT user_id, a_ts, a_id, a_value, b_ts, b_id, b_value, c_ts, c_id, c_value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY a_ts DESC, a_id DESC, b_ts DESC, b_id DESC, c_ts DESC, c_id DESC) AS rnk
+        |      FROM a JOIN b USING(user_id) JOIN c USING(user_id))
+        |SELECT user_id, a_ts, round(a_value, 6) AS a_value,
+        |       b_ts, round(b_value, 6) AS b_value,
+        |       c_ts, round(c_value, 6) AS c_value
+        |FROM j WHERE rnk = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_mcap_share" ->
+      """WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),
+        |last AS (SELECT max(day) AS last_day FROM ev),
+        |g AS (SELECT event_type, sum(value) AS total_value, count(*) AS n
+        |      FROM ev, last WHERE day = last_day GROUP BY event_type)
+        |SELECT event_type, round(total_value, 6) AS total_value, n,
+        |       round(total_value / sum(total_value) OVER (), 6) AS share
+        |FROM g
+        |ORDER BY event_type""".stripMargin,
+
+    "q_series_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 6) AS avg_value,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT user_id, rnk, event_id, round(value, 6) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY value DESC, event_id) AS rnk
+        |      FROM events)
+        |WHERE rnk <= 3
+        |ORDER BY user_id, rnk""".stripMargin,
+
+    "q_scalar_pack" ->
+      """SELECT p_partkey,
+        |  string_split(p_type, ' ')[1] AS type_head,
+        |  concat_ws('_', p_brand, p_partkey) AS brand_id,
+        |  CASE WHEN p_type LIKE '%STEEL' THEN 1 ELSE 0 END AS is_steel,
+        |  CASE WHEN p_size <> 0 THEN round(p_retailprice / p_size, 6) END AS price_per_size,
+        |  round(p_retailprice * 1.1 - 5.0, 6) AS adjusted
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_indicators" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, event_type, rn, value,
+        |         value AS ema12, value AS ema20, value AS ema26
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_type, b.rn, b.value,
+        |    (2.0/13.0) * b.value + (1.0 - 2.0/13.0) * r.ema12,
+        |    (2.0/21.0) * b.value + (1.0 - 2.0/21.0) * r.ema20,
+        |    (2.0/27.0) * b.value + (1.0 - 2.0/27.0) * r.ema26
+        |  FROM rec r JOIN base b
+        |    ON b.user_id = r.user_id AND b.event_type = r.event_type
+        |   AND b.rn = r.rn + 1),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY ts, event_id) AS delta
+        |  FROM base),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain_v,
+        |    CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss_v
+        |  FROM d),
+        |win AS (
+        |  SELECT user_id, event_type, ts, event_id, rn,
+        |    CASE WHEN count(*) OVER w20 = 20 THEN avg(value) OVER w20 END AS sma_20,
+        |    count(*) OVER w14 AS c14,
+        |    avg(gain_v) OVER w14 AS ag,
+        |    avg(loss_v) OVER w14 AS al
+        |  FROM g
+        |  WINDOW w20 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         w14 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT w.user_id, w.event_type, w.ts, w.event_id,
+        |  round(w.sma_20, 6) AS sma_20,
+        |  round(r.ema20, 6) AS ema_20,
+        |  round(CASE WHEN w.c14 <> 14 THEN NULL
+        |             WHEN w.al = 0 AND w.ag = 0 THEN NULL
+        |             WHEN w.al = 0 THEN 100.0
+        |             ELSE 100.0 - 100.0 / (1.0 + w.ag / w.al) END, 6) AS rsi_14,
+        |  round(r.ema12 - r.ema26, 6) AS macd
+        |FROM win w JOIN rec r
+        |  ON w.user_id = r.user_id AND w.event_type = r.event_type AND w.rn = r.rn
+        |ORDER BY w.user_id, w.event_type, w.ts, w.event_id""".stripMargin,
+
+    "q_lag_diff" ->
+      """SELECT user_id, event_type, ts, event_id,
+        |  round(value - lag(value) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id), 6) AS delta
+        |FROM events
+        |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+  )
 }

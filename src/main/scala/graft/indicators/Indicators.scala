@@ -1,0 +1,106 @@
+package graft.indicators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator engine: the Spark-native re-expression of the
+  * reference's grouped-map pandas UDF (reference `spark-streaming.py:
+  * 164-194`), which computes SMA-20, EMA-20, RSI-14 and MACD per
+  * (coin_id, exchange) time series.
+  *
+  * Design (SURVEY.md §2.6-2.7, §2.12): every indicator is a window
+  * expression over ONE shared window spec — `partitionBy(keys).orderBy(ts)`
+  * — so the physical plan contains a single exchange + sort feeding a
+  * single `Window` operator that evaluates all indicators in one pass.
+  * No UDFs, no per-group materialization; at scale the cost is exactly one
+  * hash shuffle on the series key.
+  *
+  * pandas-parity details encoded here (SURVEY.md §7.4):
+  *   - `rolling(n).mean()` yields null until n rows are seen
+  *     (`min_periods` defaults to the window size) → we mask with a
+  *     row-count-over-frame check.
+  *   - `ewm(span, adjust=False)` seeds y0 = x0 → see [[Ewma]].
+  *   - RSI divides mean-gain by mean-loss; pandas float semantics give
+  *     `rs=∞ → RSI=100` when loss=0 ∧ gain>0, and `NaN` when both are 0.
+  *     We encode both branches explicitly (null for the NaN case) rather
+  *     than relying on IEEE division, so the DuckDB oracle (where x/0 is
+  *     NULL) can express identical semantics.
+  *   - RSI uses the 14-row simple mean of clipped deltas (Cutler's RSI,
+  *     what the reference computes) — NOT Wilder smoothing.
+  */
+object Indicators {
+
+  /** Rolling mean over the trailing `n` rows, null until `n` rows seen
+    * (pandas `rolling(n).mean()` parity; reference `spark-streaming.py:170`). */
+  def rollingMeanMasked(value: Column, w: WindowSpec, n: Int): Column = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    when(count(value).over(frame) === n, avg(value).over(frame))
+  }
+
+  /** Per-key lag difference (pandas `diff()`; reference `spark-streaming.py:174`). */
+  def diff(value: Column, w: WindowSpec): Column =
+    value - lag(value, 1).over(w)
+
+  /** Positive / negative move components for RSI (reference
+    * `spark-streaming.py:175-176`). */
+  def gain(delta: Column): Column = when(delta > 0, delta).otherwise(0.0)
+  def loss(delta: Column): Column = when(delta < 0, -delta).otherwise(0.0)
+
+  /** Cutler's RSI over `n` periods from avg gain / avg loss columns.
+    * Explicit zero-handling mirrors pandas float division (∞ → 100,
+    * 0/0 → null). */
+  def rsiFromAverages(avgGain: Column, avgLoss: Column): Column =
+    when(avgGain.isNull || avgLoss.isNull, lit(null).cast("double"))
+      .when(avgLoss === 0.0 && avgGain === 0.0, lit(null).cast("double"))
+      .when(avgLoss === 0.0, lit(100.0))
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
+
+  /** EMA with pandas `ewm(span, adjust=False)` semantics — custom Catalyst
+    * window function, see [[Ewma]]. */
+  def ema(spark: SparkSession, value: Column, span: Int, w: WindowSpec): Column =
+    Ewma.bySpan(spark, value, span).over(w)
+
+  /** Attach the reference's full indicator set to a keyed time-series
+    * DataFrame in one Window pass.
+    *
+    * @param df     input with key columns, an orderable ts column and a
+    *               numeric value column
+    * @param keys   series key (reference: coin_id, exchange)
+    * @param order  ordering columns — include a unique tiebreaker for
+    *               determinism (e.g. ts, event_id)
+    * @param value  the price-like column
+    */
+  def withIndicators(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val delta = diff(value, w)
+    val w14 = w.rowsBetween(-13, 0)
+    // gains/losses need the delta column materialized before a second
+    // window layer; Spark collapses both into one Window operator when the
+    // specs match.
+    val spark = df.sparkSession
+    val withDelta = df
+      .withColumn("delta", delta)
+      .withColumn("sma_20", rollingMeanMasked(value, w, 20))
+      .withColumn("ema_12", ema(spark, value, 12, w))
+      .withColumn("ema_20", ema(spark, value, 20, w))
+      .withColumn("ema_26", ema(spark, value, 26, w))
+    // pandas parity: `delta.where(delta>0, 0)` maps the leading-NaN delta to
+    // 0 (not NaN), so the 14-row rolling mean of gains is first valid at the
+    // 14th ROW of the series — mask on frame row count, not non-null deltas.
+    val rows14 = count(lit(1)).over(w14)
+    val avgGain = when(rows14 === 14, avg(gain(col("delta"))).over(w14))
+    val avgLoss = when(rows14 === 14, avg(loss(col("delta"))).over(w14))
+    withDelta
+      .withColumn("rsi_14", rsiFromAverages(avgGain, avgLoss))
+      .withColumn("macd", col("ema_12") - col("ema_26"))
+  }
+
+  /** Register `ewma(x, alpha)` for SQL use:
+    * `SELECT ewma(price, 0.095) OVER (PARTITION BY k ORDER BY ts) ...`. */
+  def register(spark: SparkSession): Unit = Ewma.register(spark)
+}

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.indicators.Indicators
+import graft.util.Tables
+
+/** The reference's five analytical query shapes (Flask endpoints, SURVEY.md
+  * §2.4-2.8, §3.3), re-expressed as single declarative Spark plans over the
+  * harness tables.
+  *
+  * Mapping of the crypto schema onto the harness star schema / event
+  * stream:
+  *   - `coins` (dimension)                → `customer` (+ `nation`/`region`)
+  *   - `price_data` (per-key time series) → `events` keyed by
+  *     (user_id, event_type) with `ts`/`value`, or `orders` keyed by
+  *     o_custkey with o_orderdate
+  *   - the indicator table               → indicators computed over `events`
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *   - every time-range / suffix predicate sits directly on the parquet
+  *     scan → Catalyst pushes it into the reader (`PushedFilters`), unlike
+  *     the reference which filters client-side after a full CQL scan
+  *     (`flask/app.py:51,110,163`);
+  *   - latest-per-key is a single window (one shuffle on the key), not the
+  *     reference's fetch-all-then-pandas `sort + groupby.last`;
+  *   - dimension joins are broadcast (`broadcast(customer ⋈ nation ⋈
+  *     region)`) so the fact table never shuffles for them.
+  */
+object Analytics {
+
+  private def rn(partition: Seq[Column], order: Seq[Column]): Column =
+    row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*))
+
+  /** Deterministic event-series ordering: ts with event_id tiebreak. */
+  private val evOrder: Seq[Column] = Seq(col("ts"), col("event_id"))
+
+  // --------------------------------------------------------------------
+  // /price_chart shape: time-range filter + suffix filter + projection
+  // (reference flask/app.py:24-75; F1+F2+P5+O2)
+  // --------------------------------------------------------------------
+
+  /** Rows of the price series for "coins" whose id ends with a suffix,
+    * within a time range — filters pushed to the scan. */
+  def priceChart(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+      .filter(col("event_type").endsWith("e")) // F2: suffix predicate
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+              round(col("value"), 6).as("value"))
+      .orderBy(col("event_id"))
+
+  // --------------------------------------------------------------------
+  // /ohlc_chart shape: per-key per-bucket OHLC resample
+  // (reference flask/app.py:78-140 renders stored OHLC; we derive bars
+  //  from the tick stream — same window machinery as F8/O5 top-1-per-group)
+  // --------------------------------------------------------------------
+
+  /** Daily OHLC bars per user: open/close via deterministic first/last
+    * (window top-1), high/low/volume via plain aggregates. Single shuffle
+    * on (user_id, day). */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val key = Seq(col("user_id"), col("day"))
+    val asc = rn(key, evOrder)
+    val desc = rn(key, Seq(col("ts").desc, col("event_id").desc))
+    ev.withColumn("rn_open", asc).withColumn("rn_close", desc)
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        round(max(when(col("rn_open") === 1, col("value"))), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max(when(col("rn_close") === 1, col("value"))), 6).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  // --------------------------------------------------------------------
+  // latest-per-key (A2): the `sort + groupby.last` of flask/app.py:300
+  // --------------------------------------------------------------------
+
+  /** Latest event per (user_id, event_type) — one window, one shuffle. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("rnk", rn(Seq(col("user_id"), col("event_type")),
+                            Seq(col("ts").desc, col("event_id").desc)))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+              round(col("value"), 6).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  // --------------------------------------------------------------------
+  // /coin_table shape (J1-J3 + A2): dim ⋈ fact latest-per-key snapshot
+  // (reference flask/app.py:270-302)
+  // --------------------------------------------------------------------
+
+  /** Flagship: per customer, the latest order joined with the customer /
+    * nation / region dimensions. The dims are broadcast so the fact scan
+    * is the only distributed input; latest-per-key is a single window.
+    * This is the sane "latest-per-source-then-join" variant (SURVEY.md
+    * §2.5 J3 caveat). */
+  def coinTable(spark: SparkSession, dir: String): DataFrame = {
+    val latestOrder = Tables.orders(spark, dir)
+      .withColumn("rnk", rn(Seq(col("o_custkey")),
+                            Seq(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .filter(col("rnk") === 1)
+    val dims = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+    latestOrder.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"),
+              col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"),
+              col("o_orderdate"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** The reference's *exact* cross-product join semantics (J1-J3 joined on
+    * key only across three per-key time series, then one latest row kept
+    * per key — flask/app.py:294-300), made deterministic with a full
+    * ordering. Kept as its own query for oracle parity; `coinTable` is the
+    * efficient variant. */
+  def coinTableRef(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stream(t: String, pfx: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"),
+                col("ts").as(s"${pfx}_ts"),
+                col("event_id").as(s"${pfx}_id"),
+                col("value").as(s"${pfx}_value"))
+    val joined = stream("purchase", "a")
+      .join(stream("click", "b"), "user_id")
+      .join(stream("view", "c"), "user_id")
+    joined
+      .withColumn("rnk", rn(Seq(col("user_id")),
+        Seq(col("a_ts").desc, col("a_id").desc, col("b_ts").desc,
+            col("b_id").desc, col("c_ts").desc, col("c_id").desc)))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("a_ts"), round(col("a_value"), 6).as("a_value"),
+              col("b_ts"), round(col("b_value"), 6).as("b_value"),
+              col("c_ts"), round(col("c_value"), 6).as("c_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // --------------------------------------------------------------------
+  // /coin_market_cap shape (A1+F4+A10): latest snapshot + share
+  // --------------------------------------------------------------------
+
+  /** Share-of-total on the latest day: two-step max-snapshot collapsed
+    * into one plan (scalar max subquery instead of the reference's two
+    * hand-executed round-trips, flask/app.py:208-218). */
+  def marketCapShare(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    val lastDay = ev.agg(max(col("day")).as("last_day"))
+    ev.join(broadcast(lastDay), col("day") === col("last_day"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("value")).as("total_value"), count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("total_value") / sum(col("total_value")).over(Window.partitionBy()), 6))
+      .withColumn("total_value", round(col("total_value"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  // --------------------------------------------------------------------
+  // per-group series stats (A3 oracle-friendly form) + top-k (F8/O5)
+  // --------------------------------------------------------------------
+
+  /** Per-exchange series aggregates (A3's collect-series rendered as
+    * aggregate stats for a hashable oracle). */
+  def seriesStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 4).as("sum_value"),
+           round(avg(col("value")), 6).as("avg_value"),
+           min(col("ts")).as("first_ts"),
+           max(col("ts")).as("last_ts"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** Top-3 events by value per user (F8's limit-1-per-timeframe shape,
+    * generalized): window top-k, no global sort. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("rnk", rn(Seq(col("user_id")),
+                            Seq(col("value").desc, col("event_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("user_id"), col("rnk"), col("event_id"),
+              round(col("value"), 6).as("value"))
+      .orderBy(col("user_id"), col("rnk"))
+
+  // --------------------------------------------------------------------
+  // TPC-H-shaped aggregates (bench headliners)
+  // --------------------------------------------------------------------
+
+  /** Q1 shape: scan-heavy grouped aggregation over lineitem — map-side
+    * partial aggregation, 4-6 groups, whole-stage codegen end to end. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q3 shape: selective dim filter → broadcast ⋈ fact ⋈ fact → top-k
+    * revenue. Customer is broadcast; lineitem⋈orders shuffles on the
+    * orderkey only. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("2000-03-15 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // scalar-function pack (C1-C11) — exercised as one projection query
+  // --------------------------------------------------------------------
+
+  /** The reference's scalar surface in one pass over `part`: split /
+    * element_at (C1), concat (C2), endswith (C3), ratio-with-null-guard
+    * (C8), casts (C9), arithmetic (C11). */
+  def scalarPack(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        concat_ws("_", col("p_brand"), col("p_partkey")).as("brand_id"),
+        col("p_type").endsWith("STEEL").cast("int").as("is_steel"),
+        when(col("p_size") =!= 0, round(col("p_retailprice") / col("p_size"), 6)).as("price_per_size"),
+        round(col("p_retailprice") * 1.1 - 5.0, 6).as("adjusted"))
+      .orderBy(col("p_partkey"))
+
+  /** JSON field extraction from the events `props` column (the envelope's
+    * nested-JSON surface, P2, applied per-row). regexp-based so the DuckDB
+    * oracle is expressible without the JSON extension. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  // --------------------------------------------------------------------
+  // indicators (A4-A9) over the event stream
+  // --------------------------------------------------------------------
+
+  /** Full indicator table per (user_id, event_type) series — the
+    * reference's technical_indicators output (spark-streaming.py:152-162)
+    * over harness data. One Window operator computes SMA/EMA/RSI/MACD. */
+  def indicatorTable(spark: SparkSession, dir: String): DataFrame =
+    Indicators.withIndicators(
+        Tables.events(spark, dir),
+        keys = Seq("user_id", "event_type"),
+        order = Seq(col("ts"), col("event_id")),
+        value = col("value"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+              round(col("sma_20"), 6).as("sma_20"),
+              round(col("ema_20"), 6).as("ema_20"),
+              round(col("rsi_14"), 6).as("rsi_14"),
+              round(col("macd"), 6).as("macd"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+
+  /** Lag/diff alone (A7) — kept separate so the oracle isolates it. */
+  def lagDiff(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("prev_value",
+        lag(col("value"), 1).over(
+          Window.partitionBy(col("user_id"), col("event_type")).orderBy(evOrder: _*)))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+              round(col("value") - col("prev_value"), 6).as("delta"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+}
