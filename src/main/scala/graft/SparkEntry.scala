@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,7 +38,48 @@ object SparkEntry {
     // indicator engine
     "q_indicators" -> (Analytics.indicatorTable _),
     "q_lag_diff" -> (Analytics.lagDiff _),
+    // LLM-pipeline: deduplication
+    "q_dedup_exact" -> (Dedup.exactGroups _),
+    "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "q_dedup_minhash_lsh" -> (Dedup.lshCandidates _),
+    "q_dedup_simhash" -> (Dedup.simhashGroups _),
+    "q_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    // LLM-pipeline: similarity search
+    "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
+    // LLM-pipeline: text analysis
+    "q_doc_features" -> (TextAnalysis.docFeatures _),
+    "q_corpus_stats" -> (TextAnalysis.corpusStats _),
+    // LLM-pipeline: multimodal plumbing
+    "q_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "q_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(s, d).toDF().orderBy("doc_id")),
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(s, d)
+        // hex at the comparison boundary: binary columns don't hash
+        // portably across parquet readers
+        .withColumn("frame_hex", org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.col("frame_bytes")))
+        .drop("frame_bytes")
+        .orderBy("doc_id", "frame_idx")),
   )
+
+  /** Shared oracle CTE: distinct word-3-gram shingles per document
+    * (mirrors [[graft.ops.Dedup.shingles]]). */
+  private val shingleCte: String =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM docs),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx)""".stripMargin
+
+  private val minhashSigSql: String = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"min(md5('mh$k|' || s)) AS h$k").mkString(",\n  ")
+    s"sig AS (SELECT doc_id,\n  $mins\nFROM sh GROUP BY doc_id)"
+  }
+
+  private val simhashBitsSql: String = (1 to 16).map { p =>
+    s"""CASE WHEN sum(CASE WHEN substr(md5(t), $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"""
+  }.mkString(" ||\n    ")
 
   /** DuckDB oracle SQL per query (column names/aliases must match the
     * Spark result exactly — the driver sorts columns by name and hashes). */
@@ -231,5 +273,136 @@ object SparkEntry {
         |                                 ORDER BY ts, event_id), 6) AS delta
         |FROM events
         |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) AS jac
+         |FROM inter
+         |JOIN card ca ON ca.doc_id = id_a
+         |JOIN card cb ON cb.doc_id = id_b
+         |WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |$minhashSigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h3||'|'||h4||'|'||h5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h6||'|'||h7||'|'||h8) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h9||'|'||h10||'|'||h11) FROM sig)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+         |              FROM documents),
+         |fp AS (SELECT doc_id,
+         |    $simhashBitsSql AS simhash
+         |  FROM toks GROUP BY doc_id)
+         |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM fp GROUP BY simhash HAVING count(*) >= 2
+         |ORDER BY simhash""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos
+        |      FROM embeddings, q WHERE vec_id <> 0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM s)
+        |SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q_doc_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS n_stop,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el','la','los'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('le','les','et'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der','die','und'))) AS s_de,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        |  round(CAST(n_punct AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(least(length(text) / 200.0, 1.0) * 0.5
+        |      + least((CAST(n_stop AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.3
+        |      + (1.0 - least((CAST(n_punct AS DOUBLE) / length(text)) * 10.0, 1.0)) * 0.2, 6) AS quality,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de > 0 THEN 'de'
+        |       ELSE 'unknown' END AS lang_pred,
+        |  substr(md5(lower(text)), 1, 8) AS fp_bucket
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |  sum(len(string_split(text, ' '))) AS total_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS checksum,
+        |  upper(hex(encode(substr(text, 1, 4)))) AS magic,
+        |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+        |  CAST(n_chars % 480 + 1 AS INTEGER) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decode_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+        |  sha256(text) AS checksum
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  hex(encode(substr(text, CAST(i * 128 + 1 AS INTEGER), 64))) AS frame_hex
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, greatest(octet_length(encode(text)) // 128, 1))) AS i
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

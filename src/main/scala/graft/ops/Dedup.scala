@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table: exact, word-shingle Jaccard, MinHash+LSH, SimHash,
+  * and embedding-cosine near-dup (see Similarity for the vector side).
+  *
+  * Scale design:
+  *   - Exact dedup is a hash-shuffle groupBy on the content key — the
+  *     cheapest possible form; at 100 TB group on `md5(text)` instead of
+  *     raw text so shuffle rows carry 32 bytes, not documents.
+  *   - Jaccard is the *verification* stage and is only run on candidate
+  *     pairs; the all-pairs form here is bounded by the shingle-join and
+  *     is the oracle-checkable reference semantics.
+  *   - MinHash+LSH is the scale path: signatures are one groupBy over
+  *     exploded shingles (map-side combinable mins), candidates come from
+  *     an equi-join on (band_idx, band_hash) — never an O(n²) cross join.
+  *     All hashing is md5-based so the DuckDB oracle can reproduce it
+  *     bit-for-bit (lexicographic min over hex strings).
+  *   - SimHash is a pure projection per doc + a groupBy on the 16-bit
+  *     fingerprint — no joins at all until candidate verification.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+    docs.select(col("doc_id"), explode(grams).as("s")).distinct()
+  }
+
+  /** Exact-duplicate groups: canonical (min) doc id + group size per
+    * distinct content hash. */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .select(col("keep_id"), col("n_docs"))
+      .orderBy(col("keep_id"))
+
+  /** All near-duplicate pairs with word-3-gram Jaccard >= tau. The
+    * shingle equi-join generates only pairs sharing at least one shingle. */
+  def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ix"))
+    inter
+      .join(card.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("jac", round(col("ix").cast("double") /
+        (col("ca.c") + col("cb.c") - col("ix")), 6))
+      .filter(col("jac") >= tau)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Number of MinHash hash functions (= band count × rows per band). */
+  val MinhashK = 12
+  val Bands = 4
+  val RowsPerBand = MinhashK / Bands
+
+  /** Per-document MinHash signature: for each of k seeded hash functions,
+    * the lexicographic min of `md5(seed || '|' || shingle)` — computed as
+    * one groupBy with k map-side-combinable `min` aggregates. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val aggs = (0 until MinhashK).map(k =>
+      min(md5(concat(lit(s"mh$k|"), col("s")))).as(s"h$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one of the `Bands` band
+    * hashes (md5 of the concatenated band rows). Output is distinct
+    * (id_a < id_b) pairs with the count of agreeing bands. */
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(Tables.documents(spark, dir))
+    val bandCols = (0 until Bands).map { bnd =>
+      val rows = (0 until RowsPerBand).map(r => col(s"h${bnd * RowsPerBand + r}"))
+      md5(concat_ws("|", rows: _*)).as(s"b$bnd")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val exploded = banded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bnd => col(s"b$bnd")): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 16-bit SimHash over the document's distinct tokens. Bit p is set
+    * when, summing +1/−1 per token according to the p-th hex nibble's
+    * high bit of `md5(token)`, the total is positive. Identical-fingerprint
+    * groups are the dedup candidates. */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(text, " "))
+    val bits = (1 to 16).map { p =>
+      val votes = aggregate(
+        toks,
+        lit(0),
+        (acc, t) => acc +
+          when(substring(md5(t), p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1))
+      when(votes > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** SimHash collision groups (identical 16-bit fingerprints). */
+  def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(simhash(col("text")).as("simhash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("simhash"), col("keep_id"), col("n_docs"))
+      .orderBy(col("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the
+    * pre-clustering key) so the pair space is per-block, not global.
+    * The cosine is exact; blocking is what scales it. */
+  def embeddingNearDups(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Generic drop-duplicates-keep-first on arbitrary key columns — the
+    * upsert/dedup primitive the sink router uses (models the reference's
+    * Cassandra last-write-wins PK semantics, SURVEY.md §1.1). */
+  def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+}

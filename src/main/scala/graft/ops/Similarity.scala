@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k against a query vector —
+  *     the correctness baseline. One broadcast of the query, one scan,
+  *     one window top-k. At 100 TB this is a full scan but embarrassingly
+  *     parallel and shuffle-free until the final k-row reduction.
+  *   - [[ivfTopK]]: IVF-style ANN — vectors are bucketed by nearest
+  *     centroid once (the expensive part, amortized across queries), a
+  *     query probes only `nprobe` buckets. Centroid assignment and probe
+  *     selection are deterministic, so results are testable; recall vs.
+  *     brute force is asserted in SimilaritySpec.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions over
+  * `array<double>` — codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Sum of elementwise products (sequential left-to-right aggregation —
+    * deterministic, matching a sequential oracle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Exact top-k by cosine against the embedding of `queryId` (excluded
+    * from results). The 1-row query side is broadcast. */
+  def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy().orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("vec_id"), col("cos"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Deterministic IVF index: centroids are the embeddings of the first
+    * `nlist` vec_ids (a stand-in for k-means at this scale); every vector
+    * is assigned to its max-cosine centroid. Returns (vec_id, label, v,
+    * centroid_id). */
+  def ivfAssign(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    e.join(broadcast(cents))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("centroid_id"))
+  }
+
+  /** ANN top-k: probe the `nprobe` centroids nearest the query, search
+    * only their buckets. The bucketed table would be written partitioned
+    * by centroid_id at scale, making a probe a partition-pruned scan. */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(spark, dir, nlist)
+    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val cents = vecs(spark, dir).filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val probed = cents.join(broadcast(q))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy().orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col("centroid_id"))
+    assigned
+      .join(broadcast(probed), "centroid_id")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy().orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("vec_id"), col("cos"))
+      .orderBy(col("rnk"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.indicators.Indicators
+
+/** pandas-parity vectors for the indicator engine (SURVEY.md §7.4 risk 1).
+  * Expected values computed by hand from the reference's formulas
+  * (reference spark-streaming.py:164-188):
+  *   - SMA-n: null until n rows seen (`rolling(n).mean()` min_periods)
+  *   - EMA(span, adjust=False): y0 = x0; y_t = α x_t + (1−α) y_{t−1}
+  *   - Cutler RSI-14: simple means of clipped deltas; loss=0 → 100;
+  *     gain=loss=0 → null
+  */
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+
+  test("ewma matches the adjust=False recurrence") {
+    val df = Seq(10.0, 20.0, 30.0, 40.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i), i.toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withIndicators(df, Seq("k"), Seq(col("ts"), col("id")), col("v"))
+      .select("ema_12").as[Double].collect()
+    // alpha = 2/13: y0=10; y1=2/13*20+11/13*10; ...
+    val a = 2.0 / 13.0
+    var y = 10.0
+    val exp = Seq(10.0, 20.0, 30.0, 40.0).map { x =>
+      y = if (x == 10.0) 10.0 else a * x + (1 - a) * y; y
+    }
+    out.zip(exp).foreach { case (got, e) => assert(math.abs(got - e) < 1e-12) }
+  }
+
+  test("sma_20 is null for the first 19 rows and a plain mean after") {
+    val df = (1 to 25).map(i => ("k", ts(i), i.toLong, i.toDouble))
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withIndicators(df, Seq("k"), Seq(col("ts"), col("id")), col("v"))
+      .select("sma_20").as[Option[Double]].collect()
+    assert(out.take(19).forall(_.isEmpty))
+    // row 20 (values 1..20): mean 10.5; row 21 (2..21): 11.5
+    assert(out(19).contains(10.5))
+    assert(out(20).contains(11.5))
+  }
+
+  test("rsi_14: monotonically increasing series gives RSI 100 (loss=0)") {
+    val df = (1 to 20).map(i => ("k", ts(i), i.toLong, i.toDouble))
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withIndicators(df, Seq("k"), Seq(col("ts"), col("id")), col("v"))
+      .select("rsi_14").as[Option[Double]].collect()
+    assert(out.take(13).forall(_.isEmpty)) // first valid at 14th row
+    assert(out(13).contains(100.0))
+    assert(out(19).contains(100.0))
+  }
+
+  test("rsi_14: constant series (gain=loss=0) is null, matching pandas NaN") {
+    val df = (1 to 16).map(i => ("k", ts(i), i.toLong, 7.0))
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withIndicators(df, Seq("k"), Seq(col("ts"), col("id")), col("v"))
+      .select("rsi_14").as[Option[Double]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("macd = ema12 - ema26 and both share one Window operator") {
+    val df = (1 to 30).map(i => ("k", ts(i), i.toLong, math.sin(i) * 10 + 50))
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withIndicators(df, Seq("k"), Seq(col("ts"), col("id")), col("v"))
+    val rows = out.select("ema_12", "ema_26", "macd").as[(Double, Double, Double)].collect()
+    rows.foreach { case (e12, e26, m) => assert(math.abs(m - (e12 - e26)) < 1e-12) }
+    // scale guard: all indicators must evaluate in a single Window node
+    val plan = out.queryExecution.optimizedPlan.toString()
+    val windowOps = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windowOps <= 2, s"expected <=2 Window operators, got $windowOps:\n$plan")
+  }
+}

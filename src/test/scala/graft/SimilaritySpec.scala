@@ -1,0 +1,31 @@
+package graft
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k returns k rows with descending scores") {
+    val out = Similarity.bruteForceTopK(spark, sf, queryId = 0L, k = 10)
+      .select("rnk", "vec_id", "cos").as[(Int, Long, Double)].collect()
+    assert(out.length === 10)
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    assert(!out.map(_._2).contains(0L))
+  }
+
+  test("IVF ANN reaches >=50% recall@10 vs brute force while probing 2/8 buckets") {
+    val exact = Similarity.bruteForceTopK(spark, sf, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(spark, sf, 0L, 10, nlist = 8, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size === 10)
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
