@@ -38,6 +38,8 @@ object SparkEntry {
     // indicator engine
     "q_indicators" -> (Analytics.indicatorTable _),
     "q_lag_diff" -> (Analytics.lagDiff _),
+    // envelope parse/explode surface (P1-P8)
+    "q_envelope_roundtrip" -> (Analytics.envelopeRoundtrip _),
     // LLM-pipeline: deduplication
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -273,6 +275,13 @@ object SparkEntry {
         |                                 ORDER BY ts, event_id), 6) AS delta
         |FROM events
         |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+
+    "q_envelope_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS coin_id, event_type AS exchange,
+        |  ts AS timestamp, round(value, 6) AS price,
+        |  CAST(event_id AS DOUBLE) AS volume_24h, 0.0 AS percent_change_24h
+        |FROM events
+        |ORDER BY coin_id, timestamp, volume_24h""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_docs

@@ -279,6 +279,24 @@ object Analytics {
               round(col("macd"), 6).as("macd"))
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
 
+  /** P1-P8 exercised end-to-end: pack the event stream into JSON
+    * envelopes (one per day, the ingestion side's `json.dumps`), then
+    * parse + explode them back out — the result must be the identity
+    * projection of the input, which is exactly what the oracle asserts. */
+  def envelopeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("coin_id"),
+        col("event_type").as("exchange"),
+        col("ts").as("timestamp"),
+        round(col("value"), 6).as("price"),
+        col("event_id").cast("double").as("volume_24h"),
+        lit(0.0).as("percent_change_24h"))
+    val env = graft.ingest.Envelope.buildEnvelopes(
+      ev, Seq(to_date(col("timestamp")).as("day")))
+    val d = graft.ingest.Envelope.demux(graft.ingest.Envelope.parse(env))
+    d.price.orderBy(col("coin_id"), col("timestamp"), col("volume_24h"))
+  }
+
   /** Lag/diff alone (A7) — kept separate so the oracle isolates it. */
   def lagDiff(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
