@@ -133,12 +133,11 @@ object Dedup {
     * pre-clustering key) so the pair space is per-block, not global.
     * The cosine is exact; blocking is what scales it. */
   def embeddingNearDups(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val e = Similarity.vecs(spark, dir) // norms precomputed once per vector
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos", round(Similarity.cosinePrenormed(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6))
       .filter(col("cos") >= tau)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

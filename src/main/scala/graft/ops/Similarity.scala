@@ -33,20 +33,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Cosine from a precomputed-norm pair: identical doubles to [[cosine]]
+    * (same expressions, same evaluation order), but the O(d) norm work is
+    * done once per VECTOR rather than once per PAIR — the difference
+    * between O(n·d) and O(n²·d) work in pairwise queries. */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Embeddings as `array<double>` with the L2 norm materialized. */
+  def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
 
   /** Exact top-k by cosine against the embedding of `queryId` (excluded
     * from results). The 1-row query side is broadcast. */
   def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = vecs(spark, dir)
-    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
     e.filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy().orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") <= k)
@@ -61,13 +72,13 @@ object Similarity {
   def ivfAssign(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
     val e = vecs(spark, dir)
     val cents = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     e.join(broadcast(cents))
-      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("sim", cosinePrenormed(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("centroid_id"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("centroid_id"))
   }
 
   /** ANN top-k: probe the `nprobe` centroids nearest the query, search
@@ -76,11 +87,12 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
     val assigned = ivfAssign(spark, dir, nlist)
-    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
     val cents = vecs(spark, dir).filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val probed = cents.join(broadcast(q))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .withColumn("sim", cosinePrenormed(col("cv"), col("qv"), col("cnrm"), col("qnrm")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy().orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rnk") <= nprobe)
@@ -89,7 +101,8 @@ object Similarity {
       .join(broadcast(probed), "centroid_id")
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy().orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") <= k)

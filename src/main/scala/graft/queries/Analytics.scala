@@ -45,9 +45,8 @@ object Analytics {
   /** Rows of the price series for "coins" whose id ends with a suffix,
     * within a time range — filters pushed to the scan. */
   def priceChart(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
-              col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+    Tables.eventsBetween(spark, dir, // range pushed to the raw scan column
+        "2024-01-15T00:00:00Z", "2024-01-22T00:00:00Z")
       .filter(col("event_type").endsWith("e")) // F2: suffix predicate
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
               round(col("value"), 6).as("value"))

@@ -39,6 +39,32 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Time-range slice of `events` with the range predicate applied to the
+    * RAW INT64 nanosecond column, BEFORE the timestamp conversion.
+    *
+    * A filter on `timestamp_micros(ts div 1000)` is a predicate on a
+    * computed expression — Catalyst cannot push it into the parquet scan,
+    * so every row group is read (`PushedFilters` loses the range). At
+    * 100 TB that forfeits row-group min/max pruning on the dominant
+    * predicate. Filtering the raw long first keeps the scan pruned; the
+    * bounds are whole-second instants, so nanosecond and microsecond
+    * comparisons agree exactly. */
+  def eventsBetween(spark: SparkSession, dir: String,
+      fromIso: String, untilIso: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(spark, dir, "events")
+    def ns(iso: String): Long = {
+      val i = java.time.Instant.parse(iso)
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") >= ns(fromIso) && col("ts") < ns(untilIso))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") >= lit(java.sql.Timestamp.from(java.time.Instant.parse(fromIso))) &&
+                 col("ts") < lit(java.sql.Timestamp.from(java.time.Instant.parse(untilIso))))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

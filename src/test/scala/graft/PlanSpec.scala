@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.Analytics
+
+/** Physical-plan guards for the properties that matter at 100 TB: filters
+  * reaching the parquet scan, dimensions broadcast instead of shuffled,
+  * map-side partial aggregation, and whole-stage codegen on the hot path.
+  * These assert on `executedPlan`, so a regression in any query's shape
+  * fails the build — not just a slow bench. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q1_agg: shipdate filter is pushed to the scan; aggregation is partial+final") {
+    val df = Analytics.q1Agg(spark, sf)
+    df.collect() // materialize THIS plan so AQE finalizes it (codegen visible)
+    val p = plan(df)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("HashAggregate".r.findAllIn(fmt).size >= 2, fmt) // partial + final
+    // '*' marks whole-stage-codegen'd operators in formatted explain
+    assert(fmt.contains("* HashAggregate") && fmt.contains("* Filter"), fmt)
+  }
+
+  test("q3_top_orders: selective dim is broadcast, facts shuffle only on the join key") {
+    val p = plan(Analytics.q3TopOrders(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q_coin_table: all three dimension joins are broadcast") {
+    val p = plan(Analytics.coinTable(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_price_chart: time range AND suffix predicate reach the parquet reader") {
+    val p = plan(Analytics.priceChart(spark, sf))
+    assert(p.contains("EndsWith(event_type"), p)
+    assert(p.contains("GreaterThanOrEqual(ts,"), p) // on the RAW int64 column
+    assert(p.contains("LessThan(ts,"), p)
+    // only the projected columns are read
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), p)
+  }
+
+  test("q_doc_features: pure projection pass — no shuffle at all") {
+    val p = plan(graft.ops.TextAnalysis.docFeatures(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
