@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 31g keeps compressed oops enabled (the >32g cliff doubles pointer
+  // width and badly hurts object-heavy operators)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}",
 )

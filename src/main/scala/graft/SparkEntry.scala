@@ -38,6 +38,8 @@ object SparkEntry {
     // indicator engine
     "q_indicators" -> (Analytics.indicatorTable _),
     "q_lag_diff" -> (Analytics.lagDiff _),
+    "q_left_join_fill" -> (Analytics.leftJoinFill _),
+    "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
     "q_envelope_roundtrip" -> (Analytics.envelopeRoundtrip _),
     // LLM-pipeline: deduplication
@@ -275,6 +277,25 @@ object SparkEntry {
         |                                 ORDER BY ts, event_id), 6) AS delta
         |FROM events
         |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+
+    "q_left_join_fill" ->
+      """SELECT n_nationkey, n_name,
+        |  coalesce(g.n_building, 0) AS n_building,
+        |  coalesce(g.total_bal, 0) AS total_bal
+        |FROM nation
+        |LEFT JOIN (SELECT c_nationkey, count(*) AS n_building,
+        |                  round(sum(c_acctbal), 4) AS total_bal
+        |           FROM customer WHERE c_mktsegment = 'BUILDING'
+        |           GROUP BY c_nationkey) g
+        |  ON n_nationkey = g.c_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_series_collect" ->
+      """SELECT event_type,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS series
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_envelope_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS coin_id, event_type AS exchange,

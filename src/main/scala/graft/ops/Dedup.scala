@@ -107,13 +107,15 @@ object Dedup {
     * high bit of `md5(token)`, the total is positive. Identical-fingerprint
     * groups are the dedup candidates. */
   def simhash(text: Column): Column = {
-    val toks = array_distinct(split(text, " "))
+    // hash each distinct token ONCE; the 16 bit-votes then read one hex
+    // nibble each from the precomputed digest (16x fewer md5 calls)
+    val hashes = transform(array_distinct(split(text, " ")), t => md5(t))
     val bits = (1 to 16).map { p =>
       val votes = aggregate(
-        toks,
+        hashes,
         lit(0),
-        (acc, t) => acc +
-          when(substring(md5(t), p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        (acc, h) => acc +
+          when(substring(h, p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
             .otherwise(-1))
       when(votes > 0, lit("1")).otherwise(lit("0"))
     }

@@ -278,6 +278,36 @@ object Analytics {
               round(col("macd"), 6).as("macd"))
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
 
+  /** J4 (the reference's dormant geo join, flask/app.py:242-244): left
+    * outer join of a complete dimension against sparse aggregates, with
+    * `fillna(0)` semantics — nations with no BUILDING customers keep a
+    * zero row instead of vanishing. */
+  def leftJoinFill(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_building"),
+           round(sum(col("c_acctbal")), 4).as("total_bal"))
+    Tables.nation(spark, dir)
+      .join(perNation, col("n_nationkey") === col("c_nationkey"), "left")
+      .na.fill(0, Seq("n_building", "total_bal"))
+      .select(col("n_nationkey"), col("n_name"), col("n_building"), col("total_bal"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** A3 (per-exchange collect-series for the multi-line chart,
+    * flask/app.py:49-56): the time-ordered series per key, collected and
+    * rendered as one deterministic string so the oracle can hash it. */
+  def seriesCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id")))),
+          s => s.getField("event_id").cast("string")),
+        ",").as("series"))
+      .orderBy(col("event_type"))
+
   /** P1-P8 exercised end-to-end: pack the event stream into JSON
     * envelopes (one per day, the ingestion side's `json.dumps`), then
     * parse + explode them back out — the result must be the identity
