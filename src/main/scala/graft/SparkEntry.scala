@@ -366,6 +366,26 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM s)
         |SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, centroid_id FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rnk
+        |    FROM e CROSS JOIN cents c) WHERE rnk = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probed AS (SELECT centroid_id FROM (
+        |    SELECT c.centroid_id,
+        |      row_number() OVER (ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
+        |                         c.centroid_id) AS rnk
+        |    FROM cents c, q) WHERE rnk <= 2),
+        |s AS (SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+        |      FROM asg a JOIN probed p ON a.centroid_id = p.centroid_id, q
+        |      WHERE a.vec_id <> 0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM s)
+        |SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
     "q_doc_features" ->
       """WITH f AS (
         |  SELECT doc_id, text,
