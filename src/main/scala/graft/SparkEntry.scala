@@ -39,6 +39,7 @@ object SparkEntry {
     "q_indicators" -> (Analytics.indicatorTable _),
     "q_lag_diff" -> (Analytics.lagDiff _),
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
+    "q_salted_agg" -> (Analytics.saltedAgg _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
     "q_envelope_roundtrip" -> (Analytics.envelopeRoundtrip _),
@@ -290,6 +291,14 @@ object SparkEntry {
         |  ON n_nationkey = g.c_nationkey
         |ORDER BY n_nationkey""".stripMargin,
 
+    "q_salted_agg" ->
+      """SELECT event_type, count(event_id) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS total_id,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q_series_collect" ->
       """SELECT event_type,
         |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS series
@@ -422,7 +431,7 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(n_chars), 6) AS avg_chars,
         |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
-        |  sum(len(string_split(text, ' '))) AS total_tokens
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,

@@ -308,6 +308,21 @@ object Analytics {
         ",").as("series"))
       .orderBy(col("event_type"))
 
+  /** Hot-key aggregation via two-phase salting (ops/Skew): identical
+    * results to a plain groupBy — which is exactly what the oracle runs —
+    * but the partial aggregate spreads each of the 5 hot event_type keys
+    * over 32 tasks. Restricted to exactly-decomposable aggregates
+    * (count / long-sum / min / max) so salting is bit-exact. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedAgg(
+        Tables.events(spark, dir), Seq("event_type"), buckets = 32,
+        aggs = scala.collection.immutable.ListMap(
+          "n" -> (("event_id", graft.ops.Skew.CountAgg)),
+          "total_id" -> (("event_id", graft.ops.Skew.SumAgg)),
+          "lo" -> (("value", graft.ops.Skew.MinAgg)),
+          "hi" -> (("value", graft.ops.Skew.MaxAgg))))
+      .orderBy(col("event_type"))
+
   /** P1-P8 exercised end-to-end: pack the event stream into JSON
     * envelopes (one per day, the ingestion side's `json.dumps`), then
     * parse + explode them back out — the result must be the identity
