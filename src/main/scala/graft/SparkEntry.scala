@@ -37,6 +37,7 @@ object SparkEntry {
     "q_json_extract" -> (Analytics.jsonExtract _),
     // indicator engine
     "q_indicators" -> (Analytics.indicatorTable _),
+    "q_bollinger" -> (Analytics.bollinger _),
     "q_lag_diff" -> (Analytics.lagDiff _),
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
     "q_salted_agg" -> (Analytics.saltedAgg _),
@@ -272,6 +273,21 @@ object SparkEntry {
         |  ON w.user_id = r.user_id AND w.event_type = r.event_type AND w.rn = r.rn
         |ORDER BY w.user_id, w.event_type, w.ts, w.event_id""".stripMargin,
 
+    "q_bollinger" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN count(*) OVER f = 20 THEN avg(value) OVER f END AS mid,
+        |    CASE WHEN count(*) OVER f = 20 THEN stddev_samp(value) OVER f END AS sd
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, ts, event_id,
+        |  round(mid, 6) AS bb_mid,
+        |  round(mid + 2.0 * sd, 6) AS bb_upper,
+        |  round(mid - 2.0 * sd, 6) AS bb_lower
+        |FROM w
+        |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+
     "q_lag_diff" ->
       """SELECT user_id, event_type, ts, event_id,
         |  round(value - lag(value) OVER (PARTITION BY user_id, event_type
@@ -412,6 +428,7 @@ object SparkEntry {
         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
         |  FROM documents)
         |SELECT doc_id, n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_subtokens,
         |  round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_word_len,
         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
         |  round(CAST(n_punct AS DOUBLE) / length(text), 6) AS punct_ratio,

@@ -49,17 +49,18 @@ object Dedup {
   /** All near-duplicate pairs with word-3-gram Jaccard >= tau. The
     * shingle equi-join generates only pairs sharing at least one shingle. */
   def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    // annotate each shingle row with its document's cardinality up front
+    // (one window over doc_id) so the per-doc counts ride through the
+    // self-join — avoids two extra join passes and a third recomputation
+    // of the shingle set
     val sh = shingles(Tables.documents(spark, dir))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("ix"))
-    inter
-      .join(card.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(card.as("cb"), col("id_b") === col("cb.doc_id"))
+      .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
       .withColumn("jac", round(col("ix").cast("double") /
-        (col("ca.c") + col("cb.c") - col("ix")), 6))
+        (col("ca") + col("cb") - col("ix")), 6))
       .filter(col("jac") >= tau)
       .select(col("id_a"), col("id_b"), col("jac"))
       .orderBy(col("id_a"), col("id_b"))

@@ -21,6 +21,12 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subtoken count: alpha runs, single digits, and isolated
+    * punctuation each count as one subtoken (a cheap stand-in for a real
+    * tokenizer's token count, good enough for data budgeting). */
+  def subtokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
   /** Fraction of tokens that are stopwords. */
@@ -77,6 +83,7 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
+        subtokenCount(col("text")).as("n_subtokens"),
         round(avgWordLen(col("text")), 6).as("avg_word_len"),
         round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
         round(punctRatio(col("text")), 6).as("punct_ratio"),

@@ -308,6 +308,23 @@ object Analytics {
         ",").as("series"))
       .orderBy(col("event_type"))
 
+  /** Bollinger bands (20-row mid ± 2σ): rolling mean + sample stddev in
+    * the same masked window as SMA — one more indicator sharing the
+    * single Window pass. */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(evOrder: _*)
+    val f = w.rowsBetween(-19, 0)
+    val cnt = count(lit(1)).over(f)
+    val mid = when(cnt === 20, avg(col("value")).over(f))
+    val sd = when(cnt === 20, stddev_samp(col("value")).over(f))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(mid, 6).as("bb_mid"),
+        round(mid + lit(2.0) * sd, 6).as("bb_upper"),
+        round(mid - lit(2.0) * sd, 6).as("bb_lower"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+  }
+
   /** Hot-key aggregation via two-phase salting (ops/Skew): identical
     * results to a plain groupBy — which is exactly what the oracle runs —
     * but the partial aggregate spreads each of the 5 hot event_type keys
