@@ -38,6 +38,7 @@ object SparkEntry {
     // indicator engine
     "q_indicators" -> (Analytics.indicatorTable _),
     "q_bollinger" -> (Analytics.bollinger _),
+    "q_indicator_slice" -> (Analytics.indicatorSlice _),
     "q_lag_diff" -> (Analytics.lagDiff _),
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
     "q_salted_agg" -> (Analytics.saltedAgg _),
@@ -293,6 +294,17 @@ object SparkEntry {
         |  round(value - lag(value) OVER (PARTITION BY user_id, event_type
         |                                 ORDER BY ts, event_id), 6) AS delta
         |FROM events
+        |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+
+    "q_indicator_slice" ->
+      """SELECT * FROM (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    round(value - lag(value) OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts, event_id), 6) AS delta
+        |  FROM events
+        |  ORDER BY user_id, event_type, ts, event_id
+        |  LIMIT 1000)
+        |WHERE event_type LIKE '%k'
         |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
 
     "q_left_join_fill" ->

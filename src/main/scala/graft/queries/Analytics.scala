@@ -308,6 +308,16 @@ object Analytics {
         ",").as("series"))
       .orderBy(col("event_type"))
 
+  /** O3: the /technical_indicators endpoint's limit-then-filter shape
+    * (reference flask/app.py:151 applies LIMIT 1000 BEFORE the symbol
+    * filter — a sampling bug we replicate deterministically by imposing a
+    * total order first). */
+  def indicatorSlice(spark: SparkSession, dir: String): DataFrame =
+    lagDiff(spark, dir)
+      .limit(1000)
+      .filter(col("event_type").endsWith("k"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+
   /** Bollinger bands (20-row mid ± 2σ): rolling mean + sample stddev in
     * the same masked window as SMA — one more indicator sharing the
     * single Window pass. */

@@ -47,6 +47,22 @@ object Layout {
     spark.read.parquet(path)
       .filter(col("p_date") >= lit(fromDate) && col("p_date") < lit(untilDate))
 
+  /** Write as a true bucketed table (Hive-style bucketing metadata via
+    * the session catalog): joins and aggregations between tables bucketed
+    * the same way on the same keys need NO shuffle at all — the single
+    * biggest lever for repeated big⋈big joins at 100 TB. Verified
+    * shuffle-free in LayoutSpec. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      keyCols: Seq[String],
+      nBuckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(tableName)
+
   /** Read one key's slice: date partitions pruned by range, bucket
     * partitions pruned by the key hash. */
   def readKey(spark: SparkSession, path: String, keyCols: Seq[String],

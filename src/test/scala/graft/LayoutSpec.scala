@@ -30,4 +30,21 @@ class LayoutSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
     assert(files < allFiles, s"range read touched all $allFiles files")
   }
+
+  test("bucketed tables join with zero shuffle") {
+    val ev = Tables.events(spark, sf)
+    Layout.writeBucketed(ev.select("event_id", "user_id", "value"),
+      "ev_bucketed_a", Seq("user_id"), nBuckets = 4)
+    Layout.writeBucketed(ev.select("event_id", "user_id", "event_type"),
+      "ev_bucketed_b", Seq("user_id"), nBuckets = 4)
+    val joined = spark.table("ev_bucketed_a")
+      .join(spark.table("ev_bucketed_b"), "user_id")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(joined.count() ===
+      ev.select("event_id", "user_id").as("a")
+        .join(ev.select("event_id", "user_id").as("b"), "user_id").count())
+  }
 }
