@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with a watermark — the streaming
+  * constructs (SURVEY.md §2.11 T3/T4) the reference never configures:
+  * its job has no watermark and no event-time windows, so it can neither
+  * bound state nor reason about late data.
+  *
+  * Shape: tumbling event-time windows per exchange over the tick stream,
+  * state bounded by the watermark (late ticks beyond it are dropped
+  * rather than growing state forever — the property that keeps a
+  * 100 TB/day stream's state finite). Works identically on batch
+  * DataFrames, where the watermark is a no-op.
+  */
+object WindowedStats {
+
+  /** Tumbling per-exchange OHLC-ish stats: count / avg / min / max price
+    * per (window, exchange). In append output mode a window emits once,
+    * when the watermark passes its end. */
+  def tumblingTickStats(
+      ticks: DataFrame,
+      windowDur: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowDur), col("exchange"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        avg(col("price")).as("avg_price"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("exchange"), col("n_ticks"), col("avg_price"),
+        col("min_price"), col("max_price"))
+}
