@@ -1,0 +1,27 @@
+package graft
+
+/** Guards on the driver contract itself: every declared query must have
+  * an oracle, run non-empty at the smoke scale, and be deterministic
+  * across re-runs (the oracle hash-compare assumes all three). */
+class ContractSpec extends SparkSpec {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query returns rows at sf0.001 and is deterministic across re-runs") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sf).collect()
+      assert(a.nonEmpty, s"$name returned 0 rows at sf0.001")
+      val b = fn(spark, sf).collect()
+      assert(a.toSeq === b.toSeq, s"$name is nondeterministic")
+    }
+  }
+}
