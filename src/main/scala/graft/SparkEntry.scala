@@ -452,7 +452,12 @@ object SparkEntry {
         |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
         |       WHEN s_de > 0 THEN 'de'
         |       ELSE 'unknown' END AS lang_pred,
-        |  substr(md5(lower(text)), 1, 8) AS fp_bucket
+        |  substr(md5(lower(text)), 1, 8) AS fp_bucket,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(range(1, length(text) + 1),
+        |                  i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+        |                (a, b) -> (a * 31 + b) % 1000000007)
+        |  END AS rhash
         |FROM f
         |ORDER BY doc_id""".stripMargin,
 
@@ -481,7 +486,9 @@ object SparkEntry {
         |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
         |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-        |  sha256(text) AS checksum
+        |  sha256(text) AS checksum,
+        |  octet_length(encode(regexp_replace(text, '(.)(.{0,7})', '\1', 'g'))) AS thumb_len,
+        |  sha256(regexp_replace(text, '(.)(.{0,7})', '\1', 'g')) AS thumb_checksum
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -29,7 +29,9 @@ object Multimodal {
       format: String,
       width: Int,
       height: Int,
-      checksum: String)
+      checksum: String,
+      thumb_len: Long,
+      thumb_checksum: String)
 
   /** Synthesize a binary "media" column from the documents table — the
     * harness ships no binary payloads, so the text bytes stand in as the
@@ -57,15 +59,22 @@ object Multimodal {
     * codec here. This deterministic fake derives "dimensions" from the
     * byte length so downstream plumbing is exercised honestly. */
   def fakeDecode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    def sha(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
     val len = payload.length.toLong
+    // "resize": deterministic 8x byte downsample standing in for a real
+    // thumbnail pass — keeps every 8th byte (group heads)
+    val thumb = payload.grouped(8).map(_.head).toArray
     MediaFeatures(
       doc_id = docId,
       byte_len = len,
       format = if (len % 2 == 0) "png" else "jpg",
       width = (len % 640).toInt + 1,
       height = (len % 480).toInt + 1,
-      checksum = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(payload).map("%02x".format(_)).mkString)
+      checksum = sha(payload),
+      thumb_len = thumb.length.toLong,
+      thumb_checksum = sha(thumb))
   }
 
   /** The batch decode operator: partition-local iteration over binary

@@ -76,6 +76,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(lower(text))
   def fingerprintBucket(text: Column): Column = substring(fingerprint(text), 1, 8)
 
+  /** Polynomial rolling-hash fingerprint: fold `h = (h*31 + byte) mod
+    * (1e9+7)` over the characters — the incremental document hash that,
+    * unlike md5, extends to windowed/winnowing schemes. Pure column
+    * algebra (sequence + aggregate HOF), no UDF. */
+  def rollingHash(text: Column): Column = {
+    val M = 1000000007L
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(text)),
+        lit(0L),
+        (acc, i) => pmod(acc * 31 + ascii(text.substr(i, lit(1))), lit(M))))
+  }
+
   // ---- query shapes ----------------------------------------------------
 
   /** Per-document text feature table. */
@@ -89,7 +102,8 @@ object TextAnalysis {
         round(punctRatio(col("text")), 6).as("punct_ratio"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"),
-        fingerprintBucket(col("text")).as("fp_bucket"))
+        fingerprintBucket(col("text")).as("fp_bucket"),
+        rollingHash(col("text")).as("rhash"))
       .orderBy(col("doc_id"))
 
   /** Corpus rollup per (lang, source) — count/χ stats over features. */
