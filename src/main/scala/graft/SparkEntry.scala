@@ -42,6 +42,8 @@ object SparkEntry {
     "q_lag_diff" -> (Analytics.lagDiff _),
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
     "q_salted_agg" -> (Analytics.saltedAgg _),
+    "q_sessionize" -> (Analytics.sessionize _),
+    "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
     "q_envelope_roundtrip" -> (Analytics.envelopeRoundtrip _),
@@ -323,6 +325,32 @@ object SparkEntry {
       """SELECT event_type, count(event_id) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS total_id,
         |  min(value) AS lo, max(value) AS hi
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

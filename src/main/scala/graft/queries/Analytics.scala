@@ -308,6 +308,41 @@ object Analytics {
         ",").as("series"))
       .orderBy(col("event_type"))
 
+  /** Sessionization (gaps-and-islands): user sessions split on >30min
+    * inactivity, aggregated to (start, end, events, value). The formulation
+    * is two windows + one groupBy — identical semantics to Spark's native
+    * `session_window` (demonstrated in WindowedStatsSpec) but expressible
+    * in the oracle. At scale: one shuffle on user_id, sessions never
+    * materialized row-wise. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    // integer-microsecond gap check: second-truncating casts would
+    // disagree with the oracle on fractional-second boundaries
+    val us = unix_micros(col("ts"))
+    val gap = when(us - lag(us, 1).over(w) > 1800L * 1000000L, 1).otherwise(0)
+    Tables.events(spark, dir)
+      .withColumn("new_session", gap)
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Exact percentiles per key (p50/p90/p99 with linear interpolation —
+    * the distribution-summary pass every data-quality pipeline runs). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   /** O3: the /technical_indicators endpoint's limit-then-filter shape
     * (reference flask/app.py:151 applies LIMIT 1000 BEFORE the symbol
     * filter — a sampling bug we replicate deterministically by imposing a
