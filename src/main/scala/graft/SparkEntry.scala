@@ -35,6 +35,7 @@ object SparkEntry {
     "q_topk_per_group" -> (Analytics.topkPerGroup _),
     "q_scalar_pack" -> (Analytics.scalarPack _),
     "q_json_extract" -> (Analytics.jsonExtract _),
+    "q_map_explode" -> (Analytics.mapExplode _),
     // indicator engine
     "q_indicators" -> (Analytics.indicatorTable _),
     "q_bollinger" -> (Analytics.bollinger _),
@@ -225,6 +226,12 @@ object SparkEntry {
         |  CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q_map_explode" ->
+      """SELECT event_id, 'k' AS key,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS value
+        |FROM events
+        |ORDER BY event_id, key""".stripMargin,
 
     "q_indicators" ->
       """WITH RECURSIVE base AS (

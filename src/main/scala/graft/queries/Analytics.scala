@@ -308,6 +308,19 @@ object Analytics {
         ",").as("series"))
       .orderBy(col("event_type"))
 
+  /** C10: map→rows flatten (the reference's market_cap_percentage dict,
+    * dags/crypto_data_streaming.py:130-138) — JSON object parsed as a
+    * MapType and exploded into key/value rows. */
+  def mapExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType))))
+      .select(col("event_id"), col("key"), col("value"))
+      .orderBy(col("event_id"), col("key"))
+
   /** Sessionization (gaps-and-islands): user sessions split on >30min
     * inactivity, aggregated to (start, end, events, value). The formulation
     * is two windows + one groupBy — identical semantics to Spark's native
