@@ -34,7 +34,11 @@ object Dedup {
       .otherwise(array().cast("array<int>"))
     val grams = transform(idx, i =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
-    docs.select(col("doc_id"), explode(grams).as("s")).distinct()
+    // documents often arrive as one small parquet file = ONE input task;
+    // spread rows across the cluster BEFORE the shingle/hash work so the
+    // per-row compute parallelizes (no-op at scale where files are many)
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spread.select(col("doc_id"), explode(grams).as("s")).distinct()
   }
 
   /** Exact-duplicate groups: canonical (min) doc id + group size per
@@ -126,6 +130,7 @@ object Dedup {
   /** SimHash collision groups (identical 16-bit fingerprints). */
   def simhashGroups(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // see shingles()
       .groupBy(simhash(col("text")).as("simhash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -137,7 +142,12 @@ object Dedup {
     * The cosine is exact; blocking is what scales it. */
   def embeddingNearDups(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
     val e = Similarity.vecs(spark, dir) // norms precomputed once per vector
-    val a = e.as("a"); val b = e.as("b")
+    // shuffling on `label` caps parallelism at #labels (10) and inherits
+    // their skew; broadcasting the (small) right side instead keeps the
+    // pair generation map-side and N-way parallel. At scale the broadcast
+    // side is the per-label centroid/LSH-bucketed subset, not the corpus.
+    val a = e.repartition(spark.sparkContext.defaultParallelism).as("a")
+    val b = broadcast(e).as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(Similarity.cosinePrenormed(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6))
