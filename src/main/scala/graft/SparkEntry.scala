@@ -54,6 +54,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (Dedup.lshCandidates _),
     "q_dedup_simhash" -> (Dedup.simhashGroups _),
     "q_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    "q_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
@@ -419,6 +420,34 @@ object SparkEntry {
          |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM fp GROUP BY simhash HAVING count(*) >= 2
          |ORDER BY simhash""".stripMargin,
+
+    "q_dedup_survivors" ->
+      s"""WITH $shingleCte,
+         |$minhashSigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h3||'|'||h4||'|'||h5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h6||'|'||h7||'|'||h8) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h9||'|'||h10||'|'||h11) FROM sig),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |          AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |ver AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b, count(*) AS ix, max(ca.c) AS ca, max(cb.c) AS cb
+         |    FROM cand c
+         |    JOIN sh a ON a.doc_id = c.id_a
+         |    JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+         |    JOIN card ca ON ca.doc_id = c.id_a
+         |    JOIN card cb ON cb.doc_id = c.id_b
+         |    GROUP BY c.id_a, c.id_b)
+         |  WHERE round(CAST(ix AS DOUBLE) / (ca + cb - ix), 6) >= 0.8)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM ver)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

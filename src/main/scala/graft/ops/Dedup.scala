@@ -107,6 +107,29 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The full dedup pipeline, composed the way it runs at 100 TB:
+    * (1) LSH proposes candidate pairs (equi-join on band hashes — cheap),
+    * (2) exact Jaccard verifies ONLY the candidates (never all pairs),
+    * (3) verified duplicates' higher doc_ids are dropped via a left-anti
+    * join, keeping the canonical (lowest-id) document of each dup set.
+    * Returns the surviving documents. */
+  def dedupSurvivors(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = lshCandidates(spark, dir).select(col("id_a"), col("id_b"))
+    val sh = shingles(docs)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val verified = broadcast(cand)
+      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
+      .filter(round(col("ix").cast("double") / (col("ca") + col("cb") - col("ix")), 6) >= tau)
+    docs.join(verified.select(col("id_b").as("dup_id")),
+        col("doc_id") === col("dup_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 16-bit SimHash over the document's distinct tokens. Bit p is set
     * when, summing +1/−1 per token according to the p-th hex nibble's
     * high bit of `md5(token)`, the total is positive. Identical-fingerprint
