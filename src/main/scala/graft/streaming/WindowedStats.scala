@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object WindowedStats {
 
+  /** Streaming deduplication on the tick primary key with state bounded
+    * by the watermark: re-deliveries inside the watermark horizon are
+    * dropped exactly once; state for keys older than the horizon is
+    * evicted. This is the in-stream half of the dedup story — the sink's
+    * last-write-wins upsert (sink/Router) remains the safety net for
+    * re-deliveries that outlive the horizon. */
+  def dedupTicks(ticks: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicates("coin_id", "exchange", "timestamp")
+
   /** Tumbling per-exchange OHLC-ish stats: count / avg / min / max price
     * per (window, exchange). In append output mode a window emits once,
     * when the watermark passes its end. */

@@ -46,6 +46,26 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon re-deliveries exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PriceTick]
+    val q = WindowedStats.dedupTicks(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(tick(0, 100.0), tick(0, 100.0)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData(tick(0, 100.0), tick(1, 101.0)) // cross-batch re-delivery
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .selectExpr("timestamp", "price").as[(Timestamp, Double)]
+        .collect().sortBy(_._1.getTime)
+      assert(rows.toSeq === Seq(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 100.0),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 101.0)))
+    } finally q.stop()
+  }
+
   test("same aggregation runs on a batch frame (watermark is a no-op)") {
     val df = Seq(tick(0, 100.0), tick(2, 110.0), tick(7, 50.0)).toDF()
     val out = WindowedStats.tumblingTickStats(df)
