@@ -1,10 +1,11 @@
 package graft.indicators
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{DataType, Decimal, DoubleType}
+import org.apache.spark.sql.types.{DataType, Decimal, DoubleType, NumericType}
 
 /** Exponentially-weighted moving average as a native Catalyst window
   * function.
@@ -31,7 +32,24 @@ import org.apache.spark.sql.types.{DataType, Decimal, DoubleType}
   *     `ewma(value, 0.095) OVER (PARTITION BY k ORDER BY ts)`.
   */
 case class Ewma(child: Expression, alphaExpr: Expression)
-    extends AggregateWindowFunction with UnaryLike[Expression] {
+    extends AggregateWindowFunction with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = alphaExpr
+
+  // alphaExpr is a real child, so resolution/type-checking visit it and a
+  // non-literal alpha fails analysis with a proper message instead of an
+  // opaque eval error from inside planning
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!alphaExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("ewma alpha must be a literal")
+    else if (!alphaExpr.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"ewma alpha must be numeric, got ${alphaExpr.dataType}")
+    else if (!child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"ewma input must be numeric, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
 
   private lazy val alpha: Double = alphaExpr.eval() match {
     case d: java.lang.Double => d.doubleValue()
@@ -64,8 +82,9 @@ case class Ewma(child: Expression, alphaExpr: Expression)
 
   override lazy val evaluateExpression: Expression = ema
 
-  override protected def withNewChildInternal(newChild: Expression): Ewma =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Ewma =
+    copy(child = newLeft, alphaExpr = newRight)
 }
 
 object Ewma {

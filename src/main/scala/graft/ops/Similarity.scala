@@ -54,16 +54,25 @@ object Similarity {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
-    e.filter(col("vec_id") =!= queryId)
+    val scored = e.filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
       .withColumn("cos", round(
         cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** Global top-k without a global shuffle: orderBy+limit compiles to
+    * TakeOrderedAndProject (per-partition top-k, k-row reduction at the
+    * driver side of the exchange); the rank window then runs over only k
+    * rows. A bare `row_number() OVER ()` would instead move EVERY scored
+    * row to one task. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
       .withColumn("rnk", row_number().over(
         Window.partitionBy().orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
       .select(col("rnk"), col("vec_id"), col("cos"))
       .orderBy(col("rnk"))
-  }
 
   /** Deterministic IVF index: centroids are the embeddings of the first
     * `nlist` vec_ids (a stand-in for k-means at this scale); every vector
@@ -97,16 +106,12 @@ object Similarity {
         Window.partitionBy().orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rnk") <= nprobe)
       .select(col("centroid_id"))
-    assigned
+    val scored = assigned
       .join(broadcast(probed), "centroid_id")
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
       .withColumn("cos", round(
         cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy().orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("rnk"), col("vec_id"), col("cos"))
-      .orderBy(col("rnk"))
+    rankTopK(scored, k)
   }
 }

@@ -51,30 +51,51 @@ object Router {
   }
 
   /** Upsert `batch` into `baseDir/<table>`: last-write-wins on the PK,
-    * newer batch beats stored rows on exact PK collision. */
+    * newer batch beats stored rows on exact PK collision; within one
+    * batch, ties on the PK are broken deterministically by the remaining
+    * columns (descending) so re-running the same input stores the same
+    * row regardless of partition order. */
   def upsert(spark: SparkSession, batch: DataFrame, table: String,
       baseDir: String): Unit = {
     val keys = TableKeys(table)
     val dest = s"$baseDir/$table"
+    val old = s"$baseDir/.$table.old"
     val tmp = s"$baseDir/.$table.tmp"
+    // crash recovery: a previous upsert may have died between the
+    // rename-aside and the tmp->dest move — the .old dir is then the
+    // authoritative table
+    if (!Files.exists(Paths.get(dest)) && Files.exists(Paths.get(old)))
+      Files.move(Paths.get(old), Paths.get(dest))
+    deleteTree(old); deleteTree(tmp)
+
     val incoming = batch.withColumn("__pri", lit(1))
+    val tiebreak = incoming.columns.filterNot(c => keys.contains(c) || c == "__pri")
+      .map(c => col(c).desc).toSeq
     val merged =
       if (Files.exists(Paths.get(dest))) {
         val existing = spark.read.parquet(dest).withColumn("__pri", lit(0))
         Dedup.keepLatest(incoming.unionByName(existing), keys,
-          Seq(col("__pri").desc))
+          col("__pri").desc +: tiebreak)
       } else {
-        Dedup.keepLatest(incoming, keys, Seq(col("__pri").desc))
+        Dedup.keepLatest(incoming, keys, col("__pri").desc +: tiebreak)
       }
     merged.drop("__pri").write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: the merged plan reads `dest`, so it must be fully
-    // materialized (to tmp) before the old table dir is replaced
-    val destPath = Paths.get(dest)
-    if (Files.exists(destPath)) {
-      Files.walk(destPath).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+    // swap: the merged plan reads `dest`, so tmp must be fully
+    // materialized first; renaming dest aside (instead of deleting it)
+    // keeps a recoverable copy at every instant of the swap
+    if (Files.exists(Paths.get(dest))) Files.move(Paths.get(dest), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(dest))
+    deleteTree(old)
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
     }
-    Files.move(Paths.get(tmp), destPath)
   }
 
   /** Route + upsert each entity frame of a micro-batch. Unroutable frames

@@ -66,16 +66,30 @@ object Pipeline {
       mcapTs: Option[Timestamp] = None): Unit = {
     val d = Envelope.demux(Envelope.parse(batch), mcapTs)
     Router.writeBatch(spark, sinkDir, Seq(d.coins, d.price, d.ohlc, d.marketCap))
-    deriveIndicators(spark, sinkDir)
+    deriveIndicators(spark, sinkDir,
+      Some(d.price.select(col("coin_id"), col("exchange")).distinct()))
   }
 
-  /** T7: indicator derivation over the current price table, written
-    * through the same upsert sink (update-mode semantics — recomputed
-    * rows replace prior values on their PK). */
-  def deriveIndicators(spark: SparkSession, sinkDir: String): Unit = {
+  /** T7: indicator derivation over the price table, restricted to the
+    * series keys touched by the current batch (left-semi join against the
+    * batch's key set) — per-batch cost scales with the batch's keys, not
+    * with total accumulated history. Written through the same upsert sink
+    * (update-mode semantics — recomputed rows replace prior values on
+    * their PK). Pass `batchKeys=None` to recompute everything (backfill).
+    *
+    * For strict O(batch) incremental cost use
+    * [[StatefulIndicators.attach]], which carries per-key state across
+    * batches instead of re-reading each touched key's history. */
+  def deriveIndicators(spark: SparkSession, sinkDir: String,
+      batchKeys: Option[DataFrame] = None): Unit = {
     val priceDir = s"$sinkDir/price_data"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(priceDir))) {
-      val price = spark.read.parquet(priceDir)
+      val all = spark.read.parquet(priceDir)
+      val price = batchKeys match {
+        case Some(keys) =>
+          all.join(broadcast(keys), Seq("coin_id", "exchange"), "left_semi")
+        case None => all
+      }
       val ind = Indicators.withIndicators(
           price,
           keys = Seq("coin_id", "exchange"),

@@ -16,6 +16,14 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("documents corpus is single-byte text (precondition of the char-domain oracles)") {
+    // the multimodal oracles slice TEXT by characters while the engine
+    // slices PAYLOAD by bytes — equivalent only while chars == bytes
+    val n = graft.util.Tables.documents(spark, sf)
+      .filter("octet_length(encode(text, 'UTF-8')) <> length(text)").count()
+    assert(n === 0, s"$n documents contain multi-byte characters")
+  }
+
   test("every query returns rows at sf0.001 and is deterministic across re-runs") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
