@@ -44,6 +44,7 @@ object SparkEntry {
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
     "q_salted_agg" -> (Analytics.saltedAgg _),
     "q_sessionize" -> (Analytics.sessionize _),
+    "q_asof_join" -> (Analytics.asofJoin _),
     "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
@@ -353,6 +354,16 @@ object SparkEntry {
         |FROM s
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id, round(value, 6) AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, round(value, 6) AS last_purchase
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ts, c.event_id, c.click_value, p.last_purchase
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: enrich each left row with the most recent
+  * right-side values at-or-before its timestamp, per key.
+  *
+  * This is the operator the reference *should* have used for its
+  * `/coin_table` join — joining per-key time series on key alone
+  * cross-products every timestamp pair (reference `flask/app.py:294-300`,
+  * SURVEY.md §2.5) and then throws away all but the latest row. The
+  * as-of form never materializes the cross product.
+  *
+  * Implementation is a composition, not a custom physical operator
+  * (preference (a) of the custom-operator ladder): tag both inputs,
+  * union them, and run `last(value, ignoreNulls) OVER (PARTITION BY key
+  * ORDER BY ts, tag ROWS UNBOUNDED PRECEDING..CURRENT)` — one shuffle on
+  * the key, one sort, O(1) state per row in WindowExec. Right rows sort
+  * before left rows on timestamp ties (tag 0 < 1), giving inclusive
+  * at-or-before semantics, matching DuckDB's `ASOF JOIN ... ON l.ts >=
+  * r.ts` which the oracle uses.
+  */
+object AsOf {
+
+  /** @param left     rows to enrich
+    * @param right    the series providing values
+    * @param keys     equi-join key columns (present on both sides)
+    * @param leftTs   left timestamp column name
+    * @param rightTs  right timestamp column name
+    * @param payload  right-side value columns carried onto left rows
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select(left.columns.map(col) ++
+        payload.map(c => lit(null).cast(rightTypes(c)).as(c)) :+ col("__tag"): _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select(keys.map(col) ++
+        Seq(col(rightTs).as(leftTs)) ++
+        left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col) :+ col("__tag"): _*)
+    val u = l.unionByName(r)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(leftTs), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(u) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1).drop("__tag")
+  }
+
+  /** Convenience: enrich with a single renamed payload column. */
+  def joinAsOf1(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCol: String, as: String): DataFrame =
+    joinAsOf(left, right.withColumnRenamed(valueCol, as),
+      keys, leftTs, rightTs, Seq(as))
+}

@@ -321,6 +321,22 @@ object Analytics {
       .select(col("event_id"), col("key"), col("value"))
       .orderBy(col("event_id"), col("key"))
 
+  /** As-of join: each click enriched with the latest purchase value
+    * at-or-before its timestamp per user — the point-in-time semantics
+    * the reference's cross-product join approximates (see ops/AsOf). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value"), 6).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), round(col("value"), 6).as("last_purchase"))
+    graft.ops.AsOf.joinAsOf(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("last_purchase"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Sessionization (gaps-and-islands): user sessions split on >30min
     * inactivity, aggregated to (start, end, events, value). The formulation
     * is two windows + one groupBy — identical semantics to Spark's native

@@ -1,0 +1,37 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Int) = new Timestamp(s * 1000L)
+
+  test("as-of join picks the latest right row at-or-before, per key") {
+    val left = Seq(
+      ("u1", ts(10), 1L), ("u1", ts(20), 2L), ("u1", ts(5), 3L),
+      ("u2", ts(10), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      ("u1", ts(8), 1.5), ("u1", ts(10), 2.5), ("u1", ts(15), 3.5),
+      ("u3", ts(1), 9.9))
+      .toDF("user_id", "ts", "p")
+    val out = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("p"))
+      .select("user_id", "event_id", "p")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(out(1L).contains(2.5)) // ts=10: right row AT 10 wins (inclusive)
+    assert(out(2L).contains(3.5)) // ts=20: latest before is 15
+    assert(out(3L).isEmpty)       // ts=5: nothing at-or-before
+    assert(out(4L).isEmpty)       // u2: no right rows at all
+  }
+
+  test("left row count is preserved (no cross product, no drops)") {
+    val out = graft.queries.Analytics.asofJoin(spark, sf)
+    val clicks = graft.util.Tables.events(spark, sf)
+      .filter("event_type = 'click'").count()
+    assert(out.count() === clicks)
+  }
+}
