@@ -45,6 +45,8 @@ object SparkEntry {
     "q_salted_agg" -> (Analytics.saltedAgg _),
     "q_sessionize" -> (Analytics.sessionize _),
     "q_asof_join" -> (Analytics.asofJoin _),
+    "q_range_join" -> (Analytics.rangeJoin _),
+    "q_cube_stats" -> (Analytics.cubeStats _),
     "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
@@ -364,6 +366,23 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND abs(epoch_us(click_ts) - epoch_us(purchase_ts)) <= 300000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q_cube_stats" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+        |  CAST(GROUPING(lang, source) AS INTEGER) AS gid
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,

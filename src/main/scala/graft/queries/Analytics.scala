@@ -337,6 +337,45 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Range (interval) join, scalable form: clicks ⋈ purchases of the
+    * same user within ±5 minutes. A naive theta-join is O(n·m) per user;
+    * instead both sides are bucketed into 5-minute bands and the left
+    * side probes bands {b−1, b, b+1} via an equi-join, with the exact
+    * |Δts| predicate applied after — each qualifying pair matches exactly
+    * one band, so no dedup is needed. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 300L * 1000000L // 5 minutes in µs
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withColumn("bucket",
+        explode(array(Seq(-1, 0, 1).map(d => expr(s"c_us div $W") + d): _*)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withColumn("bucket", expr(s"p_us div $W"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(abs(col("c_us") - col("p_us")) <= W)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Grouping-sets rollup over the corpus: cube(lang, source) with
+    * grouping id and ALL placeholders (no nulls, so ordering semantics
+    * can't diverge between engines). */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("avg_chars"), col("gid"))
+      .orderBy(col("gid"), col("lang"), col("source"))
+
   /** Sessionization (gaps-and-islands): user sessions split on >30min
     * inactivity, aggregated to (start, end, events, value). The formulation
     * is two windows + one groupBy — identical semantics to Spark's native
