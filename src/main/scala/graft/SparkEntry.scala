@@ -47,6 +47,8 @@ object SparkEntry {
     "q_asof_join" -> (Analytics.asofJoin _),
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
+    "q_supplier_region" -> (Analytics.supplierByRegion _),
+    "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
     "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
@@ -376,6 +378,16 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND abs(epoch_us(click_ts) - epoch_us(purchase_ts)) <= 300000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q_supplier_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 4) AS total_bal,
+        |  round(avg(s_acctbal), 6) AS avg_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
 
     "q_cube_stats" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,

@@ -337,6 +337,30 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Supplier rollup by region (Q5-lite): two broadcast dims, one fact
+    * aggregation — exercises the remaining harness table. */
+  def supplierByRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 4).as("total_bal"),
+        round(avg(col("s_acctbal")), 6).as("avg_bal"))
+      .orderBy(col("r_name"))
+
+  /** Sketch/approximate aggregation (HLL-based approx_count_distinct next
+    * to the exact count). No oracle: DuckDB's HLL is a different sketch,
+    * so the driver records the rows-only check — the EXACT columns are
+    * still covered by q_series_stats' oracle. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("value"), 0.02).as("approx_values"))
+      .orderBy(col("event_type"))
+
   /** Range (interval) join, scalable form: clicks ⋈ purchases of the
     * same user within ±5 minutes. A naive theta-join is O(n·m) per user;
     * instead both sides are bucketed into 5-minute bands and the left
