@@ -48,6 +48,11 @@ object SparkEntry {
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
     "q_supplier_region" -> (Analytics.supplierByRegion _),
+    "q_pivot" -> (Analytics.pivotCounts _),
+    "q_unpivot" -> (Analytics.unpivotPart _),
+    "q_window_funcs" -> (Analytics.windowFuncs _),
+    "q_scalar_pack2" -> (Analytics.scalarPack2 _),
+    "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
     "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
@@ -378,6 +383,59 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND abs(epoch_us(click_ts) - epoch_us(purchase_ts)) <= 300000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, round(metric_value, 6) AS metric_value
+        |FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT user_id, event_id,
+        |  round(lead(value) OVER w, 6) AS next_value,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_scalar_pack2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '#') AS padded,
+        |  reverse(p_type) AS reversed,
+        |  replace(p_brand, '#', '_') AS translated,
+        |  p_brand || '|' || p_brand AS doubled,
+        |  levenshtein(p_type, 'PROMO BURNISHED STEEL') AS edit_dist
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_datetime_pack" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INTEGER) AS y,
+        |  CAST(month(ts) AS INTEGER) AS m,
+        |  CAST(day(ts) AS INTEGER) AS d,
+        |  CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        |  CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+        |  date_trunc('week', ts) AS week_start,
+        |  date_trunc('hour', ts) AS hour_start
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q_supplier_region" ->
       """SELECT r_name, count(*) AS n_suppliers,

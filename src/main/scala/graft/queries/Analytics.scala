@@ -337,6 +337,67 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Pivot (crosstab): per-user event counts, one column per event type.
+    * The value list is fixed, so the schema is static and plannable. */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt): part's numeric attributes long-form. */
+  def unpivotPart(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "metric_value")
+      .withColumn("metric_value", round(col("metric_value"), 6))
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** Ranking/distribution window pack: lead, rank, dense_rank, ntile,
+    * cume_dist over a deterministic per-user order. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(lead(col("value"), 1).over(w), 6).as("next_value"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Scalar string pack 2: pad/reverse/translate/repeat/levenshtein. */
+  def scalarPack2(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "#").as("padded"),
+        reverse(col("p_type")).as("reversed"),
+        translate(col("p_brand"), "#", "_").as("translated"),
+        concat(col("p_brand"), lit("|"), col("p_brand")).as("doubled"),
+        levenshtein(col("p_type"), lit("PROMO BURNISHED STEEL")).as("edit_dist"))
+      .orderBy(col("p_partkey"))
+
+  /** Datetime extraction pack with engine-normalized semantics (ISO
+    * Monday-start weekday, ISO week number, truncations). */
+  def datetimePack(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        // ISO weekday 1=Monday..7=Sunday on both engines
+        expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").as("iso_dow"),
+        weekofyear(col("ts")).as("iso_week"),
+        date_trunc("week", col("ts")).as("week_start"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .orderBy(col("event_id"))
+
   /** Supplier rollup by region (Q5-lite): two broadcast dims, one fact
     * aggregation — exercises the remaining harness table. */
   def supplierByRegion(spark: SparkSession, dir: String): DataFrame =
