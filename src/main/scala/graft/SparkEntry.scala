@@ -48,6 +48,8 @@ object SparkEntry {
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
     "q_supplier_region" -> (Analytics.supplierByRegion _),
+    "q_set_ops" -> (Analytics.setOps _),
+    "q_sql_api" -> (Analytics.sqlApi _),
     "q_pivot" -> (Analytics.pivotCounts _),
     "q_unpivot" -> (Analytics.unpivotPart _),
     "q_window_funcs" -> (Analytics.windowFuncs _),
@@ -383,6 +385,27 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND abs(epoch_us(click_ts) - epoch_us(purchase_ts)) <= 300000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, relation FROM (
+        |  SELECT user_id, 'click_and_purchase' AS relation
+        |  FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT user_id, 'click_only'
+        |  FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT user_id, 'click_or_purchase'
+        |  FROM (SELECT user_id FROM c UNION SELECT user_id FROM p))
+        |ORDER BY relation, user_id""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

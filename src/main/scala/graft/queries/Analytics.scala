@@ -337,6 +337,36 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Set operations (absent from the reference, §2.9 — part of the
+    * complete relational surface): per user, whether they belong to the
+    * clickers∩purchasers, clickers∖purchasers, and the union count. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("relation", lit("click_and_purchase"))
+    val onlyClick = users("click").except(users("purchase"))
+      .withColumn("relation", lit("click_only"))
+    val union = users("click").union(users("purchase")).distinct()
+      .withColumn("relation", lit("click_or_purchase"))
+    both.unionByName(onlyClick).unionByName(union)
+      .orderBy(col("relation"), col("user_id"))
+  }
+
+  /** The SQL entry path: the same engine driven through `spark.sql` over
+    * registered views — proving the library's tables compose with plain
+    * SQL (every other query uses the DataFrame DSL). */
+  def sqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS total_price
+        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Pivot (crosstab): per-user event counts, one column per event type.
     * The value list is fixed, so the schema is static and plannable. */
   def pivotCounts(spark: SparkSession, dir: String): DataFrame =
