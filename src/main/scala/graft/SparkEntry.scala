@@ -429,9 +429,9 @@ object SparkEntry {
     "q_window_funcs" ->
       """SELECT user_id, event_id,
         |  round(lead(value) OVER w, 6) AS next_value,
-        |  rank() OVER w AS rnk,
-        |  dense_rank() OVER w AS drnk,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -455,8 +455,8 @@ object SparkEntry {
         |  CAST(hour(ts) AS INTEGER) AS h,
         |  CAST(isodow(ts) AS INTEGER) AS iso_dow,
         |  CAST(weekofyear(ts) AS INTEGER) AS iso_week,
-        |  date_trunc('week', ts) AS week_start,
-        |  date_trunc('hour', ts) AS hour_start
+        |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

@@ -38,26 +38,34 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       payload: Seq[String]): DataFrame = {
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    // the payload rides as ONE struct column: right rows carry a non-null
+    // struct even when individual payload FIELDS are null (so genuinely
+    // null values survive, unlike per-column last-ignoreNulls which would
+    // skip back to a stale row), all payload fields are taken atomically
+    // from the same right row, and the struct doubles as a deterministic
+    // tie-breaker among right rows sharing (key, ts)
+    val packed = struct(payload.map(col): _*)
+    val packedType = right.select(packed.as("__p")).schema("__p").dataType
     val l = left
       .withColumn("__tag", lit(1))
-      .select(left.columns.map(col) ++
-        payload.map(c => lit(null).cast(rightTypes(c)).as(c)) :+ col("__tag"): _*)
+      .select(left.columns.map(col) :+
+        lit(null).cast(packedType).as("__p") :+ col("__tag"): _*)
     val r = right
       .withColumn("__tag", lit(0))
       .select(keys.map(col) ++
         Seq(col(rightTs).as(leftTs)) ++
         left.columns.filterNot(c => keys.contains(c) || c == leftTs)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col) :+ col("__tag"): _*)
+        Seq(packed.as("__p")) :+ col("__tag"): _*)
     val u = l.unionByName(r)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(leftTs), col("__tag"))
+      .orderBy(col(leftTs), col("__tag"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 1).drop("__tag")
+    val filled = u.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    payload.foldLeft(filled.filter(col("__tag") === 1)) { (d, c) =>
+        d.withColumn(c, col("__p").getField(c))
+      }
+      .drop("__p", "__tag")
   }
 
   /** Convenience: enrich with a single renamed payload column. */

@@ -28,6 +28,15 @@ class AsOfSpec extends SparkSpec {
     assert(out(4L).isEmpty)       // u2: no right rows at all
   }
 
+  test("a genuinely-null payload on the matched right row survives (not skipped back to a stale row)") {
+    val left = Seq(("u1", ts(10), 1L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(("u1", ts(5), Some(1.5)), ("u1", ts(8), Option.empty[Double]))
+      .toDF("user_id", "ts", "p")
+    val out = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("p"))
+      .select("p").as[Option[Double]].head()
+    assert(out.isEmpty) // matched row is ts=8 whose p IS null
+  }
+
   test("left row count is preserved (no cross product, no drops)") {
     val out = graft.queries.Analytics.asofJoin(spark, sf)
     val clicks = graft.util.Tables.events(spark, sf)
