@@ -73,6 +73,7 @@ object SparkEntry {
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
+    "q_train_split" -> (TextAnalysis.splitAssignments _),
     // LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q_decode_features" -> ((s, d) =>
@@ -646,6 +647,14 @@ object SparkEntry {
         |                (a, b) -> (a * 31 + b) % 1000000007)
         |  END AS rhash
         |FROM f
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 1) IN ('0','1') THEN 'val' ELSE 'train' END AS split,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_stats" ->

@@ -89,6 +89,19 @@ object TextAnalysis {
         (acc, i) => pmod(acc * 31 + ascii(text.substr(i, lit(1))), lit(M))))
   }
 
+  /** Deterministic content-hash train/validation split: assignment
+    * depends only on the text (stable across runs, machines, and
+    * re-partitioning — the property a training pipeline needs so a
+    * document never migrates between splits). First md5 nibble in
+    * {0,1} → 'val' (12.5%), else 'train'. */
+  def trainSplit(text: Column): Column =
+    when(substring(md5(text), 1, 1).isin("0", "1"), "val").otherwise("train")
+
+  /** Normalization pass: lowercase, strip punctuation, collapse runs of
+    * whitespace, trim — the canonical form fed to dedup/fingerprinting. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), " +", " "))
+
   // ---- query shapes ----------------------------------------------------
 
   /** Per-document text feature table. */
@@ -104,6 +117,15 @@ object TextAnalysis {
         langId(col("text")).as("lang_pred"),
         fingerprintBucket(col("text")).as("fp_bucket"),
         rollingHash(col("text")).as("rhash"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document split assignment + normalized-content fingerprint. */
+  def splitAssignments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trainSplit(col("text")).as("split"),
+        md5(normalize(col("text"))).as("norm_fp"),
+        length(normalize(col("text"))).as("norm_len"))
       .orderBy(col("doc_id"))
 
   /** Corpus rollup per (lang, source) — count/χ stats over features. */
