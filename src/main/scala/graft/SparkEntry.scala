@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashGroups _),
     "q_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "q_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
+    "q_winnow" -> ((s, d) => Dedup.winnowSummary(s, d)),
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
@@ -572,6 +573,25 @@ object SparkEntry {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM ver)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_winnow" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) - 7 AS np FROM documents
+        |  WHERE length(text) >= 8),
+        |pos AS (SELECT doc_id, np, text, unnest(range(1, np + 1)) AS i FROM docs),
+        |grams AS (SELECT doc_id, np, i,
+        |            md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+        |          FROM pos),
+        |sel AS (SELECT doc_id, i, np,
+        |          min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                       ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS sel
+        |        FROM grams),
+        |prints AS (SELECT DISTINCT doc_id, sel FROM sel WHERE i <= np - 5)
+        |SELECT doc_id, count(*) AS n_prints,
+        |  min(sel) AS min_print, max(sel) AS max_print
+        |FROM prints
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

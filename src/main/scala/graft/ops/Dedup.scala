@@ -107,6 +107,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every 8-char gram of
+    * the document, slide a window of 6 hashes, keep each window's min —
+    * guaranteeing any match of length >= 13 chars shares a fingerprint —
+    * then summarize the selected fingerprint set per document. Pure
+    * column algebra: position explode + one window min per doc; md5-hex
+    * lexicographic mins so the SQL oracle reproduces selections exactly. */
+  def winnowSummary(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("np", length(col("text")) - (k - 1))
+      .filter(col("np") >= 1)
+    val grams = docs
+      .select(col("doc_id"), col("np"),
+        explode(sequence(lit(1), col("np"))).as("i"), col("text"))
+      .withColumn("h", md5(col("text").substr(col("i"), lit(k))))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("sel", min(col("h")).over(win))
+      .filter(col("i") <= col("np") - (w - 1))
+      .select(col("doc_id"), col("sel")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prints"),
+        min(col("sel")).as("min_print"), max(col("sel")).as("max_print"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The full dedup pipeline, composed the way it runs at 100 TB:
     * (1) LSH proposes candidate pairs (equi-join on band hashes — cheap),
     * (2) exact Jaccard verifies ONLY the candidates (never all pairs),
