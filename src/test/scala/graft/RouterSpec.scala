@@ -35,6 +35,22 @@ class RouterSpec extends SparkSpec {
     assert(second.map(_._1) === Seq("c1", "c2"))
   }
 
+  test("upsert recovers a table whose previous swap died after the rename-aside") {
+    val dir = Files.createTempDirectory("router-crash"); dir.toFile.deleteOnExit()
+    val batch1 = Seq(("c1", "One", "C1")).toDF("id", "name", "symbol")
+    Router.upsert(spark, batch1, "coins", dir.toString)
+    // simulate a crash mid-swap: dest was renamed aside, tmp->dest move
+    // never happened — the .old dir is the only copy of the table
+    Files.move(dir.resolve("coins"), dir.resolve(".coins.old"))
+    val batch2 = Seq(("c2", "Two", "C2")).toDF("id", "name", "symbol")
+    Router.upsert(spark, batch2, "coins", dir.toString)
+    val ids = spark.read.parquet(s"$dir/coins")
+      .select("id").as[String].collect().sorted.toSeq
+    assert(ids === Seq("c1", "c2")) // c1 recovered from .old, c2 merged in
+    assert(!Files.exists(dir.resolve(".coins.old")))
+    assert(!Files.exists(dir.resolve(".coins.tmp")))
+  }
+
   test("property: EMA window function equals the sequential fold, many random series") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(42)
