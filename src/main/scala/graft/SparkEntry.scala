@@ -577,7 +577,7 @@ object SparkEntry {
     "q_winnow" ->
       """WITH docs AS (
         |  SELECT doc_id, text, length(text) - 7 AS np FROM documents
-        |  WHERE length(text) >= 8),
+        |  WHERE length(text) >= 13),
         |pos AS (SELECT doc_id, np, text, unnest(range(1, np + 1)) AS i FROM docs),
         |grams AS (SELECT doc_id, np, i,
         |            md5(substr(text, CAST(i AS INTEGER), 8)) AS h
@@ -672,9 +672,12 @@ object SparkEntry {
     "q_train_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(text), 1, 1) IN ('0','1') THEN 'val' ELSE 'train' END AS split,
-        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp,
-        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
-        |FROM documents
+        |  md5(norm) AS norm_fp,
+        |  CAST(length(norm) AS INTEGER) AS norm_len
+        |FROM (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+        |                            '\s+', ' ', 'g')) AS norm
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_stats" ->

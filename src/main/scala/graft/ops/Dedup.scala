@@ -118,7 +118,9 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("np", length(col("text")) - (k - 1))
-      .filter(col("np") >= 1)
+      // a doc needs at least one full window (length >= k+w-1) to emit a
+      // fingerprint; shorter docs would only do dead explode/hash work
+      .filter(col("np") >= w)
     val grams = docs
       .select(col("doc_id"), col("np"),
         explode(sequence(lit(1), col("np"))).as("i"), col("text"))

@@ -98,9 +98,10 @@ object TextAnalysis {
     when(substring(md5(text), 1, 1).isin("0", "1"), "val").otherwise("train")
 
   /** Normalization pass: lowercase, strip punctuation, collapse runs of
-    * whitespace, trim — the canonical form fed to dedup/fingerprinting. */
+    * whitespace (spaces/tabs/newlines), trim — the canonical form fed to
+    * dedup/fingerprinting. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), " +", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), "\\s+", " "))
 
   // ---- query shapes ----------------------------------------------------
 
