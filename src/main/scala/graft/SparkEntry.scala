@@ -70,6 +70,8 @@ object SparkEntry {
     "q_winnow" -> ((s, d) => Dedup.winnowSummary(s, d)),
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q_centroids" -> (Similarity.labelCentroids _),
+    "q_histogram" -> (Analytics.histogram _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
@@ -630,6 +632,23 @@ object SparkEntry {
         |      WHERE a.vec_id <> 0),
         |r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM s)
         |SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos,
+        |  round(avg(CAST(e AS DOUBLE)), 6) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(floor(value / 10.0), 19.0) AS INTEGER) AS bucket,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "q_doc_features" ->
       """WITH f AS (

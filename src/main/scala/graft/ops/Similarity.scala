@@ -74,6 +74,18 @@ object Similarity {
       .select(col("rnk"), col("vec_id"), col("cos"))
       .orderBy(col("rnk"))
 
+  /** True per-label centroid vectors (the k-means "update" step — the
+    * upgrade path for [[ivfAssign]]'s first-n seed centroids): elementwise
+    * mean via posexplode + one grouped aggregation on (label, position).
+    * Emitted as flat (label, pos, centroid) rows — at scale that IS the
+    * storage layout (no giant array rows through the shuffle). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(round(avg(col("e").cast("double")), 6).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   /** Deterministic IVF index: centroids are the embeddings of the first
     * `nlist` vec_ids (a stand-in for k-means at this scale); every vector
     * is assigned to its max-cosine centroid. Returns (vec_id, label, v,

@@ -515,6 +515,17 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Fixed-width histogram per key: 20 buckets of width 10 over the
+    * value range, top bucket open-ended — the distribution profile pass
+    * of a data-quality pipeline, one grouped aggregation. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket",
+        least(floor(col("value") / 10.0), lit(19.0)).cast("int"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** Exact percentiles per key (p50/p90/p99 with linear interpolation —
     * the distribution-summary pass every data-quality pipeline runs). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
