@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.indicators.Ewma
+
+/** Session-extension entry point: registers graft's custom Catalyst
+  * functions at session build, so a cluster deploy enables them with
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * and `SELECT ewma(price, 0.095) OVER (...)` works in plain SQL with no
+  * Scala in the user's path. (In-library callers can keep using
+  * `Indicators.register(spark)` / `Ewma.bySpan`, which install the same
+  * builder per session at runtime.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("ewma"),
+      new ExpressionInfo(classOf[Ewma].getName, "ewma"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Ewma(exprs(0), exprs(1))))
+  }
+}
