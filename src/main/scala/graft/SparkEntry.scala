@@ -44,6 +44,8 @@ object SparkEntry {
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
     "q_salted_agg" -> (Analytics.saltedAgg _),
     "q_sessionize" -> (Analytics.sessionize _),
+    "q_scd2" -> (Analytics.scd2 _),
+    "q_funnel" -> (Analytics.funnel _),
     "q_asof_join" -> (Analytics.asofJoin _),
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
@@ -369,6 +371,32 @@ object SparkEntry {
         |FROM s
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_type, event_id, round(value, 6) AS value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+
+    "q_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts,
+        |  CASE WHEN min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+        |        AND min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+        |        AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+        |        AND min(CASE WHEN event_type = 'signup' THEN ts END)
+        |            < min(CASE WHEN event_type = 'click' THEN ts END)
+        |        AND min(CASE WHEN event_type = 'click' THEN ts END)
+        |            < min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |       THEN 1 ELSE 0 END AS converted
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH c AS (SELECT user_id, ts, event_id, round(value, 6) AS click_value

@@ -515,6 +515,37 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** SCD2-style validity windows: each observation per (user, type)
+    * becomes a versioned row [valid_from, valid_to) with a current flag —
+    * the upsert-history layout a warehouse keeps for dimensions. One
+    * window pass. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(evOrder: _*)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        lead(col("ts"), 1).over(w).isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from"), col("event_id"))
+  }
+
+  /** Conversion funnel: per user, first timestamp of each stage and
+    * whether the signup → click → purchase sequence completed in order. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"),
+        min(when(col("event_type") === "click", col("ts"))).as("click_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("purchase_ts"))
+      .withColumn("converted",
+        (col("signup_ts").isNotNull && col("click_ts").isNotNull &&
+         col("purchase_ts").isNotNull &&
+         col("signup_ts") < col("click_ts") &&
+         col("click_ts") < col("purchase_ts")).cast("int"))
+      .orderBy(col("user_id"))
+
   /** Fixed-width histogram per key: 20 buckets of width 10 over the
     * value range, top bucket open-ended — the distribution profile pass
     * of a data-quality pipeline, one grouped aggregation. */
