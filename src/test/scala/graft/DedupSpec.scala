@@ -60,6 +60,41 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) !== fp(3L))
   }
 
+  test("LSH recall: every engineered high-similarity pair appears in the candidates") {
+    // 30 base docs; every third gets a near-copy with one word changed
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new scala.util.Random(11)
+    val base = (0 until 30).map { i =>
+      i.toLong -> Seq.fill(25)(words(rng.nextInt(words.length))).mkString(" ")
+    }
+    val nearDups = base.filter(_._1 % 3 == 0).map { case (id, text) =>
+      val toks = text.split(" "); toks(12) = "CHANGED"
+      (id + 100L) -> toks.mkString(" ")
+    }
+    val docs = (base ++ nearDups).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs)
+    val bandCols = (0 until Dedup.Bands).map { bnd =>
+      val rows = (0 until Dedup.RowsPerBand)
+        .map(r => org.apache.spark.sql.functions.col(s"h${bnd * Dedup.RowsPerBand + r}"))
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws("|", rows: _*)).as(s"b$bnd")
+    }
+    val banded = sig.select(org.apache.spark.sql.functions.col("doc_id") +: bandCols: _*)
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.doc_id" < $"b.doc_id" &&
+          (0 until Dedup.Bands).map(i => col(s"a.b$i") === col(s"b.b$i")).reduce(_ || _))
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    // b=4 bands of r=3 with s≈0.77 gives ~91% per-pair detection — LSH is
+    // probabilistic by design, so assert recall with margin (the seed is
+    // fixed, so the observed value is stable)
+    val found = nearDups.count { case (dupId, _) =>
+      cand.contains((dupId - 100L, dupId))
+    }
+    assert(found >= nearDups.size * 8 / 10,
+      s"LSH recall $found/${nearDups.size} below 80%")
+  }
+
   test("keepLatest keeps exactly one row per key, newest first") {
     val df = Seq(("k1", 1L, "old"), ("k1", 2L, "new"), ("k2", 5L, "only"))
       .toDF("k", "v", "tag")

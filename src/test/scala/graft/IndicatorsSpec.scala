@@ -63,6 +63,14 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("empty input yields an empty indicator frame, not a failure") {
+    val empty = Seq.empty[(String, Timestamp, Long, Double)]
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withIndicators(empty, Seq("k"), Seq(col("ts"), col("id")), col("v"))
+    assert(out.count() === 0)
+    assert(out.columns.contains("rsi_14"))
+  }
+
   test("macd = ema12 - ema26 and both share one Window operator") {
     val df = (1 to 30).map(i => ("k", ts(i), i.toLong, math.sin(i) * 10 + 50))
       .toDF("k", "ts", "id", "v")
