@@ -73,6 +73,7 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
+    "q_ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "q_histogram" -> (Analytics.histogram _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
     // LLM-pipeline: text analysis
@@ -660,6 +661,26 @@ object SparkEntry {
         |      WHERE a.vec_id <> 0),
         |r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM s)
         |SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q_ann_lsh_buckets" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp' || p || '|' || CAST(i AS VARCHAR)), 1, 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM dots GROUP BY vec_id)
+        |SELECT sig, count(*) AS n_vecs, min(vec_id) AS min_vec
+        |FROM sig GROUP BY sig
+        |ORDER BY sig""".stripMargin,
 
     "q_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,

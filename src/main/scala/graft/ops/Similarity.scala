@@ -74,6 +74,38 @@ object Similarity {
       .select(col("rnk"), col("vec_id"), col("cos"))
       .orderBy(col("rnk"))
 
+  /** Random-hyperplane LSH signatures (SimHash for vectors): bit p is
+    * the sign of v·h_p where hyperplane h_p's component d is a
+    * deterministic pseudo-random weight derived from `md5("hp<p>|<d>")`
+    * (first hex nibble mapped to 1..16, centered at 8.5). Vectors
+    * sharing a signature land in one bucket — the LSH-bucketed ANN path
+    * complementing IVF. Fully deterministic, so the SQL oracle
+    * reproduces every signature. */
+  def hyperplaneSignature(v: Column, planes: Int = 8): Column = {
+    val hexPos = map(
+      "0123456789abcdef".zipWithIndex.flatMap { case (c, idx) =>
+        Seq(lit(c.toString), lit((idx + 1).toDouble))
+      }: _*)
+    val bits = (1 to planes).map { p =>
+      val weights = transform(sequence(lit(1), size(v)), d =>
+        element_at(hexPos,
+          substring(md5(concat(lit(s"hp$p|"), d.cast("string"))), 1, 1)) - 8.5)
+      val dotP = aggregate(zip_with(v, weights, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Bucket census over the hyperplane signatures: vectors per bucket
+    * with the canonical (min) member — the index a query probes. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .groupBy(hyperplaneSignature(col("v")).as("sig"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("sig"))
+
   /** True per-label centroid vectors (the k-means "update" step — the
     * upgrade path for [[ivfAssign]]'s first-n seed centroids): elementwise
     * mean via posexplode + one grouped aggregation on (label, position).
