@@ -52,6 +52,7 @@ object SparkEntry {
     "q_supplier_region" -> (Analytics.supplierByRegion _),
     "q_set_ops" -> (Analytics.setOps _),
     "q_sql_api" -> (Analytics.sqlApi _),
+    "q_correlated" -> (Analytics.correlated _),
     "q_pivot" -> (Analytics.pivotCounts _),
     "q_unpivot" -> (Analytics.unpivotPart _),
     "q_window_funcs" -> (Analytics.windowFuncs _),
@@ -432,6 +433,15 @@ object SparkEntry {
         |  SELECT user_id, 'click_or_purchase'
         |  FROM (SELECT user_id FROM c UNION SELECT user_id FROM p))
         |ORDER BY relation, user_id""".stripMargin,
+
+    "q_correlated" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_sql_api" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -367,6 +367,24 @@ object Analytics {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Correlated scalar subquery + EXISTS, SQL-expressed so Catalyst's
+    * decorrelation rules (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery — the rewrites the reference executed by
+    * hand as two round-trips, SURVEY.md §4) turn them into joins:
+    * orders above their customer's average with at least one lineitem. */
+  def correlated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM v_orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+        |                      FROM v_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM v_lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Pivot (crosstab): per-user event counts, one column per event type.
     * The value list is fixed, so the schema is static and plannable. */
   def pivotCounts(spark: SparkSession, dir: String): DataFrame =
