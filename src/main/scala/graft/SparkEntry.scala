@@ -76,6 +76,7 @@ object SparkEntry {
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "q_histogram" -> (Analytics.histogram _),
+    "q_outliers" -> (Analytics.outliers _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
@@ -700,6 +701,15 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    "q_outliers" ->
+      """WITH t AS (SELECT event_type, quantile_cont(value, 0.99) AS p99
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, round(e.value, 6) AS value,
+        |  round(t.p99, 6) AS p99
+        |FROM events e JOIN t ON e.event_type = t.event_type
+        |WHERE e.value > t.p99
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
 
     "q_histogram" ->
       """SELECT event_type,

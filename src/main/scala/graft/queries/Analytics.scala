@@ -564,6 +564,21 @@ object Analytics {
          col("click_ts") < col("purchase_ts")).cast("int"))
       .orderBy(col("user_id"))
 
+  /** Outlier detection: events above their type's exact p99 — the
+    * threshold aggregate is tiny (one row per key) and broadcast, so the
+    * fact scan never shuffles. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.99)").as("p99"))
+    Tables.events(spark, dir)
+      .join(broadcast(thresholds), "event_type")
+      .filter(col("value") > col("p99"))
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), round(col("p99"), 6).as("p99"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** Fixed-width histogram per key: 20 buckets of width 10 over the
     * value range, top bucket open-ended — the distribution profile pass
     * of a data-quality pipeline, one grouped aggregation. */
