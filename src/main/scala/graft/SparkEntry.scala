@@ -438,7 +438,7 @@ object SparkEntry {
     "q_correlated" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders o
-        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+        |WHERE o_totalprice > (SELECT round(avg(o2.o_totalprice) * 1.5, 4)
         |                      FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
@@ -682,7 +682,7 @@ object SparkEntry {
         |dots AS (
         |  SELECT vec_id, p,
         |    sum((strpos('0123456789abcdef',
-        |           substr(md5('hp' || p || '|' || CAST(i AS VARCHAR)), 1, 1)) - 8.5) * e) AS dot
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
         |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
         |  GROUP BY vec_id, p),
         |sig AS (
@@ -703,10 +703,9 @@ object SparkEntry {
         |ORDER BY label, pos""".stripMargin,
 
     "q_outliers" ->
-      """WITH t AS (SELECT event_type, quantile_cont(value, 0.99) AS p99
+      """WITH t AS (SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99
         |           FROM events GROUP BY event_type)
-        |SELECT e.event_type, e.event_id, round(e.value, 6) AS value,
-        |  round(t.p99, 6) AS p99
+        |SELECT e.event_type, e.event_id, round(e.value, 6) AS value, t.p99
         |FROM events e JOIN t ON e.event_type = t.event_type
         |WHERE e.value > t.p99
         |ORDER BY e.event_type, e.event_id""".stripMargin,

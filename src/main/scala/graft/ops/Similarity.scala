@@ -82,14 +82,19 @@ object Similarity {
     * complementing IVF. Fully deterministic, so the SQL oracle
     * reproduces every signature. */
   def hyperplaneSignature(v: Column, planes: Int = 8): Column = {
+    require(planes <= 16, "one md5 digest supplies at most 16 plane nibbles")
     val hexPos = map(
       "0123456789abcdef".zipWithIndex.flatMap { case (c, idx) =>
         Seq(lit(c.toString), lit((idx + 1).toDouble))
       }: _*)
+    // ONE digest per dimension; plane p reads nibble p (the same
+    // one-digest-many-nibbles trick as Dedup.simhash — `planes`x fewer
+    // md5 calls on the scan's hot path)
+    val digests = transform(sequence(lit(1), size(v)), d =>
+      md5(concat(lit("hp|"), d.cast("string"))))
     val bits = (1 to planes).map { p =>
-      val weights = transform(sequence(lit(1), size(v)), d =>
-        element_at(hexPos,
-          substring(md5(concat(lit(s"hp$p|"), d.cast("string"))), 1, 1)) - 8.5)
+      val weights = transform(digests, h =>
+        element_at(hexPos, substring(h, p, 1)) - 8.5)
       val dotP = aggregate(zip_with(v, weights, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(dotP > 0, "1").otherwise("0")
@@ -98,9 +103,15 @@ object Similarity {
   }
 
   /** Bucket census over the hyperplane signatures: vectors per bucket
-    * with the canonical (min) member — the index a query probes. */
+    * with the canonical (min) member — the index a query probes. Empty
+    * embeddings carry no signal and are excluded (mirrors the oracle,
+    * whose unnest drops them). */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
+      .filter(size(col("v")) > 0)
+      // single-small-file inputs would otherwise run the md5-heavy
+      // signature projection on ONE task (see Dedup.shingles); no-op at
+      // scale where inputs are many files
       .repartition(spark.sparkContext.defaultParallelism)
       .groupBy(hyperplaneSignature(col("v")).as("sig"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))

@@ -378,7 +378,7 @@ object Analytics {
     spark.sql(
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
         |FROM v_orders o
-        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+        |WHERE o_totalprice > (SELECT round(avg(o2.o_totalprice) * 1.5, 4)
         |                      FROM v_orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |  AND EXISTS (SELECT 1 FROM v_lineitem l WHERE l.l_orderkey = o.o_orderkey)
@@ -568,14 +568,17 @@ object Analytics {
     * threshold aggregate is tiny (one row per key) and broadcast, so the
     * fact scan never shuffles. */
   def outliers(spark: SparkSession, dir: String): DataFrame = {
+    // threshold rounded BEFORE the comparison: Spark's percentile and
+    // DuckDB's quantile_cont differ at the ulp level (~3e-14 measured),
+    // so membership must be decided on the engine-stable rounded value
     val thresholds = Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.99)").as("p99"))
+      .agg(round(expr("percentile(value, 0.99)"), 6).as("p99"))
     Tables.events(spark, dir)
       .join(broadcast(thresholds), "event_type")
       .filter(col("value") > col("p99"))
       .select(col("event_type"), col("event_id"),
-        round(col("value"), 6).as("value"), round(col("p99"), 6).as("p99"))
+        round(col("value"), 6).as("value"), col("p99"))
       .orderBy(col("event_type"), col("event_id"))
   }
 

@@ -10,7 +10,6 @@ import graft.streaming.StreamJoin
 class StreamJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
   private def ev(u: Long, min: Int, id: Long) =
     (u, Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), id)
 
