@@ -77,6 +77,7 @@ object SparkEntry {
     "q_ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "q_histogram" -> (Analytics.histogram _),
     "q_outliers" -> (Analytics.outliers _),
+    "q_stratified_sample" -> (Analytics.stratifiedSample _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
@@ -701,6 +702,15 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, ts,
+        |  round(value, 6) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn % 10 = 1
+        |ORDER BY event_type, rn""".stripMargin,
 
     "q_outliers" ->
       """WITH t AS (SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99

@@ -564,6 +564,19 @@ object Analytics {
          col("click_ts") < col("purchase_ts")).cast("int"))
       .orderBy(col("user_id"))
 
+  /** Deterministic stratified (systematic) sampling: every 10th row per
+    * stratum in a fixed total order — reproducible across engines and
+    * runs, unlike RNG-based `sample()`. The per-stratum rate is exact to
+    * within one row. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(evOrder: _*)))
+      .filter(col("rn") % 10 === 1)
+      .select(col("event_type"), col("rn"), col("event_id"), col("ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy(col("event_type"), col("rn"))
+
   /** Outlier detection: events above their type's exact p99 — the
     * threshold aggregate is tiny (one row per key) and broadcast, so the
     * fact scan never shuffles. */
