@@ -68,6 +68,10 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q_dedup_minhash_lsh" -> (Dedup.lshCandidates _),
     "q_dedup_simhash" -> (Dedup.simhashGroups _),
+    // Dedup.simhashNeighbors stays a library op (DedupSpec): on this
+    // shared-vocabulary synthetic corpus its 16-bit signature space
+    // concentrates, so the exact-recall banded join degenerates toward
+    // all-pairs — not a useful bench query here
     "q_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "q_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     "q_winnow" -> ((s, d) => Dedup.winnowSummary(s, d)),

@@ -190,6 +190,31 @@ object Dedup {
       .select(col("simhash"), col("keep_id"), col("n_docs"))
       .orderBy(col("simhash"))
 
+  /** SimHash near-neighbor pairs: documents within Hamming distance 1 of
+    * each other's 16-bit fingerprints. Candidates come from an equi-join
+    * on the two 8-bit signature halves (pigeonhole: one differing bit
+    * leaves one half identical, so recall is exact, not probabilistic);
+    * the full Hamming distance is computed only on candidates. */
+  def simhashNeighbors(spark: SparkSession, dir: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist <= 1, "half-band candidates guarantee recall only up to distance 1")
+    val fp = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), simhash(col("text")).as("sig"))
+      .withColumn("b1", substring(col("sig"), 1, 8))
+      .withColumn("b2", substring(col("sig"), 9, 8))
+    val a = fp.as("a"); val b = fp.as("b")
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("a.sig"), i, 1) =!= substring(col("b.sig"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b,
+        (col("a.b1") === col("b.b1") || col("a.b2") === col("b.b2")) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (the
     * pre-clustering key) so the pair space is per-block, not global.
     * The cosine is exact; blocking is what scales it. */
