@@ -50,4 +50,17 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.ops.TextAnalysis.docFeatures(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q_asof_join: union+window composition, never a cross product") {
+    val p = plan(Analytics.asofJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_range_join: banded equi-join, never a nested-loop theta join") {
+    val p = plan(Analytics.rangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
