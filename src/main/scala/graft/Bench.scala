@@ -18,7 +18,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the known-benign WindowExec warnings (k-row post-limit rank
+    // windows, see Similarity.rankTopK) would otherwise swamp the one-line
+    // JSON output the driver parses
+    spark.sparkContext.setLogLevel("ERROR")
     graft.util.Tables.All.foreach { t =>
       try graft.util.Tables(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }

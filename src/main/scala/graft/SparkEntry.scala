@@ -87,6 +87,13 @@ object SparkEntry {
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
     "q_train_split" -> (TextAnalysis.splitAssignments _),
+    "q_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
+    "q_tfidf" -> (TextAnalysis.topTfidf _),
+    "q_shard_census" -> ((s, d) => TextAnalysis.shardCensus(s, d)),
+    // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
+    "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
+    "q_profile" -> (Analytics.profileTable _),
+    "q_rsi_wilder" -> (Analytics.rsiWilder _),
     // LLM-pipeline: multimodal plumbing
     "q_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q_decode_features" -> ((s, d) =>
@@ -567,6 +574,113 @@ object SparkEntry {
          |JOIN card cb ON cb.doc_id = id_b
          |WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure over the verified Jaccard pairs (the recursive
+    // CTE IS the oracle for the Spark-side iterative label propagation)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN card ca ON ca.doc_id = id_a
+         |          JOIN card cb ON cb.doc_id = id_b
+         |          WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8),
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT src AS node, dst AS r FROM bi
+         |          UNION
+         |          SELECT w.node, b.dst FROM reach w JOIN bi b ON w.r = b.src)
+         |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+         |FROM reach GROUP BY node
+         |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |td AS (SELECT term, doc_id, count(*) AS tf_doc FROM tok GROUP BY 1, 2)
+        |SELECT term, CAST(sum(tf_doc) AS BIGINT) AS tf, count(*) AS df
+        |FROM td GROUP BY term
+        |ORDER BY tf DESC, term
+        |LIMIT 100""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |td AS (SELECT term, doc_id, count(*) AS tf_doc FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+        |sc AS (SELECT td.doc_id, td.term,
+        |         round(td.tf_doc * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+        |       FROM td JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_shard_census" ->
+      """SELECT CAST(strpos('0123456789abcdef',
+        |         substr(md5('sh|' || doc_id), 1, 1)) - 1 AS INT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin,
+
+    "q_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  round(avg($c), 6) AS avg_v
+           |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
+
+    "q_rsi_wilder" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY rn) AS delta
+        |  FROM base),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain_v,
+        |    CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss_v
+        |  FROM d),
+        |seed AS (
+        |  SELECT user_id, event_type, rn, gain_v, loss_v,
+        |    avg(gain_v) OVER w14 AS sg, avg(loss_v) OVER w14 AS sl
+        |  FROM g
+        |  WINDOW w14 AS (PARTITION BY user_id, event_type ORDER BY rn
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |rec AS (
+        |  SELECT user_id, event_type, rn, sg AS wg, sl AS wl
+        |  FROM seed WHERE rn = 14
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_type, s.rn,
+        |    (1.0/14.0) * s.gain_v + (1.0 - 1.0/14.0) * r.wg,
+        |    (1.0/14.0) * s.loss_v + (1.0 - 1.0/14.0) * r.wl
+        |  FROM rec r JOIN seed s
+        |    ON s.user_id = r.user_id AND s.event_type = r.event_type
+        |   AND s.rn = r.rn + 1)
+        |SELECT b.user_id, b.event_type, b.ts, b.event_id,
+        |  round(r.wg, 6) AS avg_gain,
+        |  round(r.wl, 6) AS avg_loss,
+        |  round(CASE WHEN r.wg IS NULL OR r.wl IS NULL THEN NULL
+        |             WHEN r.wl = 0 AND r.wg = 0 THEN NULL
+        |             WHEN r.wl = 0 THEN 100.0
+        |             ELSE 100.0 - 100.0 / (1.0 + r.wg / r.wl) END, 6) AS rsi_wilder
+        |FROM base b
+        |LEFT JOIN rec r ON r.user_id = b.user_id
+        |  AND r.event_type = b.event_type AND r.rn = b.rn
+        |ORDER BY b.user_id, b.event_type, b.ts, b.event_id""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       s"""WITH $shingleCte,

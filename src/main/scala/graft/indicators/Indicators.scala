@@ -100,6 +100,50 @@ object Indicators {
       .withColumn("macd", col("ema_12") - col("ema_26"))
   }
 
+  /** Wilder-smoothed RSI over `n` periods — the OTHER standard RSI, the
+    * variant the reference does NOT compute (it uses Cutler's simple
+    * mean; `spark-streaming.py:175-176`). Wilder's recurrence is
+    *   avg_t = (avg_{t-1}·(n−1) + x_t) / n,
+    * seeded at row n with the simple mean of the first n values — i.e. an
+    * EWMA with α = 1/n whose first input is the seed mean. Encoded with
+    * the existing [[Ewma]] window function over a constructed series:
+    * null before row n (EWMA carries null state through), the seed mean
+    * AT row n, the raw gain/loss after it. Same single-Window cost as
+    * every other indicator.
+    *
+    * Adds columns wg (smoothed gain), wl (smoothed loss), rsi_wilder. */
+  def withWilderRsi(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      value: Column,
+      n: Int = 14): DataFrame = {
+    val spark = df.sparkSession
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val frameN = w.rowsBetween(-(n - 1), 0)
+    val rn = row_number().over(w)
+    // stage 1: materialize the seeded series (window exprs can't nest
+    // inside the ewma argument); same window spec → same sort, one pass
+    val staged = df
+      .withColumn("delta", diff(value, w))
+      .withColumn("__rn", rn)
+      .withColumn("__sg",
+        when(col("__rn") < n, lit(null).cast("double"))
+          .when(col("__rn") === n, avg(gain(diff(value, w))).over(frameN))
+          .otherwise(gain(col("delta"))))
+      .withColumn("__sl",
+        when(col("__rn") < n, lit(null).cast("double"))
+          .when(col("__rn") === n, avg(loss(diff(value, w))).over(frameN))
+          .otherwise(loss(col("delta"))))
+    // stage 2: α=1/n EWMA over the seeded series IS Wilder smoothing
+    val alpha = 1.0 / n
+    staged
+      .withColumn("wg", Ewma.byAlpha(spark, col("__sg"), alpha).over(w))
+      .withColumn("wl", Ewma.byAlpha(spark, col("__sl"), alpha).over(w))
+      .withColumn("rsi_wilder", rsiFromAverages(col("wg"), col("wl")))
+      .drop("__rn", "__sg", "__sl")
+  }
+
   /** Register `ewma(x, alpha)` for SQL use:
     * `SELECT ewma(price, 0.095) OVER (PARTITION BY k ORDER BY ts) ...`. */
   def register(spark: SparkSession): Unit = Ewma.register(spark)

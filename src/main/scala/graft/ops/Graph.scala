@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Connected components over near-duplicate candidate pairs — the cluster
+  * resolution step between pair generation (Dedup.jaccardPairs /
+  * lshCandidates) and canonical-document election. Two docs are in one
+  * cluster when a chain of verified near-dup pairs links them, so electing
+  * one survivor per PAIR (as a pairwise anti-join does) under-merges:
+  * A~B, B~C with no A~C pair must still collapse to one kept document.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with itself; each round every node takes the min of its own and its
+  * neighbors' labels; fixpoint = components. Rounds are plain
+  * shuffle-on-key joins (no driver-side graph), so each round costs one
+  * join + one groupBy at any scale, and the iteration count is the graph
+  * diameter — small for dedup clusters, which are dense blobs, not paths.
+  * Lineage is truncated each round (`localCheckpoint`) so the plan does
+  * not grow with iterations; on a cluster a reliable `checkpoint` to the
+  * checkpoint dir gives the same truncation fault-tolerantly.
+  */
+object Graph {
+
+  /** (node, component) for every node of `edges`; component = min node id
+    * reachable. `edges` columns: id_a, id_b (id_a < id_b by convention,
+    * either accepted). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // undirected adjacency, both directions
+    val bi = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among each node's neighborhood (map-side combinable)
+      val nbrMin = bi.join(labels, bi("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+        .localCheckpoint()
+      converged = updated.filter(col("next") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Near-dup clusters of the documents table: connected components over
+    * the verified Jaccard pairs, as (doc_id, cluster_id) — cluster_id is
+    * the component's min doc_id, i.e. the canonical survivor every other
+    * member would be folded into. Only docs that appear in at least one
+    * verified pair are emitted (singletons are trivially their own
+    * cluster and would swamp the output). */
+  def docClusters(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
+    connectedComponents(
+        Dedup.jaccardPairs(spark, dir, tau).select(col("id_a"), col("id_b")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+
+  /** Cluster census: size and id range per near-dup cluster. */
+  def clusterSizes(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
+    docClusters(spark, dir, tau)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("cluster_id"))
+}

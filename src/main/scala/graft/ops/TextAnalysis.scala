@@ -129,6 +129,61 @@ object TextAnalysis {
         length(normalize(col("text"))).as("norm_len"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary build: corpus-wide term statistics — total frequency and
+    * document frequency per token, top `topN` by frequency with a
+    * deterministic term tiebreak. The tokenizer-vocab / stopword-discovery
+    * primitive of a training pipeline. At scale: explode is map-side, both
+    * counts come from ONE shuffle on the term (count + count distinct via
+    * two-level agg), and the top-N is a TakeOrderedAndProject, never a
+    * global sort materialization. */
+  def vocab(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      // pre-aggregate per (term, doc): tf per doc; df = row count per term
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("term"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(topN)
+
+  /** TF-IDF top term per document: the highest-scoring (rarest-but-
+    * frequent) term, idf = ln(N / df). Shapes the relevance/topic-tagging
+    * step; one term-stat join against [[vocab]]'s un-truncated form. */
+  def topTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // corpus cardinality: one cheap count-star scan
+    val termDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+    // (term, doc_id) rows are unique post-groupBy, so df is a plain count
+    val df_ = termDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    termDoc.join(df_, "term")
+      .withColumn("tfidf",
+        round(col("tf_doc") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic training-shard assignment: shard = first md5 nibble of
+    * the document id (content-independent so re-crawled text stays in its
+    * shard; 16 shards here, compose nibbles for more). Rolled up to the
+    * per-shard census a shard-writer plans its output files from. */
+  def shardCensus(spark: SparkSession, dir: String, prefix: String = "sh|"): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(conv(substring(md5(concat(lit(prefix), col("doc_id"))), 1, 1),
+          16, 10).cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
   /** Corpus rollup per (lang, source) — count/χ stats over features. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

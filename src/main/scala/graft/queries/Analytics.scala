@@ -686,4 +686,47 @@ object Analytics {
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
               round(col("value") - col("prev_value"), 6).as("delta"))
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+
+  /** Wilder-smoothed RSI-14 (the standard variant the reference's
+    * Cutler-RSI omits) — the custom Ewma window function with α = 1/14
+    * over a seeded gain/loss series, one Window pass. */
+  def rsiWilder(spark: SparkSession, dir: String): DataFrame =
+    Indicators.withWilderRsi(
+        Tables.events(spark, dir),
+        keys = Seq("user_id", "event_type"),
+        order = evOrder,
+        value = col("value"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(col("wg"), 6).as("avg_gain"),
+        round(col("wl"), 6).as("avg_loss"),
+        round(col("rsi_wilder"), 6).as("rsi_wilder"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+
+  /** Column profiling over lineitem's numeric columns: row/null/distinct
+    * counts + min/max/mean per column, in long form — the data-quality
+    * gate a training pipeline runs before ingesting a new source. ONE
+    * aggregation pass over the scan (the multi-count-distinct expands
+    * rows k-ways map-side — still a single shuffle, no per-column scans),
+    * then an unpivot of the 1-row result, which is free. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(spark, dir)
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n__$c"),
+        sum(col(c).isNull.cast("long")).as(s"nulls__$c"),
+        countDistinct(col(c)).as(s"dist__$c"),
+        min(col(c)).cast("double").as(s"min__$c"),
+        max(col(c)).cast("double").as(s"max__$c"),
+        round(avg(col(c)), 6).as(s"avg__$c"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"n__$c").as("n_rows"),
+        col(s"nulls__$c").as("n_nulls"), col(s"dist__$c").as("n_distinct"),
+        col(s"min__$c").as("min_v"), col(s"max__$c").as("max_v"),
+        col(s"avg__$c").as("avg_v"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -71,6 +71,33 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.columns.contains("rsi_14"))
   }
 
+  test("wilder rsi: hand-computed seed + recurrence, n=2") {
+    // values 10,12,11,14 -> deltas null,+2,-1,+3; gains 0,2,0,3; losses 0,0,1,0
+    // n=2 seed at rn2: wg=(0+2)/2=1, wl=0 -> rsi 100 (loss=0, gain>0)
+    // rn3: wg=.5*0+.5*1=.5, wl=.5*1+.5*0=.5 -> rs=1, rsi 50
+    // rn4: wg=.5*3+.5*.5=1.75, wl=.5*0+.5*.5=.25 -> rs=7, rsi 87.5
+    val df = Seq(10.0, 12.0, 11.0, 14.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), (i + 1).toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withWilderRsi(df, Seq("k"), Seq(col("ts"), col("id")),
+        col("v"), n = 2)
+      .select("wg", "wl", "rsi_wilder")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(out(0) === ((None, None, None))) // before seed row: all null
+    assert(out(1) === ((Some(1.0), Some(0.0), Some(100.0))))
+    assert(out(2) === ((Some(0.5), Some(0.5), Some(50.0))))
+    assert(out(3) === ((Some(1.75), Some(0.25), Some(87.5))))
+  }
+
+  test("wilder rsi: null until row n, then always defined on moving data") {
+    val df = (1 to 20).map(i => ("k", ts(i), i.toLong, math.cos(i) * 5 + 30))
+      .toDF("k", "ts", "id", "v")
+    val out = Indicators.withWilderRsi(df, Seq("k"), Seq(col("ts"), col("id")), col("v"))
+      .orderBy("id").select("rsi_wilder").as[Option[Double]].collect()
+    assert(out.take(13).forall(_.isEmpty))
+    assert(out.drop(13).forall(_.isDefined))
+  }
+
   test("macd = ema12 - ema26 and both share one Window operator") {
     val df = (1 to 30).map(i => ("k", ts(i), i.toLong, math.sin(i) * 10 + 50))
       .toDF("k", "ts", "id", "v")

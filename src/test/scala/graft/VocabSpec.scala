@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.TextAnalysis
+import graft.queries.Analytics
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocab: tf sums per-doc counts, df counts docs, deterministic order") {
+    val v = TextAnalysis.vocab(spark, sf, topN = 5)
+      .as[(String, Long, Long)].collect()
+    assert(v.length === 5)
+    // sorted by tf desc then term asc
+    assert(v.sliding(2).forall { case Array((t1, f1, _), (t2, f2, _)) =>
+      f1 > f2 || (f1 == f2 && t1 < t2)
+    })
+    v.foreach { case (_, tf, df) => assert(tf >= df && df >= 1) }
+  }
+
+  test("tfidf: one top term per document, non-negative scores") {
+    val top = TextAnalysis.topTfidf(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(top.length === 500) // one row per document at sf0.001
+    assert(top.map(_._1).distinct.length === top.length)
+    top.foreach { case (_, term, score) =>
+      assert(term.nonEmpty && score >= 0.0)
+    }
+  }
+
+  test("shard census: 16 deterministic shards covering every document") {
+    val c = TextAnalysis.shardCensus(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(c.map(_._1).toSet.subsetOf((0 until 16).toSet))
+    assert(c.map(_._2).sum === 500)
+    // determinism: same input, same assignment
+    val c2 = TextAnalysis.shardCensus(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(c.toSeq === c2.toSeq)
+  }
+
+  test("profile: one row per column, exact counts on lineitem") {
+    val p = Analytics.profileTable(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(p.map(_._1).toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    val nRows = p.head._2
+    p.foreach { case (_, n, nulls, dist, mn, mx, avg) =>
+      assert(n === nRows)      // every column profiled over the same rows
+      assert(nulls === 0L)
+      assert(dist > 0 && dist <= n)
+      assert(mn <= avg && avg <= mx)
+    }
+  }
+}
