@@ -90,6 +90,9 @@ object SparkEntry {
     "q_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "q_tfidf" -> (TextAnalysis.topTfidf _),
     "q_shard_census" -> ((s, d) => TextAnalysis.shardCensus(s, d)),
+    "q_redact" -> (TextAnalysis.redact _),
+    "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_profile" -> (Analytics.profileTable _),
@@ -617,6 +620,49 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '),
+        |    t -> CASE WHEN t IN ('customer', 'key', 'value')
+        |         THEN '[REDACTED]' ELSE t END), ' ') AS redacted,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('customer', 'key', 'value'))) AS INTEGER) AS n_redacted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  cum_before // 256 AS bin_start,
+        |  (cum_before + n_tokens - 1) // 256 AS bin_end
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w FROM tok),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM idx),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        |corpus AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c_bg
+        |           FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+        |        FROM corpus GROUP BY 1)
+        |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+        |  round(sum(db.cnt * ln(CAST(c_bg AS DOUBLE) / c_ctx)) / sum(db.cnt), 6)
+        |    AS avg_logprob
+        |FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1)
+        |GROUP BY db.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_shard_census" ->

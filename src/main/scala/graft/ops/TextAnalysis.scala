@@ -184,6 +184,88 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
 
+  /** Terms scrubbed by [[redact]] — the deny-list of a PII/sensitive-term
+    * redaction pass. (This synthetic corpus has no digits or punctuation,
+    * so regex shapes like emails/phones would be vacuous here; the
+    * token-denylist form exercises the identical pipeline shape — scan,
+    * per-token rewrite, audit count — with real hits.) */
+  val DenyList: Seq[String] = Seq("customer", "key", "value")
+
+  /** Deny-list redaction: replace denied tokens with a mask, keep an audit
+    * count per document. Pure higher-order-function column algebra
+    * (transform + filter over the token array) — codegen'd, zero shuffle,
+    * a single projection pass at any scale. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val denied = (t: Column) => t.isin(DenyList: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(transform(toks,
+          t => when(denied(t), lit("[REDACTED]")).otherwise(t)), " ")
+          .as("redacted"),
+        size(filter(toks, denied)).as("n_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Concat-and-chunk sequence packing census (GPT-style pretraining
+    * packing): documents are concatenated in doc_id order within a stream
+    * and sliced into fixed `ctx`-token training sequences; each document
+    * lands in bins [bin_start, bin_end]. Streams are per `source`, so the
+    * running sum is a PARTITIONED window — at 100 TB each source packs
+    * independently and in parallel; no global prefix-sum bottleneck. */
+  def packSequences(spark: SparkSession, dir: String, ctx: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer division keeps the bin ids exact at any corpus size
+      // (a double floor() would wobble past 2^53 tokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div $ctx").as("bin_start"),
+        expr(s"(cum_before + n_tokens - 1) div $ctx").as("bin_end"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model quality score: train bigram counts on the whole
+    * corpus (the classic cheap perplexity proxy — KenLM-shaped, one order),
+    * then score every document by its mean bigram log-probability
+    * ln(c(w1,w2) / c(w1·)), where c(w1·) is the count of bigrams whose
+    * context is w1. Low scores mark incoherent/outlier documents.
+    *
+    * Scale shape: bigram extraction is a map-side slice/zip (no window, no
+    * per-token shuffle); corpus counts are one shuffle on the bigram;
+    * scoring joins per-DOC bigram counts (already aggregated, so the join
+    * input is distinct bigrams per doc, not token instances) against the
+    * corpus table — both sides partition on the bigram key. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // array<struct<w1,w2>> of adjacent pairs; zip_with truncates nothing
+    // because both slices have exactly n-1 elements
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpus = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c_bg"))
+    val context = corpus.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
+    docBigrams
+      .join(corpus, Seq("w1", "w2"))
+      .join(context, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt") * log(col("c_bg").cast("double") / col("c_ctx"))) /
+          sum(col("cnt")), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus rollup per (lang, source) — count/χ stats over features. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+import graft.util.Tables
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact: no denied token survives, mask count is exact, length preserved") {
+    val out = TextAnalysis.redact(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val joined = out.join(docs, "doc_id")
+      .select(col("doc_id"), col("redacted"), col("n_redacted"), col("text"))
+      .as[(Long, String, Int, String)].collect()
+    assert(joined.length === 500)
+    joined.foreach { case (_, red, n, orig) =>
+      val toks = red.split(" ")
+      assert(toks.forall(t => !TextAnalysis.DenyList.contains(t)))
+      assert(toks.count(_ == "[REDACTED]") === n)
+      assert(toks.length === orig.split(" ").length) // token-positions kept
+    }
+    assert(joined.map(_._3).sum > 0) // the denylist actually fires on this corpus
+  }
+
+  test("pack sequences: per-source bins are contiguous and start at zero") {
+    val rows = TextAnalysis.packSequences(spark, sf, ctx = 256)
+      .as[(Long, String, Long, Long, Long)].collect()
+    rows.foreach { case (_, _, n, s, e) =>
+      assert(n > 0 && s <= e)
+      assert(e - s <= (n - 1) / 256 + 1) // a doc spans at most ceil slots
+    }
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      assert(sorted.head._4 === 0L) // first doc of the stream starts in bin 0
+      // consecutive docs: next bin_start is derived from the running sum
+      sorted.sliding(2).foreach { case Array((_, _, n1, s1, _), (_, _, _, s2, _)) =>
+        assert(s2 >= s1 && s2 - s1 <= n1 / 256 + 1)
+      case _ => ()
+      }
+    }
+  }
+
+  test("pack sequences: exact bins on a hand-built cumulative sum") {
+    // recompute the packing from raw token counts and compare exactly
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, String, Long)].collect()
+    val expected = raw.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val row = (id, src, n, cum / 256, (cum + n - 1) / 256)
+        cum += n
+        row
+      }
+    }.sortBy(_._1)
+    val got = TextAnalysis.packSequences(spark, sf, ctx = 256)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("bigram lm: every score is a mean log-probability (<= 0), counts line up") {
+    val scores = TextAnalysis.bigramLmScore(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(scores.length === 500)
+    scores.foreach { case (_, nBg, lp) =>
+      assert(nBg > 0)
+      assert(lp <= 0.0) // c_bg <= c_ctx always, so ln(p) <= 0
+    }
+    // n_bigrams = n_tokens - 1 for every document
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    scores.foreach { case (id, nBg, _) => assert(nBg === nTok(id) - 1) }
+  }
+
+  test("bigram lm: a bigram seen once in a unique context scores ln(1) = 0 share") {
+    // deterministic micro-corpus sanity: corpus {'x y','x y'} -> P(y|x)=1
+    // -> avg_logprob = 0
+    val tmp = java.nio.file.Files.createTempDirectory("bigram-lm").toString
+    Seq((0L, "x y", "en", "s0", 3L), (1L, "x y", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.bigramLmScore(spark, tmp)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((0L, 1L, 0.0), (1L, 1L, 0.0)))
+  }
+}
