@@ -27,19 +27,37 @@ import graft.util.Tables
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per document: (doc_id, shingle). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** The distinct word n-gram shingles of one document as an array column —
+    * deduplicated INSIDE the row (`array_distinct`), so downstream shapes
+    * need neither a `.distinct()` shuffle nor a per-doc count window:
+    * cardinality is `size(...)` map-side. Documents are KB-sized, so the
+    * whole array is a few hundred entries at worst. */
+  private def gramArray(n: Int): Column = {
     val w = split(col("text"), " ")
     val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
-    // documents often arrive as one small parquet file = ONE input task;
-    // spread rows across the cluster BEFORE the shingle/hash work so the
-    // per-row compute parallelizes (no-op at scale where files are many)
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    spread.select(col("doc_id"), explode(grams).as("s")).distinct()
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
   }
+
+  // documents often arrive as one small parquet file = ONE input task;
+  // spread rows across the cluster BEFORE the shingle/hash work so the
+  // per-row compute parallelizes (no-op at scale where files are many)
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+  /** Distinct word 3-gram shingles per document: (doc_id, shingle).
+    * Zero shuffles — the distinct is per-row. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    spread(docs).select(col("doc_id"), explode(gramArray(n)).as("s"))
+
+  /** Shingles with the document's shingle-set cardinality riding along:
+    * (doc_id, c, s). Still zero shuffles — `c` is computed from the same
+    * in-row array the explode reads. */
+  def shinglesWithCard(docs: DataFrame, n: Int = 3): DataFrame =
+    spread(docs).select(col("doc_id"), gramArray(n).as("dg"))
+      .select(col("doc_id"), size(col("dg")).cast("long").as("c"),
+        explode(col("dg")).as("s"))
 
   /** Exact-duplicate groups: canonical (min) doc id + group size per
     * distinct content hash. */
@@ -53,13 +71,14 @@ object Dedup {
   /** All near-duplicate pairs with word-3-gram Jaccard >= tau. The
     * shingle equi-join generates only pairs sharing at least one shingle. */
   def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
-    // annotate each shingle row with its document's cardinality up front
-    // (one window over doc_id) so the per-doc counts ride through the
-    // self-join — avoids two extra join passes and a third recomputation
-    // of the shingle set
-    val sh = shingles(Tables.documents(spark, dir))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val a = sh.as("a"); val b = sh.as("b")
+    // per-doc cardinality rides along from the in-row gram array, so the
+    // ONLY shuffles in this whole shape are the self-join on the shingle
+    // and the pair aggregation — no distinct pass, no count window
+    val sh = shinglesWithCard(Tables.documents(spark, dir))
+    // the self-join MUST shuffle on the shingle: Catalyst sizes a Generate
+    // by its (tiny) parquet child, so without the hint it broadcasts the
+    // whole exploded shingle table — unbounded build side at scale
+    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
@@ -98,7 +117,9 @@ object Dedup {
     val exploded = banded.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bnd => col(s"b$bnd")): _*))
         .as(Seq("band_idx", "band_hash")))
-    val a = exploded.as("a"); val b = exploded.as("b")
+    // same Generate-undersizing hazard as jaccardPairs: force a shuffle
+    // join on the band key, never a broadcast of the exploded signatures
+    val a = exploded.hint("shuffle_hash").as("a"); val b = exploded.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -146,11 +167,11 @@ object Dedup {
   def dedupSurvivors(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cand = lshCandidates(spark, dir).select(col("id_a"), col("id_b"))
-    val sh = shingles(docs)
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val sh = shinglesWithCard(docs)
     val verified = broadcast(cand)
-      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .join(sh.hint("shuffle_hash").as("a"), col("id_a") === col("a.doc_id"))
+      .join(sh.hint("shuffle_hash").as("b"),
+        col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
       .filter(round(col("ix").cast("double") / (col("ca") + col("cb") - col("ix")), 6) >= tau)

@@ -63,4 +63,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("shingle self-joins shuffle on the key — never broadcast an explode") {
+    // Catalyst sizes a Generate by its parquet child, so without the
+    // shuffle_hash hints it would broadcast the whole exploded shingle /
+    // band table: an unbounded build side once the corpus outgrows one
+    // executor. Guard both candidate-generation shapes.
+    Seq(graft.ops.Dedup.jaccardPairs(spark, sf),
+        graft.ops.Dedup.lshCandidates(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
 }
