@@ -91,6 +91,7 @@ object SparkEntry {
     "q_tfidf" -> (TextAnalysis.topTfidf _),
     "q_shard_census" -> ((s, d) => TextAnalysis.shardCensus(s, d)),
     "q_redact" -> (TextAnalysis.redact _),
+    "q_zorder" -> (Analytics.zorderCodes _),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
@@ -621,6 +622,20 @@ object SparkEntry {
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_zorder" -> {
+      val interleave = (0 until 8).map { k =>
+        s"(((cx >> $k) & 1) << ${2 * k}) + (((cy >> $k) & 1) << ${2 * k + 1})"
+      }.mkString(" + ")
+      s"""WITH cells AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 256 AS cx, l_suppkey % 256 AS cy
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, cx, cy,
+         |  $interleave AS zcode
+         |FROM cells
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     "q_redact" ->
       """SELECT doc_id,

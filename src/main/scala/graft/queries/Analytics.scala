@@ -729,4 +729,18 @@ object Analytics {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
       .orderBy(col("col_name"))
   }
+
+  /** Morton (Z-order) clustering code per lineitem row over the
+    * (l_partkey, l_suppkey) cell grid — the clustering key
+    * [[graft.sink.Layout.zorderWrite]] range-partitions and sorts by.
+    * Emitted per-row so the bit-interleave is oracle-checkable; the
+    * layout effect (multi-dim file skipping) is asserted in LayoutSpec. */
+  def zorderCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256)).as("cx"),
+        pmod(col("l_suppkey"), lit(256)).as("cy"))
+      .withColumn("zcode",
+        graft.sink.Layout.mortonCode(col("cx"), col("cy"), bits = 8))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
 }

@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical table layout for fact tables at scale: date-partitioned,
@@ -62,6 +62,49 @@ object Layout {
       .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(tableName)
+
+  /** 2-D Morton (Z-order) code: interleave the low `bits` bits of two
+    * already-quantized cell coordinates (x in even positions, y in odd).
+    * Pure integer column algebra — codegen'd, no UDF. */
+  def mortonCode(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { k =>
+      shiftleft(shiftright(x.cast("long"), k).bitwiseAND(1), 2 * k) +
+        shiftleft(shiftright(y.cast("long"), k).bitwiseAND(1), 2 * k + 1)
+    }.reduce(_ + _)
+
+  /** Linear quantization of a value into [0, 2^bits) cells — the cheap
+    * cell assignment real Z-order writers use (Delta/Iceberg use range
+    * boundaries; linear is equivalent for near-uniform dims and needs
+    * only a global min/max, not a sort). */
+  def quantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val cells = 1 << bits
+    least(lit(cells - 1), greatest(lit(0),
+      floor((c.cast("double") - lo) / ((hi - lo) / cells)).cast("long")))
+  }
+
+  /** Z-order-clustered write: quantize the two dims (one min/max agg),
+    * Morton-interleave, range-partition on the code into `nFiles` files,
+    * sort within each file by the code. Every output file then covers a
+    * compact rectangle-ish region of (dimX, dimY) space, so parquet
+    * min/max stats prune files/row-groups for predicates on EITHER or
+    * BOTH dims — the multi-dimensional generalization of sortWithin
+    * Partitions that single-column layouts can't give. Skipping is
+    * asserted quantitatively in LayoutSpec. */
+  def zorderWrite(df: DataFrame, path: String, dimX: String, dimY: String,
+      nFiles: Int = 16, bits: Int = 8): Unit = {
+    val mm = df.agg(
+      min(col(dimX).cast("double")), max(col(dimX).cast("double")),
+      min(col(dimY).cast("double")), max(col(dimY).cast("double"))).head()
+    val (loX, hiX, loY, hiY) =
+      (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    df.withColumn("__z", mortonCode(
+        quantize(col(dimX), loX, hiX, bits),
+        quantize(col(dimY), loY, hiY, bits), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Read one key's slice: date partitions pruned by range, bucket
     * partitions pruned by the key hash. */

@@ -31,6 +31,52 @@ class LayoutSpec extends SparkSpec {
     assert(files < allFiles, s"range read touched all $allFiles files")
   }
 
+  test("z-order layout: a 2-D box predicate can skip most files; linear sort cannot") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val zDir = Files.createTempDirectory("zorder"); zDir.toFile.deleteOnExit()
+    val linDir = Files.createTempDirectory("linear"); linDir.toFile.deleteOnExit()
+    Layout.zorderWrite(li, zDir.toString, "l_partkey", "l_suppkey", nFiles = 16)
+    // the single-dim alternative: range-partition + sort on l_partkey only
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(linDir.toString)
+
+    // a file can be skipped for a box predicate iff its (min,max) ranges
+    // on BOTH dims miss the box — exactly what parquet row-group stats
+    // give the reader. Count skippable files under each layout.
+    def skippable(dir: String, loP: Long, hiP: Long, loS: Long, hiS: Long): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("p0"), max("l_partkey").as("p1"),
+          min("l_suppkey").as("s0"), max("l_suppkey").as("s1"))
+      val total = stats.count()
+      val hit = stats.filter(
+        col("p1") >= loP && col("p0") <= hiP &&
+          col("s1") >= loS && col("s0") <= hiS).count()
+      (total - hit, total)
+    }
+    val mm = li.agg(max("l_partkey"), max("l_suppkey")).head()
+    val (hiP, hiS) = (mm.getLong(0), mm.getLong(1))
+    // a box covering ~1/16 of each dim => ~1/256 of the plane
+    val (zSkip, zTotal) = skippable(zDir.toString, 0, hiP / 16, 0, hiS / 16)
+    val (lSkip, lTotal) = skippable(linDir.toString, 0, hiP / 16, 0, hiS / 16)
+    assert(zTotal === 16 && lTotal === 16)
+    // z-order: only files whose z-range overlaps the corner survive
+    assert(zSkip >= 12, s"z-order skipped only $zSkip/16 files")
+    // the linear layout prunes on l_partkey about as well… but NOW flip
+    // the box to constrain ONLY the second dim: linear layouts skip
+    // nothing, z-order still skips most files
+    val (zSkip2, _) = skippable(zDir.toString, 0, hiP, 0, hiS / 16)
+    val (lSkip2, _) = skippable(linDir.toString, 0, hiP, 0, hiS / 16)
+    assert(lSkip2 === 0, s"linear layout unexpectedly skipped $lSkip2 files on dim 2")
+    assert(zSkip2 >= lSkip2 + 4,
+      s"z-order should beat linear on the non-sort dim: $zSkip2 vs $lSkip2")
+    // and the data itself round-trips
+    assert(spark.read.parquet(zDir.toString).count() === li.count())
+  }
+
   test("bucketed tables join with zero shuffle") {
     val ev = Tables.events(spark, sf)
     Layout.writeBucketed(ev.select("event_id", "user_id", "value"),
