@@ -32,13 +32,15 @@ object Dedup {
     * need neither a `.distinct()` shuffle nor a per-doc count window:
     * cardinality is `size(...)` map-side. Documents are KB-sized, so the
     * whole array is a few hundred entries at worst. */
-  private def gramArray(n: Int): Column = {
-    val w = split(col("text"), " ")
+  def shingleArray(text: Column, n: Int = 3): Column = {
+    val w = split(text, " ")
     val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     array_distinct(transform(idx, i =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
   }
+
+  private def gramArray(n: Int): Column = shingleArray(col("text"), n)
 
   // documents often arrive as one small parquet file = ONE input task;
   // spread rows across the cluster BEFORE the shingle/hash work so the
@@ -95,13 +97,20 @@ object Dedup {
   val RowsPerBand = MinhashK / Bands
 
   /** Per-document MinHash signature: for each of k seeded hash functions,
-    * the lexicographic min of `md5(seed || '|' || shingle)` — computed as
-    * one groupBy with k map-side-combinable `min` aggregates. */
+    * the lexicographic min of `md5(seed || '|' || shingle)` — computed
+    * entirely IN-ROW (`array_min` over the transformed gram array), so
+    * signature generation is a pure projection: no explode, no shuffle,
+    * and it runs unchanged on a streaming DataFrame (no stateful agg).
+    * Docs too short to have a shingle are dropped, matching the
+    * explode+groupBy formulation (they have no signature, and keeping
+    * them would collide all their null bands into one bucket). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    val aggs = (0 until MinhashK).map(k =>
-      min(md5(concat(lit(s"mh$k|"), col("s")))).as(s"h$k"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val cols = (0 until MinhashK).map(k =>
+      array_min(transform(col("dg"), s => md5(concat(lit(s"mh$k|"), s))))
+        .as(s"h$k"))
+    spread(docs).select(col("doc_id"), gramArray(3).as("dg"))
+      .filter(size(col("dg")) > 0)
+      .select(col("doc_id") +: cols: _*)
   }
 
   /** LSH candidate pairs: docs sharing at least one of the `Bands` band
