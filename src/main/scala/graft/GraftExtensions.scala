@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Ewma].getName, "ewma"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Ewma(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VecDot(exprs(0), exprs(1))))
   }
 }

@@ -19,15 +19,25 @@ import graft.util.Tables
   *     selection are deterministic, so results are testable; recall vs.
   *     brute force is asserted in SimilaritySpec.
   *
-  * All vector math is `zip_with`/`aggregate` higher-order functions over
-  * `array<double>` — codegen-friendly, no UDFs.
+  * The pairwise hot path (dot/norm/cosine) is the native codegen'd
+  * [[graft.functions.VecDot]] expression; the remaining vector math
+  * (hyperplane signatures) stays `zip_with`/`aggregate` higher-order
+  * functions — cold path, one evaluation per vector, not per pair.
   */
 object Similarity {
 
-  /** Sum of elementwise products (sequential left-to-right aggregation —
-    * deterministic, matching a sequential oracle). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Register the native vector functions in this session's registry.
+    * Idempotent; called by every entry point that builds vector columns. */
+  def register(spark: SparkSession): Unit =
+    graft.functions.VecDot.register(spark)
+
+  /** Sum of elementwise products — the codegen'd [[graft.functions.VecDot]]
+    * expression (tight primitive loop, no intermediate zipped array, no
+    * interpreted lambdas). Same left-to-right accumulation as the HOF form
+    * it replaced, so results are bit-identical. Callers must have
+    * [[register]]ed the session (every public query shape here does via
+    * [[vecs]]). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,11 +51,13 @@ object Similarity {
     dot(a, b) / (normA * normB)
 
   /** Embeddings as `array<double>` with the L2 norm materialized. */
-  def vecs(spark: SparkSession, dir: String): DataFrame =
+  def vecs(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   /** Exact top-k by cosine against the embedding of `queryId` (excluded
     * from results). The 1-row query side is broadcast. */

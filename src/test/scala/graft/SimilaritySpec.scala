@@ -24,8 +24,29 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosine of a vector with itself is 1") {
+    Similarity.register(spark)
     val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
     val c = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("vec_dot: codegen'd expression matches the HOF form bit-for-bit") {
+    Similarity.register(spark)
+    import org.apache.spark.sql.functions._
+    val df = graft.util.Tables.embeddings(spark, sf).limit(200)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val hof = df.select(
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    val native = df.select(Similarity.dot(col("v"), col("v")))
+      .as[Double].collect()
+    assert(native.toSeq === hof.toSeq) // exact equality: same summation order
+    // null semantics match the HOF composition
+    val edge = Seq(
+      (Array(1.0, 2.0), Array(3.0, 4.0)),
+      (null, Array(1.0))).toDF("a", "b")
+    val got = edge.select(Similarity.dot(col("a"), col("b")))
+      .as[Option[Double]].collect()
+    assert(got.toSeq === Seq(Some(11.0), None))
   }
 }
