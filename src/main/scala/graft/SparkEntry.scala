@@ -59,6 +59,7 @@ object SparkEntry {
     "q_scalar_pack2" -> (Analytics.scalarPack2 _),
     "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
+    "q_sketch_merge" -> (Analytics.sketchMerge _), // rows-only (sketch)
     "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)

@@ -730,6 +730,36 @@ object Analytics {
       .orderBy(col("col_name"))
   }
 
+  /** Mergeable-sketch rollup per event_type (rows-only check: DuckDB's
+    * HLL is a different implementation, so no value parity exists):
+    *   - users_direct: one-shot HLL distinct-user estimate;
+    *   - users_merged: the SAME estimate via per-shard partial sketches
+    *     merged with hll_union_agg — the two are asserted EQUAL in
+    *     SketchSpec, which is the property that lets 1000 executors
+    *     sketch locally and combine 32-KB buffers instead of shuffling
+    *     raw user_ids;
+    *   - p50/p90/p99_value: approx_percentile (mergeable KLL-style
+    *     quantile sketch) vs the exact percentiles of q_percentiles.
+    * At 100 TB this is the only affordable form of distinct/quantile
+    * telemetry — exact forms shuffle the full key universe. */
+  def sketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("users_direct"),
+        round(approx_percentile(col("value"), lit(0.5), lit(10000)), 6).as("p50_value"),
+        round(approx_percentile(col("value"), lit(0.99), lit(10000)), 6).as("p99_value"))
+    val merged = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_merged"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("users_direct"), col("users_merged"),
+        col("p50_value"), col("p99_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Morton (Z-order) clustering code per lineitem row over the
     * (l_partkey, l_suppkey) cell grid — the clustering key
     * [[graft.sink.Layout.zorderWrite]] range-partitions and sorts by.
