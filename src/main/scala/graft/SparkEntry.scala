@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "q_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     "q_winnow" -> ((s, d) => Dedup.winnowSummary(s, d)),
+    "q_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
@@ -623,6 +624,21 @@ object SparkEntry {
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS i, w FROM docs),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |           || ' ' || w[i+4] AS s
+        |       FROM idx),
+        |bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id < 10),
+        |train AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id >= 10)
+        |SELECT train_doc, bench_doc, count(*) AS n_shared
+        |FROM train t JOIN bench b USING (s)
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3
+        |ORDER BY train_doc, bench_doc""".stripMargin,
 
     "q_zorder" -> {
       val interleave = (0 until 8).map { k =>

@@ -190,6 +190,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-contamination check: training documents sharing at least
+    * `minShared` distinct word `n`-grams with any document of the
+    * benchmark set (here: doc_id < `benchMax` — in production, the eval
+    * suites). The benchmark side is intrinsically small and is broadcast,
+    * so the scan over the training corpus stays map-side: shingle, hash
+    * against the broadcast set, aggregate matches — no shuffle of the
+    * corpus at any scale. The n-gram length trades recall for precision
+    * exactly like winnowing's k; 5-grams + a count floor suppress
+    * single-collision noise on a shared-vocabulary corpus. */
+  def contamination(spark: SparkSession, dir: String, n: Int = 5,
+      benchMax: Long = 10L, minShared: Long = 3L): DataFrame = {
+    val sh = spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(shingleArray(col("text"), n)).as("s"))
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    val train = sh.filter(col("doc_id") >= benchMax)
+    train.join(broadcast(bench), "s")
+      .groupBy(col("doc_id").as("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
   /** 16-bit SimHash over the document's distinct tokens. Bit p is set
     * when, summing +1/−1 per token according to the p-th hex nibble's
     * high bit of `md5(token)`, the total is positive. Identical-fingerprint

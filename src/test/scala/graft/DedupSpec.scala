@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) !== fp(3L))
   }
 
+  test("contamination: near-dup of a bench doc is flagged, clean docs are not") {
+    val hits = Dedup.contamination(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // every flag points from a train doc to a bench doc with a real overlap
+    hits.foreach { case (train, bench, shared) =>
+      assert(train >= 10L && bench < 10L && shared >= 3L)
+    }
+    // flagged overlaps are symmetric ground truth: recompute one pair's
+    // shared 5-gram count directly from the texts
+    if (hits.nonEmpty) {
+      val (train, bench, shared) = hits.head
+      val texts = graft.util.Tables.documents(spark, sf)
+        .filter(col("doc_id").isin(train, bench))
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      def grams(s: String) = s.split(" ").sliding(5).map(_.mkString(" ")).toSet
+      assert(grams(texts(train)).intersect(grams(texts(bench))).size.toLong === shared)
+    }
+  }
+
   test("LSH recall: every engineered high-similarity pair appears in the candidates") {
     // 30 base docs; every third gets a near-copy with one word changed
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
