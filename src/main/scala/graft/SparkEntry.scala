@@ -96,6 +96,7 @@ object SparkEntry {
     "q_zorder" -> (Analytics.zorderCodes _),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
+    "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_profile" -> (Analytics.profileTable _),
@@ -624,6 +625,31 @@ object SparkEntry {
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_data_prep" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, lang,
+        |    round(least(length(text) / 200.0, 1.0) * 0.5
+        |      + least((CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))) * 5.0, 1.0) * 0.3
+        |      + (1.0 - least((CAST(length(text) - length(regexp_replace(text,
+        |          '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0,
+        |          1.0)) * 0.2, 6) AS quality
+        |  FROM documents),
+        |kept AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |                               ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality >= 0.5),
+        |s AS (
+        |  SELECT *, CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
+        |            THEN 'val' ELSE 'train' END AS split
+        |  FROM kept WHERE rn = 1)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
 
     "q_contamination" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -266,6 +266,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed "prepare a training corpus" pipeline, end to end:
+    * quality gate (map-side, BEFORE any shuffle so junk never pays
+    * shuffle cost) → exact-dedup survivor election (one shuffle on the
+    * content hash) → deterministic content-hash split → per (split, lang)
+    * census. Each stage is an operator proven separately
+    * ([[qualityScore]], [[trainSplit]], q_dedup_exact's min-id election);
+    * this query is the composition a real pipeline runs nightly. */
+  def dataPrep(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(qualityScore(col("text")) >= minQuality)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("split", trainSplit(col("text")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Corpus rollup per (lang, source) — count/χ stats over features. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -76,6 +76,28 @@ class TextPipelineSpec extends SparkSpec {
     scores.foreach { case (id, nBg, _) => assert(nBg === nTok(id) - 1) }
   }
 
+  test("data prep: census conserves the filtered+deduped corpus exactly") {
+    val census = TextAnalysis.dataPrep(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(census.map(_._1).toSet === Set("train", "val"))
+    // recompute the pipeline row-by-row with independent column ops
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, String, String, Double)].collect()
+    val kept = docs.filter(_._4 >= 0.5)
+      .groupBy(d => d._2).map { case (_, ds) => ds.minBy(_._1) }
+    val expected = kept.groupBy(d =>
+        (if (java.security.MessageDigest.getInstance("MD5")
+              .digest(d._2.getBytes("UTF-8")).head.toInt >>> 4 match {
+            case h => h == 0 || h == 1
+          }) "val" else "train", d._3))
+      .map { case ((sp, lang), ds) =>
+        (sp, lang, ds.size.toLong, ds.map(_._2.split(" ").length.toLong).sum) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(census.toSeq === expected)
+  }
+
   test("bigram lm: a bigram seen once in a unique context scores ln(1) = 0 share") {
     // deterministic micro-corpus sanity: corpus {'x y','x y'} -> P(y|x)=1
     // -> avg_logprob = 0
