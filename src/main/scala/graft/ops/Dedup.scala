@@ -70,12 +70,13 @@ object Dedup {
       .select(col("keep_id"), col("n_docs"))
       .orderBy(col("keep_id"))
 
-  /** All near-duplicate pairs with word-3-gram Jaccard >= tau. The
-    * shingle equi-join generates only pairs sharing at least one shingle. */
+  /** All near-duplicate pairs with word-3-gram Jaccard >= tau: one
+    * shuffle-hash self-join on the shingle + one pair aggregation. The
+    * per-doc cardinality rides along from the in-row gram array, so
+    * there is no distinct pass and no count window. On corpora where hub
+    * shingles make this join quadratic, [[jaccardPairsPrefix]] computes
+    * the identical result with PPJoin prefix filtering. */
   def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
-    // per-doc cardinality rides along from the in-row gram array, so the
-    // ONLY shuffles in this whole shape are the self-join on the shingle
-    // and the pair aggregation — no distinct pass, no count window
     val sh = shinglesWithCard(Tables.documents(spark, dir))
     // the self-join MUST shuffle on the shingle: Catalyst sizes a Generate
     // by its (tiny) parquet child, so without the hint it broadcasts the
@@ -91,26 +92,77 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[jaccardPairs]] with PPJoin-style prefix filtering (Xiao et al.,
+    * WWW'08; Bayardo et al.'s all-pairs): under any fixed global shingle
+    * order, two sets with J >= tau MUST share an element inside each
+    * one's first `|X| - ceil(tau*|X|) + 1` shingles. Ordering shingles
+    * rarest-first makes those prefixes the rare shingles, so the
+    * candidate self-join never touches the hub shingles that make the
+    * naive join quadratic — THE failure mode of all-pairs similarity on
+    * skewed real corpora. Candidates are verified exactly, so the output
+    * is identical to [[jaccardPairs]] (asserted in DedupSpec).
+    *
+    * On this synthetic corpus (hub-free by construction) the extra
+    * stages cost more than they save, so the naive form stays the bench
+    * default; on a web-scale corpus the selectivity inverts that. */
+  def jaccardPairsPrefix(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    // materialized ONCE: three consumers (frequency agg, prefix join,
+    // verification) would otherwise each re-run the gram pipeline; at
+    // cluster scale use checkpoint() for the same cut, fault-tolerantly
+    val sh = shinglesWithCard(Tables.documents(spark, dir)).localCheckpoint()
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val prefix = sh.hint("shuffle_hash").join(freq, "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("c") - ceil(lit(tau) * col("c")) + 1)
+      .select(col("doc_id"), col("c"), col("s"))
+    val cand = prefix.hint("shuffle_hash").as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // size filter: J >= tau forces tau*|A| <= |B| and tau*|B| <= |A|
+          col("b.c") >= ceil(lit(tau) * col("a.c")) &&
+          col("a.c") >= ceil(lit(tau) * col("b.c")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyPairs(cand.hint("shuffle_hash"), sh, tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact Jaccard over candidate pairs: join each side's full shingle
+    * set, count the intersection, filter by tau. Callers choose the
+    * candidate side's distribution (broadcast for LSH's bounded
+    * candidate sets, shuffle for unbounded ones). */
+  private[ops] def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    cand
+      .join(sh.hint("shuffle_hash").as("va"), col("id_a") === col("va.doc_id"))
+      .join(sh.hint("shuffle_hash").as("vb"),
+        col("id_b") === col("vb.doc_id") && col("va.s") === col("vb.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ix"),
+        max(col("va.c")).as("ca"), max(col("vb.c")).as("cb"))
+      .withColumn("jac", round(col("ix").cast("double") /
+        (col("ca") + col("cb") - col("ix")), 6))
+      .filter(col("jac") >= tau)
+      .select(col("id_a"), col("id_b"), col("jac"))
+
   /** Number of MinHash hash functions (= band count × rows per band). */
   val MinhashK = 12
   val Bands = 4
   val RowsPerBand = MinhashK / Bands
 
   /** Per-document MinHash signature: for each of k seeded hash functions,
-    * the lexicographic min of `md5(seed || '|' || shingle)` — computed
-    * entirely IN-ROW (`array_min` over the transformed gram array), so
-    * signature generation is a pure projection: no explode, no shuffle,
-    * and it runs unchanged on a streaming DataFrame (no stateful agg).
-    * Docs too short to have a shingle are dropped, matching the
-    * explode+groupBy formulation (they have no signature, and keeping
-    * them would collide all their null bands into one bucket). */
+    * the lexicographic min of `md5(seed || '|' || shingle)` — one explode
+    * + one groupBy with k map-side-combinable `min` aggregates. The
+    * hashing runs on the codegen'd per-row path with partial aggregation;
+    * the equivalent in-row `array_min(transform(...))` form measured ~5x
+    * slower here because higher-order functions evaluate through
+    * interpreted lambdas per element (streaming, which cannot shuffle,
+    * pays that cost knowingly in [[graft.streaming.StreamDedup.bandKey]]). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val cols = (0 until MinhashK).map(k =>
-      array_min(transform(col("dg"), s => md5(concat(lit(s"mh$k|"), s))))
-        .as(s"h$k"))
-    spread(docs).select(col("doc_id"), gramArray(3).as("dg"))
-      .filter(size(col("dg")) > 0)
-      .select(col("doc_id") +: cols: _*)
+    val sh = shingles(docs)
+    val aggs = (0 until MinhashK).map(k =>
+      min(md5(concat(lit(s"mh$k|"), col("s")))).as(s"h$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing at least one of the `Bands` band
@@ -126,6 +178,11 @@ object Dedup {
     val exploded = banded.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bnd => col(s"b$bnd")): _*))
         .as(Seq("band_idx", "band_hash")))
+      // materialize the banded table (4 small rows per doc) before the
+      // self-join: the two join sides are not exchange-reused, so an
+      // un-materialized lineage runs the whole shingle+signature pipeline
+      // TWICE — the dominant cost of this query
+      .localCheckpoint()
     // same Generate-undersizing hazard as jaccardPairs: force a shuffle
     // join on the band key, never a broadcast of the exploded signatures
     val a = exploded.hint("shuffle_hash").as("a"); val b = exploded.as("b")
@@ -177,13 +234,9 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val cand = lshCandidates(spark, dir).select(col("id_a"), col("id_b"))
     val sh = shinglesWithCard(docs)
-    val verified = broadcast(cand)
-      .join(sh.hint("shuffle_hash").as("a"), col("id_a") === col("a.doc_id"))
-      .join(sh.hint("shuffle_hash").as("b"),
-        col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
-      .filter(round(col("ix").cast("double") / (col("ca") + col("cb") - col("ix")), 6) >= tau)
+    // LSH candidates are the bounded set by construction — broadcast them
+    // so verification stays map-side against the shingle stream
+    val verified = verifyPairs(broadcast(cand), sh, tau)
     docs.join(verified.select(col("id_b").as("dup_id")),
         col("doc_id") === col("dup_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

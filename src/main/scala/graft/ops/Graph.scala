@@ -41,9 +41,13 @@ object Graph {
       // min label among each node's neighborhood (map-side combinable)
       val nbrMin = bi.join(labels, bi("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      // materialize before the jump self-join: both join sides read
+      // `stepped`, and an un-checkpointed lineage would recompute the
+      // whole neighbor-min round twice
       val stepped = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+        .localCheckpoint()
       // pointer-jumping shortcut: follow my label's label, so label chains
       // halve every round — convergence in O(log diameter) rounds instead
       // of O(diameter), the difference between 40 and 6 shuffle rounds on

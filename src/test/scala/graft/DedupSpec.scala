@@ -60,6 +60,15 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) !== fp(3L))
   }
 
+  test("prefix-filtered jaccard equals the naive all-pairs join exactly") {
+    val naive = Dedup.jaccardPairs(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val prefix = Dedup.jaccardPairsPrefix(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(prefix === naive)
+    assert(naive.nonEmpty) // the corpus carries engineered near-dups
+  }
+
   test("contamination: near-dup of a bench doc is flagged, clean docs are not") {
     val hits = Dedup.contamination(spark, sf)
       .as[(Long, Long, Long)].collect()
