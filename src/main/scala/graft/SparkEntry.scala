@@ -97,6 +97,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
+    "q_repetition" -> (TextAnalysis.repetition _),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_profile" -> (Analytics.profileTable _),
@@ -624,6 +625,26 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS i
+        |        FROM docs),
+        |r AS (SELECT doc_id, t, i,
+        |        i - row_number() OVER (PARTITION BY doc_id, t ORDER BY i) AS grp
+        |      FROM tok),
+        |runs AS (SELECT doc_id, count(*) AS run FROM r GROUP BY doc_id, t, grp),
+        |mx AS (SELECT doc_id, CAST(max(run) AS INTEGER) AS max_run
+        |       FROM runs GROUP BY doc_id),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n, count(*) AS nd
+        |        FROM tf GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |  round(CAST(nd AS DOUBLE) / n, 6) AS ttr,
+        |  round(CAST(top_c AS DOUBLE) / n, 6) AS top_token_share,
+        |  mx.max_run
+        |FROM agg a JOIN mx USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_data_prep" ->

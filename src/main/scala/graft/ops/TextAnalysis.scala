@@ -266,6 +266,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition metrics — the third axis of cheap quality
+    * filtering after length/stopwords ([[qualityScore]]) and corpus-level
+    * dedup: type-token ratio (distinct/total tokens; low = repetitive),
+    * the most-frequent token's share, and the longest run of one token
+    * repeated back-to-back (loops/boilerplate). All in-row column
+    * algebra — zero shuffle, one projection pass. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // longest run of equal adjacent tokens, as a prefix-scan fold:
+    // state (best, cur) advances per position; cur resets on change
+    val runs = aggregate(
+      sequence(lit(2), n),
+      struct(lit(1).as("best"), lit(1).as("cur")),
+      (st, i) => {
+        val cur = when(element_at(toks, i) === element_at(toks, i - 1),
+          st.getField("cur") + 1).otherwise(lit(1))
+        struct(greatest(st.getField("best"), cur).as("best"), cur.as("cur"))
+      },
+      st => st.getField("best"))
+    val topShare = aggregate(
+      transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t))),
+      lit(0), (acc, c) => greatest(acc, c))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(size(array_distinct(toks)).cast("double") / n, 6).as("ttr"),
+        round(topShare.cast("double") / n, 6).as("top_token_share"),
+        when(n >= 2, runs).otherwise(lit(1)).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composed "prepare a training corpus" pipeline, end to end:
     * quality gate (map-side, BEFORE any shuffle so junk never pays
     * shuffle cost) → exact-dedup survivor election (one shuffle on the

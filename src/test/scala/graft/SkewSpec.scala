@@ -23,6 +23,37 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key carrying ~100k rows vs 9 cold keys: with thresholds
+    // lowered to demo scale, OptimizeSkewedJoin must split the hot
+    // partition (the executedPlan marks the SMJ 'skew=true'), and the
+    // join result stays exact. This is the runtime half of skew
+    // handling; Skew.saltedAgg is the static half.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(200000)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id" % 10).as("k"),
+          $"id".as("v"))
+      val right = (0L until 10L).map(k => (k, s"dim$k")).toDF("k", "name")
+        .repartition(4) // non-broadcastable shape under the -1 threshold
+      val joined = left.join(right, "k")
+      // execute THIS dataset so its own AQE plan finalizes (count() would
+      // plan a separate aggregate query and leave `joined` unexecuted)
+      assert(joined.collect().length === 200000)
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true"), s"no skew split in:\n${p.take(2000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("salting actually spreads a hot key over multiple partial groups") {
     val ev = Tables.events(spark, sf)
     val partials = ev.withColumn("__salt",

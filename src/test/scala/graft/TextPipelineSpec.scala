@@ -76,6 +76,22 @@ class TextPipelineSpec extends SparkSpec {
     scores.foreach { case (id, nBg, _) => assert(nBg === nTok(id) - 1) }
   }
 
+  test("repetition: hand-built docs get exact ttr/top-share/max-run") {
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (0L, "a a a b", "en", "s0", 7L),        // run of 3, ttr 2/4, share 3/4
+      (1L, "a b c d", "en", "s0", 7L),        // no repetition
+      (2L, "x y x y x", "en", "s0", 9L))      // alternating: run 1, share 3/5
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.repetition(spark, tmp)
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0.5, 0.75, 3),
+      (1L, 1.0, 0.25, 1),
+      (2L, 0.4, 0.6, 1)))
+  }
+
   test("data prep: census conserves the filtered+deduped corpus exactly") {
     val census = TextAnalysis.dataPrep(spark, sf)
       .as[(String, String, Long, Long)].collect()
