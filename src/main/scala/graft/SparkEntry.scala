@@ -56,6 +56,7 @@ object SparkEntry {
     "q_pivot" -> (Analytics.pivotCounts _),
     "q_unpivot" -> (Analytics.unpivotPart _),
     "q_window_funcs" -> (Analytics.windowFuncs _),
+    "q_range_window" -> (Analytics.rangeWindow _),
     "q_scalar_pack2" -> (Analytics.scalarPack2 _),
     "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
@@ -626,6 +627,15 @@ object SparkEntry {
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_range_window" ->
+      """SELECT user_id, event_type, ts, event_id,
+        |  round(sum(value) OVER w, 6) AS hour_sum,
+        |  count(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_repetition" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -730,6 +730,23 @@ object Analytics {
       .orderBy(col("col_name"))
   }
 
+  /** Event-time RANGE window frame: per user, the trailing-1-hour sum and
+    * count of `value` — a TIME-based sliding aggregate (all events within
+    * the hour, however many), which no ROWS frame can express. Ordering
+    * key is epoch MICROseconds so frame membership is exact and
+    * tie-stable (RANGE includes all order-value peers). One shuffle on
+    * user_id + one sort — the same cost as any other window here. */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(sum(col("value")).over(w), 6).as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Mergeable-sketch rollup per event_type (rows-only check: DuckDB's
     * HLL is a different implementation, so no value parity exists):
     *   - users_direct: one-shot HLL distinct-user estimate;
