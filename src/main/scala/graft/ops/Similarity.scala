@@ -141,6 +141,46 @@ object Similarity {
       .agg(round(avg(col("e").cast("double")), 6).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** `iters` Lloyd (k-means) rounds from the deterministic first-`k`
+    * seeds: assign every vector to its max-cosine centroid, recompute
+    * each centroid as the elementwise mean of its members, repeat.
+    * Returns the final (centroid_id, cv) centroid table.
+    *
+    * Scale shape per round: centroids are k×dim doubles — genuinely
+    * tiny — so they are collected and re-broadcast each round (what
+    * MLlib's KMeans does); assignment is a broadcast join + one window
+    * top-1, the update one (centroid, position) aggregation. The corpus
+    * never shuffles by cluster. Empty clusters keep their previous
+    * centroid, so ids are stable and k never shrinks. */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    var cents: Map[Long, Seq[Double]] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().toMap
+    for (_ <- 1 to iters) {
+      val centsDf = cents.toSeq.map { case (id, v) => (id, v) }
+        .toDF("centroid_id", "cv")
+        .withColumn("cnrm", norm(col("cv")))
+      val assigned = e.join(broadcast(centsDf))
+        .withColumn("sim", cosinePrenormed(col("v"), col("cv"), col("nrm"), col("cnrm")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
+        .filter(col("rnk") === 1)
+      val updated = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      cents = cents.map { case (id, v) => id -> updated.getOrElse(id, v) }
+    }
+    cents.toSeq.sortBy(_._1).toDF("centroid_id", "cv")
+  }
+
   /** Deterministic IVF index: centroids are the embeddings of the first
     * `nlist` vec_ids (a stand-in for k-means at this scale); every vector
     * is assigned to its max-cosine centroid. Returns (vec_id, label, v,

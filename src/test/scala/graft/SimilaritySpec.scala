@@ -23,6 +23,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("k-means: iterations keep k stable centroids and tighten the clustering") {
+    import org.apache.spark.sql.functions._
+    def cost(cents: org.apache.spark.sql.DataFrame): Double = {
+      val c = cents.withColumn("cnrm", Similarity.norm(col("cv")))
+      Similarity.vecs(spark, sf).join(broadcast(c))
+        .withColumn("sim", Similarity.cosinePrenormed(
+          col("v"), col("cv"), col("nrm"), col("cnrm")))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("best"))
+        .agg(sum(col("best"))).as[Double].head()
+    }
+    val seeds = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 0)
+    val trained = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
+    assert(seeds.count() === 8 && trained.count() === 8)
+    // Lloyd never worsens the objective; on real data it strictly helps
+    assert(cost(trained) > cost(seeds))
+    // determinism: the whole pipeline reruns to the same centroids
+    val again = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
+    assert(trained.collect().map(_.toString).sorted
+      === again.collect().map(_.toString).sorted)
+  }
+
   test("cosine of a vector with itself is 1") {
     Similarity.register(spark)
     val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
