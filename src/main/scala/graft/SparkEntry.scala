@@ -23,6 +23,7 @@ object SparkEntry {
     // aggregation / scan headliners
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_top_orders" -> (Analytics.q3TopOrders _),
+    "q5_local_supplier" -> (Analytics.q5LocalSupplier _),
     // the five Flask-endpoint shapes
     "q_price_chart" -> (Analytics.priceChart _),
     "q_ohlc_resample" -> (Analytics.ohlcResample _),
@@ -627,6 +628,23 @@ object SparkEntry {
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_range_window" ->
       """SELECT user_id, event_type, ts, event_id,

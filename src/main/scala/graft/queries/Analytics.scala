@@ -231,6 +231,39 @@ object Analytics {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape — the six-table join/reorder showcase: lineitem ⋈
+    * orders ⋈ customer shuffle on their keys, while supplier and the
+    * region-filtered nation dim are broadcast. Revenue is summed in
+    * DECIMAL: a per-NATION double sum over thousands of rows differs
+    * between engines at the ulp and 6dp rounding sits inside that noise;
+    * decimal sums are exact and identical everywhere. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") -
+          dec(col("l_discount")))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   // --------------------------------------------------------------------
   // scalar-function pack (C1-C11) — exercised as one projection query
   // --------------------------------------------------------------------

@@ -64,6 +64,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q5: dims broadcast, facts shuffle, no cross products") {
+    val df = Analytics.q5LocalSupplier(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // supplier and the region-filtered nation dim ride as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the order-date range reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("shingle self-joins shuffle on the key — never broadcast an explode") {
     // Catalyst sizes a Generate by its parquet child, so without the
     // shuffle_hash hints it would broadcast the whole exploded shingle /
