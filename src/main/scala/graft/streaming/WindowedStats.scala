@@ -27,6 +27,26 @@ object WindowedStats {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicates("coin_id", "exchange", "timestamp")
 
+  /** Streaming sessionization — the streaming twin of the batch
+    * gaps-and-islands query (Analytics.sessionize, q_sessionize): Spark's
+    * `session_window` merges events within `gap` of each other into one
+    * growing window per key; a session is emitted once the watermark
+    * passes gap past its last event. State per key is one open session,
+    * evicted on emit — bounded regardless of stream length. Works on
+    * batch frames identically (the equivalence the spec asserts). */
+  def sessionStats(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Tumbling per-exchange OHLC-ish stats: count / avg / min / max price
     * per (window, exchange). In append output mode a window emits once,
     * when the watermark passes its end. */

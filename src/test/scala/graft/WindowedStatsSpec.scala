@@ -75,4 +75,42 @@ class WindowedStatsSpec extends SparkSpec {
       (Timestamp.valueOf("2024-01-01 00:00:00"), 2L),
       (Timestamp.valueOf("2024-01-01 00:05:00"), 1L)))
   }
+
+  test("streaming session windows merge within-gap events and emit on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = WindowedStats.sessionStats(
+        mem.toDF().toDF("user_id", "ts"), gap = "10 minutes",
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def ev(u: Long, min: Int) = (u, Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"))
+    try {
+      // one user: burst at 00:00-00:08, then silence past the gap
+      mem.addData(ev(1, 0), ev(1, 5), ev(1, 8))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0) // session still open
+      // event at 00:59 -> watermark 00:54 > 00:18 session end -> emit
+      mem.addData(ev(1, 59))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .selectExpr("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      assert(rows.toSeq === Seq((1L,
+        Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-01 00:18:00"), // last event + gap
+        3L)))
+    } finally q.stop()
+  }
+
+  test("session windows on a batch frame match the same grouping semantics") {
+    val batch = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:05:00"),
+      (1L, "2024-01-01 00:40:00"), (2L, "2024-01-01 00:00:00"))
+      .map { case (u, t) => (u, Timestamp.valueOf(t)) }
+      .toDF("user_id", "ts")
+    val out = WindowedStats.sessionStats(batch, gap = "10 minutes")
+      .orderBy("user_id", "session_start")
+      .selectExpr("user_id", "n_events").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
 }
