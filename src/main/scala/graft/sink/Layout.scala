@@ -78,8 +78,10 @@ object Layout {
     * only a global min/max, not a sort). */
   def quantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
     val cells = 1 << bits
-    least(lit(cells - 1), greatest(lit(0),
-      floor((c.cast("double") - lo) / ((hi - lo) / cells)).cast("long")))
+    val step = (hi - lo) / cells
+    if (step <= 0) lit(0L) // constant (or empty) dim: one cell, not NaN
+    else least(lit(cells - 1L), greatest(lit(0L),
+      floor((c.cast("double") - lo) / step).cast("long")))
   }
 
   /** Z-order-clustered write: quantize the two dims (one min/max agg),
@@ -96,7 +98,8 @@ object Layout {
       min(col(dimX).cast("double")), max(col(dimX).cast("double")),
       min(col(dimY).cast("double")), max(col(dimY).cast("double"))).head()
     val (loX, hiX, loY, hiY) =
-      (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+      if (mm.isNullAt(0)) (0.0, 0.0, 0.0, 0.0) // empty input: degenerate grid
+      else (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
     df.withColumn("__z", mortonCode(
         quantize(col(dimX), loX, hiX, bits),
         quantize(col(dimY), loY, hiY, bits), bits))
