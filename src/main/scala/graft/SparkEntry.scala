@@ -100,6 +100,7 @@ object SparkEntry {
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
+    "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)), // rows-only (sketch)
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_profile" -> (Analytics.profileTable _),

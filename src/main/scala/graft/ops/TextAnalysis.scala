@@ -266,6 +266,22 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy hitters over the token stream via the frequent-items sketch
+    * (`approx_top_k`, Apache DataSketches under the hood): the top-k
+    * terms WITHOUT shuffling per-term counts — executors keep a bounded
+    * sketch, partials merge associatively, only k rows leave the
+    * aggregation. The mergeable, bounded-memory alternative to
+    * [[vocab]]'s exact groupBy for interactive corpus telemetry at
+    * 100 TB. Rows-only check (sketch internals differ across engines);
+    * VocabSpec asserts exactness against true counts while the term
+    * cardinality is under sketch capacity. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .select(expr(s"inline(approx_top_k(term, $k))"))
+      .select(col("item").as("term"), col("count").as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+
   /** Within-document repetition metrics — the third axis of cheap quality
     * filtering after length/stopwords ([[qualityScore]]) and corpus-level
     * dedup: type-token ratio (distinct/total tokens; low = repetitive),

@@ -8,7 +8,8 @@ class ContractSpec extends SparkSpec {
   /** Queries intentionally without an oracle: sketch outputs that no
     * other engine reproduces bit-for-bit. The driver records a rows-only
     * check for these; everything else must be fully oracle-gated. */
-  private val rowsOnly = Set("q_approx_distinct", "q_sketch_merge")
+  private val rowsOnly =
+    Set("q_approx_distinct", "q_sketch_merge", "q_heavy_hitters")
 
   test("every query has an oracle (or a declared rows-only reason)") {
     val q = SparkEntry.queries.keySet

@@ -38,6 +38,23 @@ class VocabSpec extends SparkSpec {
     assert(c.toSeq === c2.toSeq)
   }
 
+  test("heavy hitters: sketch counts are exact while cardinality fits capacity") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.heavyHitters(spark, sf, k = 10)
+      .as[(String, Long)].collect()
+    assert(got.length === 10)
+    val exact = graft.util.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    // every reported count is the true count (vocab << sketch capacity)
+    got.foreach { case (term, cnt) => assert(exact(term) === cnt, term) }
+    // and the selection is a valid top-k under ties: every reported count
+    // is >= the (k+1)-th largest true count
+    val boundary = exact.values.toSeq.sorted(Ordering[Long].reverse)
+      .drop(10).headOption.getOrElse(0L)
+    got.foreach { case (_, cnt) => assert(cnt >= boundary) }
+  }
+
   test("profile: one row per column, exact counts on lineitem") {
     val p = Analytics.profileTable(spark, sf)
       .as[(String, Long, Long, Long, Double, Double, Double)].collect()
