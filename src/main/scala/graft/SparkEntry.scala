@@ -87,6 +87,7 @@ object SparkEntry {
     "q_outliers" -> (Analytics.outliers _),
     "q_stratified_sample" -> (Analytics.stratifiedSample _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
+    "q_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -925,6 +926,29 @@ object SparkEntry {
         |      FROM embeddings, q WHERE vec_id <> 0),
         |r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM s)
         |SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |qz AS (SELECT vec_id, v,
+        |        list_transform(v, x -> CASE WHEN ma = 0 THEN 0.0
+        |          ELSE round(x * 127.0 / ma) END) AS q8
+        |       FROM m),
+        |qq AS (SELECT q8 AS qq8, v AS qv FROM qz WHERE vec_id = 0),
+        |s AS (SELECT z.vec_id, z.v,
+        |        CAST(list_inner_product(z.q8, qq.qq8) AS BIGINT) AS qscore
+        |      FROM qz z CROSS JOIN qq WHERE z.vec_id <> 0),
+        |pool AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (ORDER BY qscore DESC, vec_id) AS prnk
+        |    FROM s) WHERE prnk <= 30),
+        |rr AS (SELECT p.vec_id, p.qscore,
+        |        round(list_cosine_similarity(p.v, qq.qv), 6) AS cos
+        |      FROM pool p CROSS JOIN qq),
+        |fin AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk
+        |        FROM rr)
+        |SELECT rnk, vec_id, cos, qscore FROM fin WHERE rnk <= 10
+        |ORDER BY rnk""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

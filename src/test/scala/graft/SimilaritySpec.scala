@@ -23,6 +23,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("quantized ANN: high recall vs exact top-k; codes stay in int8 range") {
+    import org.apache.spark.sql.functions._
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.quantizedTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(quant.size === 10)
+    assert(exact.intersect(quant).size >= 8, // int8 loses little at d=64
+      s"recall ${exact.intersect(quant).size}/10")
+    // every quantized code is within [-127, 127]
+    val bad = Similarity.vecs(spark, sf)
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q8", transform(col("v"), x =>
+        when(col("ma") === 0, lit(0.0)).otherwise(round(x * 127.0 / col("ma")))))
+      .filter(exists(col("q8"), c => abs(c) > 127))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("k-means: iterations keep k stable centroids and tighten the clustering") {
     import org.apache.spark.sql.functions._
     def cost(cents: org.apache.spark.sql.DataFrame): Double = {
