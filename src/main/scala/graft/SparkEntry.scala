@@ -58,6 +58,8 @@ object SparkEntry {
     "q_unpivot" -> (Analytics.unpivotPart _),
     "q_window_funcs" -> (Analytics.windowFuncs _),
     "q_range_window" -> (Analytics.rangeWindow _),
+    "q_checksum" -> (Analytics.tableChecksum _),
+    "q_snapshot_diff" -> (Analytics.snapshotDiff _),
     "q_scalar_pack2" -> (Analytics.scalarPack2 _),
     "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
@@ -630,6 +632,47 @@ object SparkEntry {
         |        ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rnk = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_checksum" ->
+      """WITH c AS (
+        |  SELECT md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
+        |    || '|' || CAST(l_suppkey AS VARCHAR)
+        |    || '|' || CAST(l_linenumber AS VARCHAR)
+        |    || '|' || CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+        |    || '|' || CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+        |    || '|' || CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR)
+        |    || '|' || CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR)
+        |    || '|' || l_returnflag || '|' || l_linestatus
+        |    || '|' || CAST(epoch_us(l_shipdate) AS VARCHAR)) AS h
+        |  FROM lineitem),
+        |v AS (SELECT CAST(list_sum(list_transform(range(1, 9),
+        |        i -> (strpos('0123456789abcdef',
+        |                substr(h, CAST(i AS INTEGER), 1)) - 1)
+        |             * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) AS hv
+        |      FROM c)
+        |SELECT count(*) AS n_rows, CAST(sum(hv) AS BIGINT) AS checksum
+        |FROM v""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH new_side AS (
+        |  SELECT o_orderkey AS k,
+        |    md5(o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR)) AS h_new
+        |  FROM orders),
+        |old_side AS (
+        |  SELECT o_orderkey AS k,
+        |    md5(CASE WHEN o_orderkey % 31 = 0 THEN 'STALE'
+        |             ELSE o_orderstatus END
+        |        || '|' || CAST(o_totalprice AS VARCHAR)) AS h_old
+        |  FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT status, count(*) AS n_keys FROM (
+        |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |              WHEN h_new IS NULL THEN 'removed'
+        |              WHEN h_old <> h_new THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM new_side FULL OUTER JOIN old_side USING (k))
+        |GROUP BY status
+        |ORDER BY status""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

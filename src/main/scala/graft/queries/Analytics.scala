@@ -763,6 +763,68 @@ object Analytics {
       .orderBy(col("col_name"))
   }
 
+  /** Engine-portable table checksum: an order-independent fingerprint
+    * (row count + SUM of a 32-bit slice of each row's md5) any engine can
+    * reproduce — THE verification primitive for a migration like this
+    * repo itself (reference engine → Spark): run on both sides, compare
+    * two numbers instead of terabytes. Integer sums are exact and
+    * commutative, so partitioning/order never changes the result; md5 is
+    * available everywhere (unlike engine-native hash functions). One
+    * map-side pass + a scalar aggregate. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, TimestampNTZType, TimestampType}
+    val li = Tables.lineitem(spark, dir)
+    // canonical engine-portable string per column: timestamps as epoch
+    // micros (render formats differ across engines), doubles as integer
+    // CENTS — round(x*100) is portable because halves are exactly
+    // representable at scale 0, whereas a direct 2-dp decimal cast
+    // diverges (Java rounds the shortest string repr, e.g. "0.145" ->
+    // 0.15, DuckDB rounds the binary value -> 0.14). Everything else as
+    // its plain string cast.
+    val canon = li.schema.fields.map { f =>
+      val c = f.dataType match {
+        case TimestampType | TimestampNTZType => // NTZ reads as wall-clock;
+          // the session is pinned UTC so the micros are engine-identical
+          unix_micros(col(f.name).cast("timestamp")).cast("string")
+        case DoubleType => round(col(f.name) * 100).cast("long").cast("string")
+        case _ => col(f.name).cast("string")
+      }
+      coalesce(c, lit("~null~"))
+    }
+    li.select(conv(substring(md5(concat_ws("|", canon.toSeq: _*)), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+      .select(col("n_rows"), col("checksum"))
+  }
+
+  /** Keyed snapshot diff — the CDC/reconciliation shape: classify every
+    * key as added / removed / changed / unchanged between two table
+    * versions via ONE full outer join on the key with row-hash
+    * comparison (never two scans per class). Versions are simulated
+    * deterministically from `orders`: the "old" snapshot is missing 1/97
+    * of keys and carries a stale status on 1/31 of them. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val hash = (st: Column) => md5(st)
+    val newSide = base.select(col("o_orderkey").as("k"),
+      hash(concat_ws("|", col("o_orderstatus"), col("o_totalprice"))).as("h_new"))
+    val oldSide = base
+      .filter(pmod(col("o_orderkey"), lit(97)) =!= 0) // 1/97 not yet ingested
+      .select(col("o_orderkey").as("k"),
+        hash(concat_ws("|",
+          when(pmod(col("o_orderkey"), lit(31)) === 0, lit("STALE"))
+            .otherwise(col("o_orderstatus")),
+          col("o_totalprice"))).as("h_old"))
+    newSide.join(oldSide, Seq("k"), "full_outer")
+      .select(when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") =!= col("h_new"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("status"))
+  }
+
   /** Event-time RANGE window frame: per user, the trailing-1-hour sum and
     * count of `value` — a TIME-based sliding aggregate (all events within
     * the hour, however many), which no ROWS frame can express. Ordering

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Analytics
+import graft.util.Tables
+
+/** Reconciliation primitives: table checksum + keyed snapshot diff. */
+class ReconSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checksum is order-invariant but flips on any single-value change") {
+    val dir = java.nio.file.Files.createTempDirectory("recon").toString
+    val li = Tables.lineitem(spark, sf)
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val base = Analytics.tableChecksum(spark, sf).as[(Long, Long)].head()
+    // same rows, different physical order/partitioning -> same checksum
+    val reparted = Analytics.tableChecksum(spark, dir).as[(Long, Long)].head()
+    assert(reparted === base)
+    // one mutated value -> same row count, different checksum
+    val dir2 = java.nio.file.Files.createTempDirectory("recon2").toString
+    val (k0, ln0) = li.select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .as[(Long, Int)].head()
+    li.withColumn("l_quantity",
+        when(col("l_orderkey") === k0 && col("l_linenumber") === ln0,
+          col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      .write.parquet(s"$dir2/lineitem.parquet")
+    val mutated = Analytics.tableChecksum(spark, dir2).as[(Long, Long)].head()
+    assert(mutated._1 === base._1)
+    assert(mutated._2 !== base._2)
+  }
+
+  test("snapshot diff classes carry exactly the engineered drift") {
+    val counts = Analytics.snapshotDiff(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).as[Long].collect()
+    val added = keys.count(_ % 97 == 0).toLong
+    val changed = keys.count(k => k % 97 != 0 && k % 31 == 0).toLong
+    val unchanged = keys.length - added - changed
+    assert(counts.getOrElse("added", 0L) === added)
+    assert(counts.getOrElse("changed", 0L) === changed)
+    assert(counts.getOrElse("unchanged", 0L) === unchanged)
+    assert(!counts.contains("removed")) // old side is a strict subset
+  }
+}
