@@ -75,6 +75,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark injects a bloom filter built from the selective dim side into
+    // the fact scan (runtime row-level pruning BEFORE the shuffle) — at
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~matching slice. Thresholds lowered to
+    // demo scale; result must stay exact.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep a shuffle join
+      val li = graft.util.Tables.lineitem(spark, sf)
+      val sel = graft.util.Tables.part(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("p_partkey") % 100 === 0)
+        .select("p_partkey")
+      val joined = li.join(sel,
+        li("l_partkey") === sel("p_partkey"))
+      val n = joined.collect().length
+      val expectKeys = sel.collect().map(_.getLong(0)).toSet
+      val expect = li.select("l_partkey").collect()
+        .count(r => expectKeys.contains(r.getLong(0)))
+      assert(n === expect)
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter in:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("shingle self-joins shuffle on the key — never broadcast an explode") {
     // Catalyst sizes a Generate by its parquet child, so without the
     // shuffle_hash hints it would broadcast the whole exploded shingle /
