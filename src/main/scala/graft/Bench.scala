@@ -29,7 +29,10 @@ object Bench {
     // min of two timed runs per query: the first run can absorb codegen
     // compilation and GC debt from earlier queries; the min is the stable
     // estimate of actual query cost
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted by name: a stable execution order keeps per-query timings
+    // comparable across rounds (map hash order reshuffles whenever a
+    // query is added, which moves GC/warmup debt between queries)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -39,7 +42,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
