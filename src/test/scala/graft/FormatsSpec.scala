@@ -38,6 +38,27 @@ class FormatsSpec extends SparkSpec {
   test("csv roundtrip is lossless")(roundtrip("csv"))
   test("orc roundtrip is lossless")(roundtrip("orc"))
 
+  test("parquet schema evolution: mergeSchema unifies old and new writers") {
+    // the ingestion reality at scale: yesterday's files lack the column
+    // today's writer added; one read must span both generations
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("fmt-evolve")
+    try {
+      sample.select("event_id", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      sample.select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("value"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      val unified = spark.read.option("mergeSchema", "true")
+        .parquet(dir.toString)
+      assert(unified.columns.toSet === Set("event_id", "user_id", "value", "gen"))
+      assert(unified.count() === sample.count() * 2)
+      // old-generation rows surface the new column as null
+      assert(unified.filter(col("gen") === 1 && col("value").isNotNull).count() === 0)
+      assert(unified.filter(col("gen") === 2 && col("value").isNull).count() === 0)
+    } finally rmTree(dir)
+  }
+
   test("csv with header infers and reads the same row count") {
     val dir = Files.createTempDirectory("fmt-csvh")
     try {
