@@ -232,8 +232,16 @@ object Dedup {
     * Returns the surviving documents. */
   def dedupSurvivors(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // candidates are small by construction and read three times (both
+    // pair columns + the id set) — materialize once
     val cand = lshCandidates(spark, dir).select(col("id_a"), col("id_b"))
-    val sh = shinglesWithCard(docs)
+      .localCheckpoint()
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    // restrict the shingle stream to candidate documents BEFORE any
+    // shuffle: the broadcast semi-join filters map-side, so the verify
+    // exchanges carry only the candidate slice, not the whole corpus
+    val sh = shinglesWithCard(docs).join(broadcast(ids), Seq("doc_id"), "left_semi")
     // LSH candidates are the bounded set by construction — broadcast them
     // so verification stays map-side against the shingle stream
     val verified = verifyPairs(broadcast(cand), sh, tau)
