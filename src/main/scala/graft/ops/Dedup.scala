@@ -54,12 +54,24 @@ object Dedup {
     spread(docs).select(col("doc_id"), explode(gramArray(n)).as("s"))
 
   /** Shingles with the document's shingle-set cardinality riding along:
-    * (doc_id, c, s). Still zero shuffles — `c` is computed from the same
-    * in-row array the explode reads. */
+    * (doc_id, c, s). `c` is a window count over the exploded stream (the
+    * in-row array is distinct, so count = cardinality). The window costs
+    * one doc_id shuffle, but the naive in-row alternative — projecting
+    * the gram array and taking `size(...)` next to the `explode(...)` —
+    * measured ~9x slower: Catalyst inlines the projection into both
+    * consumers and the interpreted higher-order gram lambda re-evaluates
+    * per reference. Shuffling 30-byte rows beats re-running the lambda. */
   def shinglesWithCard(docs: DataFrame, n: Int = 3): DataFrame =
-    spread(docs).select(col("doc_id"), gramArray(n).as("dg"))
-      .select(col("doc_id"), size(col("dg")).cast("long").as("c"),
-        explode(col("dg")).as("s"))
+    withCard(shingles(docs, n))
+
+  /** Attach the per-doc shingle count to an already-exploded (and
+    * in-row-distinct) shingle stream. Split out so callers can prune the
+    * stream (e.g. a broadcast semi-join on candidate ids) BEFORE the
+    * window shuffle. */
+  def withCard(sh: DataFrame): DataFrame =
+    sh.withColumn("c",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("c"), col("s"))
 
   /** Exact-duplicate groups: canonical (min) doc id + group size per
     * distinct content hash. */
@@ -239,9 +251,11 @@ object Dedup {
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
     // restrict the shingle stream to candidate documents BEFORE any
-    // shuffle: the broadcast semi-join filters map-side, so the verify
-    // exchanges carry only the candidate slice, not the whole corpus
-    val sh = shinglesWithCard(docs).join(broadcast(ids), Seq("doc_id"), "left_semi")
+    // shuffle: the broadcast semi-join filters map-side, so the card
+    // window and the verify exchanges carry only the candidate slice,
+    // not the whole corpus
+    val sh = withCard(
+      shingles(docs).join(broadcast(ids), Seq("doc_id"), "left_semi"))
     // LSH candidates are the bounded set by construction — broadcast them
     // so verification stays map-side against the shingle stream
     val verified = verifyPairs(broadcast(cand), sh, tau)
