@@ -60,6 +60,7 @@ object SparkEntry {
     "q_range_window" -> (Analytics.rangeWindow _),
     "q_checksum" -> (Analytics.tableChecksum _),
     "q_snapshot_diff" -> (Analytics.snapshotDiff _),
+    "q_incremental_agg" -> (Analytics.incrementalAgg _),
     "q_scalar_pack2" -> (Analytics.scalarPack2 _),
     "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
@@ -79,6 +80,7 @@ object SparkEntry {
     // all-pairs — not a useful bench query here
     "q_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "q_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
+    "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q_winnow" -> ((s, d) => Dedup.winnowSummary(s, d)),
     "q_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     // LLM-pipeline: similarity search
@@ -103,6 +105,7 @@ object SparkEntry {
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
+    "q_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)), // rows-only (sketch)
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -962,6 +965,23 @@ object SparkEntry {
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, centroid_id FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rnk
+        |    FROM e CROSS JOIN cents c) WHERE rnk = 1),
+        |dropped AS (SELECT DISTINCT a.vec_id
+        |            FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+        |              AND b.vec_id < a.vec_id
+        |            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+        |SELECT a.vec_id, a.centroid_id,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
     "q_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |s AS (SELECT vec_id,
@@ -1115,6 +1135,36 @@ object SparkEntry {
         |                            '\s+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS n_stop,
+        |    length(text) AS nc,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    -1.0 + 4.0 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        |         + 0.3 * (CAST(nc - (n_tokens - 1) AS DOUBLE) / n_tokens)
+        |         - 8.0 * (CAST(n_punct AS DOUBLE) / nc)
+        |         + 0.002 * CAST(n_tokens AS DOUBLE) AS logit
+        |  FROM f)
+        |SELECT doc_id, round(logit, 6) AS logit,
+        |  CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(epoch_us(ts)) AS first_us,
+        |  max(epoch_us(ts)) AS last_us
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -362,6 +362,45 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then look for
+    * near-duplicates ONLY within a cluster — pairwise work drops from
+    * O(n²) to O(n²/k), and k grows with the corpus so each cluster's
+    * pair-join stays bounded at 100 TB. Clustering reuses
+    * [[Similarity.ivfAssign]] (deterministic first-`nlist` seed
+    * centroids, broadcast assignment — the corpus never shuffles by
+    * cluster); a vector is DROPPED when a lower-id member of its own
+    * cluster has cosine ≥ `tau`, so exactly one representative (the min
+    * id) survives each greedy duplicate chain.
+    *
+    * Returns every vector: (vec_id, centroid_id, keep ∈ {0,1}). The
+    * pair probe is a broadcast self-join exactly like
+    * [[embeddingNearDups]] — the left side stays N-way parallel, and at
+    * scale the broadcast side is one cluster's bucket, not the corpus. */
+  def semanticDedup(spark: SparkSession, dir: String, nlist: Int = 8,
+      tau: Double = 0.35): DataFrame = {
+    val asg = Similarity.ivfAssign(spark, dir, nlist)
+      .select(col("vec_id"), col("centroid_id"), col("v"), col("nrm"))
+    val a = asg.repartition(spark.sparkContext.defaultParallelism).as("a")
+    val b = broadcast(asg.select(col("vec_id").as("b_vec_id"),
+      col("centroid_id").as("b_centroid_id"), col("v").as("b_v"),
+      col("nrm").as("b_nrm")))
+    // round-then-compare mirrors the oracle exactly (6-dp cosine is the
+    // cross-engine-stable value; the raw double is not a contract)
+    val dropped = a.join(b,
+        col("a.centroid_id") === col("b_centroid_id") &&
+        col("b_vec_id") < col("a.vec_id") &&
+        round(Similarity.cosinePrenormed(
+          col("a.v"), col("b_v"), col("a.nrm"), col("b_nrm")), 6) >= tau,
+        "left_semi")
+      .select(col("vec_id"))
+    asg.select(col("vec_id"), col("centroid_id"))
+      .join(broadcast(dropped.withColumn("is_dup", lit(1L))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Generic drop-duplicates-keep-first on arbitrary key columns — the
     * upsert/dedup primitive the sink router uses (models the reference's
     * Cassandra last-write-wins PK semantics, SURVEY.md §1.1). */

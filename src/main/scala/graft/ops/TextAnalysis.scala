@@ -120,6 +120,28 @@ object TextAnalysis {
         rollingHash(col("text")).as("rhash"))
       .orderBy(col("doc_id"))
 
+  /** Linear quality-classifier inference pass — the fasttext-style
+    * model-scoring stage of a data pipeline, as pure column algebra: a
+    * fixed-weight logit over the cheap text features, and the keep
+    * decision `logit > 0` (≡ sigmoid(logit) > 0.5, so no transcendental
+    * function sits on the cross-engine comparison path — +,*,/ on
+    * doubles are IEEE-exact and portable, exp() is not). Zero shuffle:
+    * one projection over the scan, exactly how a 100 TB scoring pass
+    * should run; real model weights would arrive broadcast the same
+    * way. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val logit = lit(-1.0) +
+      lit(4.0) * stopwordRatio(t) +
+      lit(0.3) * avgWordLen(t) -
+      lit(8.0) * punctRatio(t) +
+      lit(0.002) * tokenCount(t).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), round(logit, 6).as("logit"),
+        when(logit > 0, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document split assignment + normalized-content fingerprint. */
   def splitAssignments(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Similarity}
+import graft.util.Tables
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -138,6 +139,23 @@ class DedupSpec extends SparkSpec {
         .forEach(f => java.nio.file.Files.delete(f))
       finally walk.close()
     }
+  }
+
+  test("semantic dedup: min-id per cluster always survives; drops have an in-cluster witness") {
+    val out = Dedup.semanticDedup(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val docs = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong === docs) // every vector classified exactly once
+    assert(out.forall(r => r._3 == 0L || r._3 == 1L))
+    // greedy keep-lowest-id: the minimum id of each cluster can have no
+    // lower-id duplicate, so it must be kept
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val minId = members.map(_._1).min
+      assert(members.find(_._1 == minId).get._3 === 1L)
+    }
+    // at least one near-dup must exist in this corpus (embeddingNearDups
+    // finds cross-corpus pairs at the same tau)
+    assert(out.exists(_._3 == 0L))
   }
 
   test("keepLatest keeps exactly one row per key, newest first") {

@@ -45,4 +45,19 @@ class ReconSpec extends SparkSpec {
     assert(counts.getOrElse("unchanged", 0L) === unchanged)
     assert(!counts.contains("removed")) // old side is a strict subset
   }
+
+  test("incremental agg merge is lossless: state+delta equals full recompute") {
+    val merged = Analytics.incrementalAgg(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val full = Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(merged === full)
+  }
 }

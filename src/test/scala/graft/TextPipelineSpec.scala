@@ -125,4 +125,17 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out.toSeq === Seq((0L, 1L, 0.0), (1L, 1L, 0.0)))
   }
+
+  test("quality classifier: keep is exactly logit>0, one row per doc, no shuffle") {
+    val df = TextAnalysis.qualityClassifier(spark, sf)
+    val out = df.as[(Long, Double, Long)].collect()
+    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    assert(out.forall { case (_, logit, keep) =>
+      keep == (if (logit > 0) 1L else 0L)
+    })
+    // a scoring pass must not shuffle: inference is a pure projection
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"classifier plan shuffles:\n$plan")
+  }
 }
