@@ -106,6 +106,10 @@ object SparkEntry {
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    "q_weighted_sample" -> (TextAnalysis.weightedSample _),
+    "q_inverted_index" -> (TextAnalysis.invertedIndex _),
+    "q_lang_quota" -> ((s, d) => TextAnalysis.langQuota(s, d)),
+    "q_compaction_plan" -> ((s, d) => graft.sink.Layout.compactionPlan(s, d)),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)), // rows-only (sketch)
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1156,6 +1160,54 @@ object SparkEntry {
         |  CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM s
         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |m AS (SELECT min(n_src) AS n_min FROM c),
+        |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / n_src) AS keep_rate
+        |      FROM c, m)
+        |SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate,
+        |  CAST(CASE WHEN ('0x' || substr(md5('wsam|' || d.doc_id), 1, 8))::UBIGINT
+        |                 / 4294967296.0 < r.keep_rate
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d JOIN r USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH posts AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents)
+        |SELECT term, doc_id,
+        |  CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS n_occ,
+        |  CAST(list_position(toks, term) AS BIGINT) AS first_pos,
+        |  count(*) OVER (PARTITION BY term) AS df
+        |FROM posts
+        |ORDER BY term, doc_id""".stripMargin,
+
+    "q_lang_quota" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('lq|' || doc_id), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH s AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |           FROM documents GROUP BY source, lang),
+        |c AS (SELECT source, lang, bytes,
+        |        CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS cum_before
+        |      FROM s),
+        |b AS (SELECT source, lang, bytes, CAST(cum_before // 4000 AS BIGINT) AS bin
+        |      FROM c)
+        |SELECT source, lang, bytes, bin,
+        |  CAST(sum(bytes) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_bytes
+        |FROM b
+        |ORDER BY source, lang""".stripMargin,
 
     "q_incremental_agg" ->
       """SELECT user_id, count(*) AS n_events,

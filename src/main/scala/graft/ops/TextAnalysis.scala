@@ -142,6 +142,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based source rebalancing (the data-mixing resampler of
+    * multilingual/multi-source pretraining, XLM-style α-sampling): source
+    * s keeps fraction (n_min/n_s)^(1-α) of its documents, so the rarest
+    * source keeps everything and head sources are downsampled toward the
+    * tempered distribution n^α. The keep decision is a deterministic
+    * hash-uniform u(doc) < rate(source): stable across runs/partitioning,
+    * and only sqrt sits on the comparison path (IEEE-correctly-rounded in
+    * every engine — pow(x, 0.5) is NOT, which is why α is fixed at 0.5).
+    * Dataflow: one tiny per-source count agg, broadcast back, then a pure
+    * map-side filter pass — the 100 TB scan never shuffles. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_src")).as("n_min"))))
+      .select(col("source"),
+        sqrt(col("n_min").cast("double") / col("n_src").cast("double"))
+          .as("keep_rate"))
+    val u = conv(substring(md5(concat(lit("wsam|"), col("doc_id"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        round(col("keep_rate"), 6).as("keep_rate"),
+        when(u < col("keep_rate"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Inverted-index build: one posting row per (term, doc) with occurrence
+    * count, first position (1-based), and the term's document frequency.
+    * posexplode → partial-agg groupBy is the scalable shape (map-side
+    * combine collapses repeated terms before the shuffle); df rides a
+    * window over the already-grouped posting list, so the second pass
+    * shuffles postings, never raw token occurrences. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        (min(col("pos")) + lit(1)).cast("long").as("first_pos"))
+    posts
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  /** Per-language quota sampling: keep at most `k` documents per language,
+    * chosen by deterministic hash order (md5 of a salted doc_id) so the
+    * selection is a stable uniform sample, not head-of-table bias.
+    * Two-stage exact top-k: each (lang, shard) keeps its local k smallest
+    * order keys, then one window over the ≤ 16k survivors per language
+    * picks the global k — the global top-k is always contained in the
+    * union of per-shard top-ks, so this equals the single-window result
+    * while never materializing a whole language in one partition (the
+    * skew killer when one language is half the corpus at 100 TB). */
+  def langQuota(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("lq|"), col("doc_id"))).as("okey"))
+      .withColumn("shard", substring(col("okey"), 1, 1))
+    val local = keyed
+      .withColumn("lrk", row_number().over(Window
+        .partitionBy(col("lang"), col("shard"))
+        .orderBy(col("okey"), col("doc_id"))))
+      .filter(col("lrk") <= k)
+    local
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("lang")).orderBy(col("okey"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Per-document split assignment + normalized-content fingerprint. */
   def splitAssignments(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

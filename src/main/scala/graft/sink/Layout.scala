@@ -109,6 +109,34 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction planner (the OPTIMIZE step of a lakehouse
+    * table): roll per-(source, lang) shard sizes up from the documents
+    * table, then assign shards to target-size output bins by a
+    * partitioned prefix sum — bin = bytes-written-before-me div target,
+    * so every bin except the last per source holds ≥ target bytes once
+    * its first spilling shard lands. The prefix sum is partitioned by
+    * `source`, so at 100 TB each source plans its compaction
+    * independently in parallel; there is no global cumulative-sum
+    * bottleneck, and the plan is pure integer column algebra (no driver
+    * loop over a file listing). */
+  def compactionPlan(spark: SparkSession, dir: String,
+      target: Long = 4000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = graft.util.Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shards
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(cum), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .withColumn("bin_bytes", sum(col("bytes"))
+        .over(Window.partitionBy(col("source"), col("bin"))))
+      .select(col("source"), col("lang"), col("bytes"), col("bin"),
+        col("bin_bytes"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Read one key's slice: date partitions pruned by range, bucket
     * partitions pruned by the key hash. */
   def readKey(spark: SparkSession, path: String, keyCols: Seq[String],

@@ -126,6 +126,43 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L, 0.0), (1L, 1L, 0.0)))
   }
 
+  test("weighted sample: rarest source keeps everything, head sources thin out") {
+    val out = TextAnalysis.weightedSample(spark, sf)
+      .as[(Long, String, Double, Long)].collect()
+    val bySrc = out.groupBy(_._2)
+    val counts = bySrc.view.mapValues(_.length).toMap
+    val minN = counts.values.min
+    bySrc.foreach { case (src, docs) =>
+      val rate = docs.head._3
+      assert(docs.forall(_._3 == rate)) // one rate per source
+      if (counts(src) == minN) {
+        assert(rate === 1.0)
+        assert(docs.forall(_._4 == 1L)) // u < 1.0 always: rarest keeps all
+      } else {
+        assert(rate < 1.0 && rate > 0.0)
+      }
+      // empirical keep fraction tracks the rate (hash-uniform u)
+      val kept = docs.count(_._4 == 1L).toDouble / docs.length
+      assert(math.abs(kept - rate) < 0.35, s"$src kept=$kept rate=$rate")
+    }
+  }
+
+  test("lang quota: two-stage top-k equals the naive single-window selection") {
+    val out = TextAnalysis.langQuota(spark, sf, k = 7)
+      .as[(Long, String, Long)].collect()
+    assert(out.groupBy(_._2).values.forall(_.length <= 7))
+    val naive = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", md5(concat(lit("lq|"), $"doc_id")).as("okey"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"okey", $"doc_id")))
+      .filter($"rk" <= 7)
+      .select($"doc_id", $"lang", $"rk".cast("long"))
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._2, r._3)).toSeq ===
+      naive.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
   test("quality classifier: keep is exactly logit>0, one row per doc, no shuffle") {
     val df = TextAnalysis.qualityClassifier(spark, sf)
     val out = df.as[(Long, Double, Long)].collect()

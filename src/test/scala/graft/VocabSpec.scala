@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.TextAnalysis
 import graft.queries.Analytics
+import graft.util.Tables
 
 class VocabSpec extends SparkSpec {
   import spark.implicits._
@@ -67,5 +68,23 @@ class VocabSpec extends SparkSpec {
       assert(dist > 0 && dist <= n)
       assert(mn <= avg && avg <= mx)
     }
+  }
+
+  test("inverted index: postings reconstruct token totals, df counts postings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idx = TextAnalysis.invertedIndex(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // Σ n_occ over all postings = total tokens in the corpus
+    val totalTokens = Tables.documents(spark, sf)
+      .select(sum(TextAnalysis.tokenCount(col("text")))).as[Long].head()
+    assert(idx.map(_._3).sum === totalTokens)
+    // df is the posting-list length of its term, same value on every row
+    idx.groupBy(_._1).foreach { case (_, posts) =>
+      assert(posts.forall(_._5 == posts.length.toLong))
+      assert(posts.map(_._2).distinct.length === posts.length) // one per doc
+    }
+    // first_pos is 1-based and within the doc
+    assert(idx.forall(_._4 >= 1L))
   }
 }
