@@ -403,7 +403,8 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_id,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_cents
         |FROM s
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,

@@ -562,7 +562,12 @@ object Analytics {
       .agg(min(col("ts")).as("session_start"),
            max(col("ts")).as("session_end"),
            count(lit(1)).as("n_events"),
-           round(sum(col("value")), 4).as("session_value"))
+           // integer cents, not round(sum(double), 4): a float sum's low
+           // bits depend on summation order (partitioning, engine thread
+           // count), and a 4-dp round can't hide a boundary-straddling
+           // ulp — the one hash flake in rounds 1-2. Cents are exact and
+           // order-independent.
+           sum(round(col("value") * 100).cast("long")).as("session_cents"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
