@@ -701,7 +701,7 @@ object SparkEntry {
 
     "q_range_window" ->
       """SELECT user_id, event_type, ts, event_id,
-        |  round(sum(value) OVER w, 6) AS hour_sum,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS hour_cents,
         |  count(*) OVER w AS hour_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)

@@ -842,7 +842,11 @@ object Analytics {
       .rangeBetween(-3600L * 1000000L, 0L)
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
-        round(sum(col("value")).over(w), 6).as("hour_sum"),
+        // integer cents: a windowed float sum's low bits depend on the
+        // engine's accumulation order, and 10k output rows give boundary
+        // ulps plenty of chances to flip a 6-dp round (the q_sessionize
+        // flake class)
+        sum(round(col("value") * 100).cast("long")).over(w).as("hour_cents"),
         count(lit(1)).over(w).as("hour_n"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
