@@ -61,6 +61,7 @@ object SparkEntry {
     "q_checksum" -> (Analytics.tableChecksum _),
     "q_snapshot_diff" -> (Analytics.snapshotDiff _),
     "q_incremental_agg" -> (Analytics.incrementalAgg _),
+    "q_exact_variance" -> (Analytics.exactVariance _),
     "q_scalar_pack2" -> (Analytics.scalarPack2 _),
     "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
@@ -1209,6 +1210,20 @@ object SparkEntry {
         |  CAST(sum(bytes) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_bytes
         |FROM b
         |ORDER BY source, lang""".stripMargin,
+
+    "q_exact_variance" ->
+      """WITH m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sum_cents,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq_cents
+        |  FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |  GROUP BY user_id)
+        |SELECT user_id, n, sum_cents,
+        |  round(CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 6) AS var_value
+        |FROM m
+        |WHERE n >= 2
+        |ORDER BY user_id""".stripMargin,
 
     "q_incremental_agg" ->
       """SELECT user_id, count(*) AS n_events,

@@ -908,6 +908,32 @@ object Analytics {
     * integer-cents sums (doubles canonicalized as round(x*100) BIGINT —
     * order-independent, engine-portable), epoch-µs min/max. The oracle is
     * the FULL recompute, so the hash match proves the merge lossless. */
+  /** Exact, reproducible variance via integer moments: canonicalize
+    * `value` to cents, aggregate (n, Σx, Σx²) with built-in long sums
+    * (whole-stage codegen, map-side combine — the Spark-first form of
+    * the typed [[graft.functions.ExactMoments]] Aggregator), and derive
+    * sample variance from the moments at the very end. Every quantity on
+    * the comparison path is either an exact integer or a single
+    * IEEE-rounded double op, so the result is bit-identical across runs,
+    * partitionings, and engines — float var_samp is none of those. At
+    * true 100 TB the Σx² sum belongs in DECIMAL(38,0); long covers this
+    * range with margin. */
+  def exactVariance(spark: SparkSession, dir: String): DataFrame = {
+    val c = round(col("value") * 100).cast("long")
+    Tables.events(spark, dir)
+      .select(col("user_id"), c.as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+        sum(col("c") * col("c")).as("sumsq_cents"))
+      .select(col("user_id"), col("n"), col("sum_cents"),
+        round((col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
+            .cast("double")
+          / (col("n") * (col("n") - lit(1L))).cast("double") / lit(10000.0), 6)
+          .as("var_value"))
+      .filter(col("n") >= 2)
+      .orderBy(col("user_id"))
+  }
+
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),

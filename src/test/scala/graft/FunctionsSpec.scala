@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactMoments
+import graft.queries.Analytics
+import graft.util.Tables
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ExactMoments aggregator equals the built-in integer moment sums") {
+    val cents = Tables.events(spark, sf)
+      .select($"user_id", round($"value" * 100).cast("long").as("c"))
+    val viaUdaf = cents.groupBy($"user_id")
+      .agg(udaf(ExactMoments, org.apache.spark.sql.Encoders.scalaLong)($"c").as("m"))
+      .select($"user_id", $"m._1".as("n"), $"m._2".as("s"), $"m._3".as("sq"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaBuiltin = cents.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"), sum($"c" * $"c").as("sq"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaUdaf === viaBuiltin)
+  }
+
+  test("moments merge is associative and order-free: shard partials combine exactly") {
+    val xs = Seq(3L, -7L, 12L, 0L, 5L, 5L, -1L)
+    val oneShot = xs.foldLeft(ExactMoments.zero)(ExactMoments.reduce)
+    // every split point and both merge orders give the same moments
+    (1 until xs.length).foreach { k =>
+      val (a, b) = xs.splitAt(k)
+      val pa = a.foldLeft(ExactMoments.zero)(ExactMoments.reduce)
+      val pb = b.foldLeft(ExactMoments.zero)(ExactMoments.reduce)
+      assert(ExactMoments.merge(pa, pb) === oneShot)
+      assert(ExactMoments.merge(pb, pa) === oneShot)
+      assert(ExactMoments.merge(pa, ExactMoments.zero) === pa)
+    }
+  }
+
+  test("exact variance is reproducible across repartitionings and tracks var_samp") {
+    val out = Analytics.exactVariance(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val out2 = Analytics.exactVariance(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === out2) // bit-identical rerun
+    // agreement with float var_samp up to float-accumulation noise
+    val ref = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(var_samp(round($"value" * 100) / 100.0).as("v"))
+      .as[(Long, Double)].collect().toMap
+    out.foreach { case (u, _, _, v) =>
+      assert(math.abs(v - ref(u)) < 1e-6 * math.max(1.0, math.abs(ref(u))),
+        s"user $u exact=$v float=${ref(u)}")
+    }
+  }
+}
