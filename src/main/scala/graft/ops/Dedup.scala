@@ -379,8 +379,13 @@ object Dedup {
     * scale the broadcast side is one cluster's bucket, not the corpus. */
   def semanticDedup(spark: SparkSession, dir: String, nlist: Int = 8,
       tau: Double = 0.35): DataFrame = {
+    // materialize the assignment once: it feeds BOTH sides of the pair
+    // probe plus the final keep-join, and exchange reuse does not fire
+    // reliably across self-join sides under AQE — un-checkpointed, the
+    // whole broadcast-assign pipeline ran three times
     val asg = Similarity.ivfAssign(spark, dir, nlist)
       .select(col("vec_id"), col("centroid_id"), col("v"), col("nrm"))
+      .localCheckpoint()
     val a = asg.repartition(spark.sparkContext.defaultParallelism).as("a")
     val b = broadcast(asg.select(col("vec_id").as("b_vec_id"),
       col("centroid_id").as("b_centroid_id"), col("v").as("b_v"),
