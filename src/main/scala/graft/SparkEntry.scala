@@ -62,6 +62,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (Analytics.snapshotDiff _),
     "q_incremental_agg" -> (Analytics.incrementalAgg _),
     "q_exact_variance" -> (Analytics.exactVariance _),
+    "q_equidepth_bins" -> (Analytics.equidepthBins _),
+    "q_length_buckets" -> (Analytics.lengthBuckets _),
     "q_scalar_pack2" -> (Analytics.scalarPack2 _),
     "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
@@ -1210,6 +1212,36 @@ object SparkEntry {
         |  CAST(sum(bytes) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_bytes
         |FROM b
         |ORDER BY source, lang""".stripMargin,
+
+    "q_equidepth_bins" ->
+      """WITH c AS (SELECT user_id, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, cents,
+        |        CAST(ntile(10) OVER (PARTITION BY user_id
+        |          ORDER BY cents, event_id) AS BIGINT) AS decile
+        |      FROM c)
+        |SELECT user_id, decile, count(*) AS n,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM d
+        |GROUP BY user_id, decile
+        |ORDER BY user_id, decile""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT n_tokens,
+        |        CASE WHEN n_tokens <= 1 THEN 1
+        |             ELSE CAST(1 << length(to_base(n_tokens - 1, 2)) AS BIGINT)
+        |        END AS bucket
+        |      FROM t)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(bucket * count(*) - sum(n_tokens) AS BIGINT) AS padding_tokens
+        |FROM b
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q_exact_variance" ->
       """WITH m AS (

@@ -908,6 +908,47 @@ object Analytics {
     * integer-cents sums (doubles canonicalized as round(x*100) BIGINT —
     * order-independent, engine-portable), epoch-µs min/max. The oracle is
     * the FULL recompute, so the hash match proves the merge lossless. */
+  /** Per-user equi-depth deciles of event value (cents): ntile(10) inside
+    * each user's partition, rolled up to per-(user, decile) stats — the
+    * curriculum/difficulty-binning shape. The window is PARTITIONED by
+    * user, so every key bins independently in parallel; a global ntile
+    * would force the whole table through one partition, which is why the
+    * corpus-wide flavor of this query belongs to the quantile sketch
+    * (q_sketch_merge), not to a rank window. Ties are broken by event_id
+    * so the binning is total-ordered and engine-portable. */
+  def equidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), cents.as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("user_id"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"), col("decile"))
+  }
+
+  /** Power-of-two sequence-length buckets: each document rounds up to the
+    * smallest power of two ≥ its token count (bucket = 1 << bitlength
+    * (n-1), pure integer algebra — no float log2 on the comparison
+    * path), with per-bucket doc/token totals and the padding waste a
+    * fixed-shape training batcher would pay. Zero-shuffle scan + one
+    * tiny agg; the bucket id is what a length-bucketed batching sampler
+    * shards on at scale. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("n_tokens") <= 1L, 1L)
+      .otherwise(expr("shiftleft(1L, length(bin(n_tokens - 1)))").cast("long"))
+    Tables.documents(spark, dir)
+      .select(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+      .select(bucket.as("bucket"), col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        (col("bucket") * count(lit(1)) - sum(col("n_tokens"))).as("padding_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact, reproducible variance via integer moments: canonicalize
     * `value` to cents, aggregate (n, Σx, Σx²) with built-in long sums
     * (whole-stage codegen, map-side combine — the Spark-first form of

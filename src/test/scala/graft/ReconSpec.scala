@@ -46,6 +46,34 @@ class ReconSpec extends SparkSpec {
     assert(!counts.contains("removed")) // old side is a strict subset
   }
 
+  test("equi-depth deciles: sizes differ by at most one, value-ordered, per user") {
+    val bins = Analytics.equidepthBins(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    bins.groupBy(_._1).foreach { case (_, ds) =>
+      val sizes = ds.map(_._3)
+      assert(sizes.max - sizes.min <= 1) // ntile balance
+      val ordered = ds.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1L to ordered.length).toSeq)
+      // non-decreasing across bins (ties may touch the boundary exactly)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4) // hi(d) <= lo(d+1)
+        case _ => ()
+      }
+    }
+  }
+
+  test("length buckets: power-of-two, tight (n in (b/2, b]), padding exact") {
+    val out = Analytics.lengthBuckets(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    out.foreach { case (b, nDocs, total, pad) =>
+      assert((b & (b - 1)) === 0L) // power of two
+      assert(pad === b * nDocs - total)
+      assert(total <= b * nDocs && total > b / 2 * nDocs) // every doc fits tightly
+    }
+    // bucket histogram covers every document exactly once
+    assert(out.map(_._2).sum === Tables.documents(spark, sf).count())
+  }
+
   test("incremental agg merge is lossless: state+delta equals full recompute") {
     val merged = Analytics.incrementalAgg(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
