@@ -34,6 +34,7 @@ object SparkEntry {
     // series / scalar surface
     "q_series_stats" -> (Analytics.seriesStats _),
     "q_topk_per_group" -> (Analytics.topkPerGroup _),
+    "q_topk_native" -> (Analytics.topkNative _),
     "q_scalar_pack" -> (Analytics.scalarPack _),
     "q_json_extract" -> (Analytics.jsonExtract _),
     "q_map_explode" -> (Analytics.mapExplode _),
@@ -268,6 +269,14 @@ object SparkEntry {
         |      FROM events)
         |WHERE rnk <= 3
         |ORDER BY user_id, rnk""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT user_id, event_id, round(value, 6) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY value DESC, event_id) AS rnk
+        |      FROM events)
+        |WHERE rnk <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_scalar_pack" ->
       """SELECT p_partkey,

@@ -191,6 +191,20 @@ object Analytics {
               round(col("value"), 6).as("value"))
       .orderBy(col("user_id"), col("rnk"))
 
+  /** [[topkPerGroup]]'s result via the custom sort-free
+    * [[graft.plans.TopKPerKey]] operator (bounded per-key heaps, partial
+    * before the shuffle + final after — the whole-operator extension
+    * rung; see TopKSpec for the plan and equality guarantees). */
+  def topkNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Graft.topKPerKey(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("value")),
+        keyCols = Seq("user_id"),
+        orderCols = Seq(("value", true), ("event_id", false)), k = 3)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"))
+      .orderBy(col("user_id"), col("event_id"))
+
   // --------------------------------------------------------------------
   // TPC-H-shaped aggregates (bench headliners)
   // --------------------------------------------------------------------
