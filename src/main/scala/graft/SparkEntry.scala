@@ -49,8 +49,10 @@ object SparkEntry {
     "q_scd2" -> (Analytics.scd2 _),
     "q_funnel" -> (Analytics.funnel _),
     "q_asof_join" -> (Analytics.asofJoin _),
+    "q_asof_tolerance" -> (Analytics.asofTolerance _),
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
+    "q_rollup_stats" -> (Analytics.rollupStats _),
     "q_supplier_region" -> (Analytics.supplierByRegion _),
     "q_set_ops" -> (Analytics.setOps _),
     "q_sql_api" -> (Analytics.sqlApi _),
@@ -457,6 +459,20 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
 
+    "q_asof_tolerance" ->
+      """WITH c AS (SELECT user_id, ts, event_id, round(value, 6) AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, round(value, 6) AS last_purchase
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ts, c.event_id, c.click_value,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        |       THEN p.last_purchase END AS last_purchase,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        |       THEN epoch_us(c.ts) - epoch_us(p.ts) END AS match_age_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
     "q_range_join" ->
       """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
         |           FROM events WHERE event_type = 'click'),
@@ -566,6 +582,18 @@ object SparkEntry {
         |  CAST(GROUPING(lang, source) AS INTEGER) AS gid
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang, source""".stripMargin,
+
+    "q_rollup_stats" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, region, nation""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,

@@ -68,6 +68,31 @@ object AsOf {
       .drop("__p", "__tag")
   }
 
+  /** As-of join with a staleness bound: like [[joinAsOf]], but a match
+    * older than `tolUs` microseconds is rejected (payload nulled) — the
+    * market-data form ("last quote, but only if fresher than X"). The
+    * matched row's timestamp rides inside the payload struct, so the
+    * age check is a post-window projection: same one-shuffle plan, and
+    * the age itself is exposed as `match_age_us`. */
+  def joinAsOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tolUs: Long): DataFrame = {
+    val aug = right.withColumn("__rts_us", unix_micros(col(rightTs)))
+    val joined = joinAsOf(left, aug, keys, leftTs, rightTs, payload :+ "__rts_us")
+      .withColumn("__age_us", unix_micros(col(leftTs)) - col("__rts_us"))
+    val gated = payload.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, when(col("__age_us") <= tolUs, col(c)))
+    }
+    gated
+      .withColumn("match_age_us", when(col("__age_us") <= tolUs, col("__age_us")))
+      .drop("__rts_us", "__age_us")
+  }
+
   /** Convenience: enrich with a single renamed payload column. */
   def joinAsOf1(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCol: String, as: String): DataFrame =

@@ -384,6 +384,23 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** [[asofJoin]] with a 1-hour staleness bound: a purchase only
+    * enriches a click made within the following hour — the freshness
+    * contract every market-data as-of carries in practice. Same
+    * single-shuffle union+window plan; the bound is a projection. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value"), 6).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), round(col("value"), 6).as("last_purchase"))
+    graft.ops.AsOf.joinAsOfTolerance(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("last_purchase"), tolUs = 3600L * 1000000L)
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Set operations (absent from the reference, §2.9 — part of the
     * complete relational surface): per user, whether they belong to the
     * clickers∩purchasers, clickers∖purchasers, and the union count. */
@@ -555,6 +572,27 @@ object Analytics {
         coalesce(col("source"), lit("ALL")).as("source"),
         col("n_docs"), col("avg_chars"), col("gid"))
       .orderBy(col("gid"), col("lang"), col("source"))
+
+  /** Hierarchical ROLLUP over the region → nation dimension ladder:
+    * per-nation, per-region subtotal, grand total in ONE aggregation pass
+    * (grouping sets share the scan and the partial aggregates), with
+    * customer counts and integer-cents balances so every level is
+    * engine-exact. The rollup lattice is linear — unlike cube it never
+    * explodes combinatorially with dimension count. */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
+        grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("bal_cents"), col("gid"))
+      .orderBy(col("gid"), col("region"), col("nation"))
 
   /** Sessionization (gaps-and-islands): user sessions split on >30min
     * inactivity, aggregated to (start, end, events, value). The formulation

@@ -37,6 +37,22 @@ class AsOfSpec extends SparkSpec {
     assert(out.isEmpty) // matched row is ts=8 whose p IS null
   }
 
+  test("tolerance: stale matches are nulled, fresh ones carry their age") {
+    val left = Seq(("u1", ts(100), 1L), ("u1", ts(500), 2L), ("u2", ts(50), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(("u1", ts(90), 7.0), ("u2", ts(49), 8.0))
+      .toDF("user_id", "ts", "p")
+    val out = AsOf.joinAsOfTolerance(left, right, Seq("user_id"), "ts", "ts",
+        Seq("p"), tolUs = 60L * 1000000L) // 60s freshness bound
+      .select($"event_id", $"p", $"match_age_us")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, Some(7.0), Some(10L * 1000000L)),  // 10s old: kept
+      (2L, None, None),                        // 410s old: rejected
+      (3L, Some(8.0), Some(1L * 1000000L))))
+  }
+
   test("left row count is preserved (no cross product, no drops)") {
     val out = graft.queries.Analytics.asofJoin(spark, sf)
     val clicks = graft.util.Tables.events(spark, sf)
