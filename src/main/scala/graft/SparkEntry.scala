@@ -63,6 +63,7 @@ object SparkEntry {
     "q_range_window" -> (Analytics.rangeWindow _),
     "q_checksum" -> (Analytics.tableChecksum _),
     "q_snapshot_diff" -> (Analytics.snapshotDiff _),
+    "q_merge_apply" -> (Analytics.mergeApply _),
     "q_incremental_agg" -> (Analytics.incrementalAgg _),
     "q_exact_variance" -> (Analytics.exactVariance _),
     "q_equidepth_bins" -> (Analytics.equidepthBins _),
@@ -582,6 +583,30 @@ object SparkEntry {
         |  CAST(GROUPING(lang, source) AS INTEGER) AS gid
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang, source""".stripMargin,
+
+    "q_merge_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ch0 AS (
+        |  SELECT k, status, cents,
+        |    CASE WHEN k % 7 = 0 THEN 'U'
+        |         WHEN k % 11 = 0 THEN 'D'
+        |         WHEN k % 13 = 0 THEN 'I' END AS op
+        |  FROM base),
+        |changes AS (
+        |  SELECT CASE WHEN op = 'I' THEN k + 10000000 ELSE k END AS k,
+        |    CASE WHEN op = 'U' THEN 'X' ELSE status END AS c_status,
+        |    CASE WHEN op = 'U' THEN cents + 100000 ELSE cents END AS c_cents,
+        |    op
+        |  FROM ch0 WHERE op IS NOT NULL)
+        |SELECT coalesce(b.k, c.k) AS k,
+        |  CASE WHEN c.op IS NOT NULL THEN c.c_status ELSE b.status END AS status,
+        |  CASE WHEN c.op IS NOT NULL THEN c.c_cents ELSE b.cents END AS cents
+        |FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY k""".stripMargin,
 
     "q_rollup_stats" ->
       """SELECT coalesce(r_name, 'ALL') AS region,

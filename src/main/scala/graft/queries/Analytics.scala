@@ -882,6 +882,42 @@ object Analytics {
       .orderBy(col("status"))
   }
 
+  /** MERGE INTO applied with plain relational algebra — the lakehouse
+    * upsert/delete CDC apply, no table format required: one full-outer
+    * join of snapshot and change-feed on the key, then per-row CASE
+    * (delete drops, update/insert take the change side, untouched rows
+    * pass through). The change feed is synthesized deterministically
+    * from the snapshot (every 7th key updated, every 11th deleted,
+    * every 13th re-keyed as an insert) so the oracle reproduces it
+    * exactly. One shuffle on the key at any scale — and on a real
+    * deployment the snapshot side is bucketed on the key
+    * (Layout.writeBucketed), making the merge shuffle-free on re-runs. */
+  def mergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val changes = base
+      .select(col("k"), col("status"), col("cents"),
+        when(pmod(col("k"), lit(7)) === 0, "U")
+          .when(pmod(col("k"), lit(11)) === 0, "D")
+          .when(pmod(col("k"), lit(13)) === 0, "I").as("op"))
+      .filter(col("op").isNotNull)
+      .select(
+        when(col("op") === "I", col("k") + 10000000L).otherwise(col("k")).as("k"),
+        when(col("op") === "U", lit("X")).otherwise(col("status")).as("c_status"),
+        when(col("op") === "U", col("cents") + 100000L).otherwise(col("cents"))
+          .as("c_cents"),
+        col("op"))
+    base.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op").isNotNull, col("c_status")).otherwise(col("status"))
+          .as("status"),
+        when(col("op").isNotNull, col("c_cents")).otherwise(col("cents"))
+          .as("cents"))
+      .orderBy(col("k"))
+  }
+
   /** Event-time RANGE window frame: per user, the trailing-1-hour sum and
     * count of `value` — a TIME-based sliding aggregate (all events within
     * the hour, however many), which no ROWS frame can express. Ordering

@@ -74,6 +74,26 @@ class ReconSpec extends SparkSpec {
     assert(out.map(_._2).sum === Tables.documents(spark, sf).count())
   }
 
+  test("merge apply: deletes gone, updates applied, inserts added, rest untouched") {
+    val out = Analytics.mergeApply(spark, sf)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    base.foreach { case (k, st, c) =>
+      if (k % 7 == 0) assert(out(k) === (("X", c + 100000L)))      // updated
+      else if (k % 11 == 0) assert(!out.contains(k))               // deleted
+      else {
+        assert(out(k) === ((st, c)))                               // untouched
+        if (k % 13 == 0) assert(out(k + 10000000L) === ((st, c)))  // inserted copy
+      }
+    }
+    val nDel = base.count(r => r._1 % 7 != 0 && r._1 % 11 == 0)
+    val nIns = base.count(r => r._1 % 7 != 0 && r._1 % 11 != 0 && r._1 % 13 == 0)
+    assert(out.size === base.length - nDel + nIns)
+  }
+
   test("incremental agg merge is lossless: state+delta equals full recompute") {
     val merged = Analytics.incrementalAgg(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
