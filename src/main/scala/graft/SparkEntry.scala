@@ -1209,22 +1209,22 @@ object SparkEntry {
     "q_quality_classifier" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    len(list_filter(string_split(text, ' '),
-        |        t -> t IN ('the','a','and','of','to','in'))) AS n_stop,
-        |    length(text) AS nc,
-        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS s,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS BIGINT) AS p
         |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    -1.0 + 4.0 * (CAST(n_stop AS DOUBLE) / n_tokens)
-        |         + 0.3 * (CAST(nc - (n_tokens - 1) AS DOUBLE) / n_tokens)
-        |         - 8.0 * (CAST(n_punct AS DOUBLE) / nc)
-        |         + 0.002 * CAST(n_tokens AS DOUBLE) AS logit
+        |m AS (
+        |  SELECT doc_id, n, nc,
+        |    CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |         - 8000 * p * n + 2 * n * n * nc AS BIGINT) AS L
         |  FROM f)
-        |SELECT doc_id, round(logit, 6) AS logit,
-        |  CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM s
+        |SELECT doc_id,
+        |  round(CAST(L AS DOUBLE) / CAST(1000 * n * nc AS DOUBLE), 6) AS logit,
+        |  CAST(CASE WHEN L > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
 
     "q_weighted_sample" ->

@@ -124,21 +124,32 @@ object TextAnalysis {
     * model-scoring stage of a data pipeline, as pure column algebra: a
     * fixed-weight logit over the cheap text features, and the keep
     * decision `logit > 0` (≡ sigmoid(logit) > 0.5, so no transcendental
-    * function sits on the cross-engine comparison path — +,*,/ on
-    * doubles are IEEE-exact and portable, exp() is not). Zero shuffle:
-    * one projection over the scan, exactly how a 100 TB scoring pass
-    * should run; real model weights would arrive broadcast the same
-    * way. */
+    * sits on the comparison path). The logit's rational weights and
+    * integer features are cleared to ONE integer numerator L over the
+    * common denominator 1000·n·nc — `keep` is the pure integer sign of
+    * L (bit-portable by construction), and the reported logit is a
+    * single correctly-rounded division. The naive float chain
+    * (-1 + 4·s/n + 0.3·awl - 8·p/nc + 0.002·n) is NOT portable: an
+    * engine compiling a*b+c into a fused multiply-add rounds differently
+    * and flipped 1-in-5000 rows at the 6th decimal. Zero shuffle: one
+    * projection over the scan, exactly how a 100 TB scoring pass runs;
+    * real model weights would arrive broadcast the same way. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val logit = lit(-1.0) +
-      lit(4.0) * stopwordRatio(t) +
-      lit(0.3) * avgWordLen(t) -
-      lit(8.0) * punctRatio(t) +
-      lit(0.002) * tokenCount(t).cast("double")
+    val n = tokenCount(t).cast("long")
+    val s = size(filter(tokens(t), tk => tk.isin(stopwords: _*))).cast("long")
+    val nc = length(t).cast("long")
+    val p = (nc - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long")
+    // L = 1000·n·nc · logit, with logit =
+    //     -1 + 4·(s/n) + 0.3·((nc-n+1)/n) - 8·(p/nc) + 0.002·n
+    val L = lit(-1000L) * n * nc + lit(4000L) * s * nc +
+      lit(300L) * (nc - n + lit(1L)) * nc - lit(8000L) * p * n +
+      lit(2L) * n * n * nc
     Tables.documents(spark, dir)
-      .select(col("doc_id"), round(logit, 6).as("logit"),
-        when(logit > 0, 1L).otherwise(0L).as("keep"))
+      .select(col("doc_id"),
+        round(L.cast("double") / (lit(1000L) * n * nc).cast("double"), 6)
+          .as("logit"),
+        when(L > 0L, 1L).otherwise(0L).as("keep"))
       .orderBy(col("doc_id"))
   }
 
