@@ -15,6 +15,11 @@ run / fork := true
 // LoggedOutput prefixes every line with "[info] ", which corrupts
 // Bench's one-line JSON contract for anything parsing our stdout.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and suppress sbt's own "[success] Total time: …" trailer, which
+// otherwise lands on stdout AFTER Bench's JSON and breaks any parser
+// that reads the last stdout line (BENCH_r01–r03 all failed this way).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -34,3 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // width and badly hurts object-heavy operators)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}",
 )
+// Route Spark logs to stderr at ERROR for Bench/Verify/test runs only.
+// Deliberately NOT in src/main/resources: baking rootLogger.level=error
+// into the published jar would silence WARN diagnostics for every
+// consumer of the artifact.
+javaOptions += s"-Dlog4j2.configurationFile=${baseDirectory.value / "conf" / "log4j2.properties"}"
