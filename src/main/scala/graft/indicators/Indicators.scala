@@ -125,23 +125,23 @@ object Indicators {
     // stage 1: materialize the seeded series (window exprs can't nest
     // inside the ewma argument); same window spec → same sort, one pass
     val staged = df
-      .withColumn("delta", diff(value, w))
+      .withColumn("__delta", diff(value, w))
       .withColumn("__rn", rn)
       .withColumn("__sg",
         when(col("__rn") < n, lit(null).cast("double"))
           .when(col("__rn") === n, avg(gain(diff(value, w))).over(frameN))
-          .otherwise(gain(col("delta"))))
+          .otherwise(gain(col("__delta"))))
       .withColumn("__sl",
         when(col("__rn") < n, lit(null).cast("double"))
           .when(col("__rn") === n, avg(loss(diff(value, w))).over(frameN))
-          .otherwise(loss(col("delta"))))
+          .otherwise(loss(col("__delta"))))
     // stage 2: α=1/n EWMA over the seeded series IS Wilder smoothing
     val alpha = 1.0 / n
     staged
       .withColumn("wg", Ewma.byAlpha(spark, col("__sg"), alpha).over(w))
       .withColumn("wl", Ewma.byAlpha(spark, col("__sl"), alpha).over(w))
       .withColumn("rsi_wilder", rsiFromAverages(col("wg"), col("wl")))
-      .drop("__rn", "__sg", "__sl")
+      .drop("__rn", "__sg", "__sl", "__delta")
   }
 
   /** Register `ewma(x, alpha)` for SQL use:

@@ -124,16 +124,24 @@ object Dedup {
     val sh = shinglesWithCard(Tables.documents(spark, dir)).localCheckpoint()
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    // ceil over double arithmetic can round tau*c to just ABOVE an exact
+    // integer (e.g. 0.7*10 = 7.000000000000001 → ceil 8), which would
+    // shrink the prefix / tighten the size filter and silently drop
+    // qualifying pairs — candidates missed here are unrecoverable because
+    // verification only sees generated candidates. Subtracting an epsilon
+    // far below 1/maxCard before ceil can only loosen the bound (more
+    // candidates, same exact-verified output).
+    def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
     val prefix = sh.hint("shuffle_hash").join(freq, "s")
       .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("c") - ceil(lit(tau) * col("c")) + 1)
+      .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
       .select(col("doc_id"), col("c"), col("s"))
     val cand = prefix.hint("shuffle_hash").as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // size filter: J >= tau forces tau*|A| <= |B| and tau*|B| <= |A|
-          col("b.c") >= ceil(lit(tau) * col("a.c")) &&
-          col("a.c") >= ceil(lit(tau) * col("b.c")))
+          col("b.c") >= ceilSafe(lit(tau) * col("a.c")) &&
+          col("a.c") >= ceilSafe(lit(tau) * col("b.c")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     verifyPairs(cand.hint("shuffle_hash"), sh, tau)
@@ -374,9 +382,13 @@ object Dedup {
     * id) survives each greedy duplicate chain.
     *
     * Returns every vector: (vec_id, centroid_id, keep ∈ {0,1}). The
-    * pair probe is a broadcast self-join exactly like
-    * [[embeddingNearDups]] — the left side stays N-way parallel, and at
-    * scale the broadcast side is one cluster's bucket, not the corpus. */
+    * pair probe SHUFFLES both sides on `centroid_id` (shuffled-hash
+    * equi-join on the cluster id): after co-location each task's build
+    * side is exactly one cluster's bucket — the corpus-sized build side
+    * a broadcast self-join would need never materializes, which is what
+    * makes this shape survive a 100 TB corpus. Parallelism is bounded by
+    * `nlist`, which SemDeDup grows with the corpus (50k clusters at
+    * LAION scale), so the shuffle stays wide where it matters. */
   def semanticDedup(spark: SparkSession, dir: String, nlist: Int = 8,
       tau: Double = 0.35): DataFrame = {
     // materialize the assignment once: it feeds BOTH sides of the pair
@@ -386,19 +398,22 @@ object Dedup {
     val asg = Similarity.ivfAssign(spark, dir, nlist)
       .select(col("vec_id"), col("centroid_id"), col("v"), col("nrm"))
       .localCheckpoint()
-    val a = asg.repartition(spark.sparkContext.defaultParallelism).as("a")
-    val b = broadcast(asg.select(col("vec_id").as("b_vec_id"),
+    val a = asg.as("a")
+    val b = asg.select(col("vec_id").as("b_vec_id"),
       col("centroid_id").as("b_centroid_id"), col("v").as("b_v"),
-      col("nrm").as("b_nrm")))
+      col("nrm").as("b_nrm"))
     // round-then-compare mirrors the oracle exactly (6-dp cosine is the
     // cross-engine-stable value; the raw double is not a contract)
-    val dropped = a.join(b,
+    val dropped = a.hint("shuffle_hash").join(b,
         col("a.centroid_id") === col("b_centroid_id") &&
         col("b_vec_id") < col("a.vec_id") &&
         round(Similarity.cosinePrenormed(
           col("a.v"), col("b_v"), col("a.nrm"), col("b_nrm")), 6) >= tau,
         "left_semi")
       .select(col("vec_id"))
+    // drop-list broadcast is bounded by the DUPLICATE count, not the
+    // corpus; at a dup rate where this outgrows the broadcast limit,
+    // swap to .hint("shuffle_hash") on the same join
     asg.select(col("vec_id"), col("centroid_id"))
       .join(broadcast(dropped.withColumn("is_dup", lit(1L))), Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid_id"),

@@ -27,6 +27,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * instead of its whole slice of every group. The final pass declares
   * `ClusteredDistribution(keys)`, so EnsureRequirements inserts the one
   * hash exchange; AQE still plans/coalesces it normally.
+  *
+  * LIMITATION — no spill path. Memory per task is O(k × distinct keys
+  * in the partition): the heaps live in an in-memory hash map with no
+  * external-sorter fallback, unlike Window/Sort (spillable) or hash
+  * aggregation (sort-based fallback). With bounded key cardinality
+  * (symbols, exchanges, categories — the intended domain) that is the
+  * whole point; with UNBOUNDED key cardinality (e.g. user id over a
+  * 100 TB event log) a task can OOM, and the declarative
+  * `row_number OVER (...) <= k` window form — which spills — is the
+  * right operator instead. Rule of thumb: distinct-keys-per-task × k ×
+  * rowSize must fit in a fraction of executor task memory.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {

@@ -70,6 +70,18 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty) // the corpus carries engineered near-dups
   }
 
+  test("prefix filter survives taus where double ceil(tau*c) over-rounds") {
+    // 0.7*10 = 7.000000000000001 in doubles → a naive ceil yields 8,
+    // shrinking the prefix and silently dropping qualifying candidates
+    for (tau <- Seq(0.7, 0.55, 0.3)) {
+      val naive = Dedup.jaccardPairs(spark, sf, tau)
+        .as[(Long, Long, Double)].collect().toSeq
+      val prefix = Dedup.jaccardPairsPrefix(spark, sf, tau)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(prefix === naive, s"tau=$tau")
+    }
+  }
+
   test("contamination: near-dup of a bench doc is flagged, clean docs are not") {
     val hits = Dedup.contamination(spark, sf)
       .as[(Long, Long, Long)].collect()
