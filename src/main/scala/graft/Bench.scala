@@ -42,6 +42,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // several operators localCheckpoint() intermediates; left to the
+      // ContextCleaner those blocks only free on a GC, so across ~80
+      // queries they pile up in the block manager and later queries pay
+      // the memory pressure as GC debt (measured 3-20x inflation vs the
+      // same query standalone). Drop them eagerly, off the clock.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
