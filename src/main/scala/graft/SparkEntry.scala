@@ -134,6 +134,13 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("frame_bytes")))
         .drop("frame_bytes")
         .orderBy("doc_id", "frame_idx")),
+    // round 4: graph metric, true k-means, skyline, robust stats, cohorts
+    "q_pagerank" -> ((s, d) => graft.ops.Graph.tradeRank(s, d)),
+    "q_ivf_kmeans" -> ((s, d) => Similarity.kmeansQuantized(s, d)),
+    "q_skyline" -> (Analytics.skyline _),
+    "q_mode" -> (Analytics.modePerUser _),
+    "q_mad" -> (Analytics.madPerType _),
+    "q_cohort_retention" -> (Analytics.cohortRetention _),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -1366,5 +1373,102 @@ object SparkEntry {
         |        unnest(range(0, greatest(octet_length(encode(text)) // 128, 1))) AS i
         |      FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // integer micro-unit PageRank: every step is integer division /
+    // integer sums, so ranks are bit-identical across engines
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
+        |adj AS (SELECT bi.src, bi.dst, deg.d FROM bi JOIN deg USING (src)),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |r1 AS (SELECT adj.dst AS node,
+        |         CAST(150000 + (85 * sum(r.pr // adj.d)) // 100 AS BIGINT) AS pr
+        |       FROM adj JOIN r0 r ON adj.src = r.node GROUP BY adj.dst),
+        |r2 AS (SELECT adj.dst AS node,
+        |         CAST(150000 + (85 * sum(r.pr // adj.d)) // 100 AS BIGINT) AS pr
+        |       FROM adj JOIN r1 r ON adj.src = r.node GROUP BY adj.dst),
+        |r3 AS (SELECT adj.dst AS node,
+        |         CAST(150000 + (85 * sum(r.pr // adj.d)) // 100 AS BIGINT) AS pr
+        |       FROM adj JOIN r2 r ON adj.src = r.node GROUP BY adj.dst)
+        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
+
+    // two unrolled Lloyd rounds over integer-quantized vectors; all
+    // iteration state is BIGINT so the trajectory is engine-exact
+    "q_ivf_kmeans" ->
+      """WITH ev AS (
+        |  SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |c0 AS (SELECT vec_id AS centroid_id, pos, qx AS cx FROM ev WHERE vec_id < 8),
+        |a0 AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT ev.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY ev.vec_id
+        |      ORDER BY sum((ev.qx - c.cx) * (ev.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev JOIN c0 c ON ev.pos = c.pos
+        |  GROUP BY ev.vec_id, c.centroid_id) WHERE rnk = 1),
+        |u1 AS (SELECT a.centroid_id, ev.pos, CAST(round(avg(ev.qx)) AS BIGINT) AS ux
+        |       FROM a0 a JOIN ev ON a.vec_id = ev.vec_id
+        |       GROUP BY a.centroid_id, ev.pos),
+        |c1 AS (SELECT c.centroid_id, c.pos, COALESCE(u.ux, c.cx) AS cx
+        |       FROM c0 c LEFT JOIN u1 u
+        |         ON c.centroid_id = u.centroid_id AND c.pos = u.pos),
+        |a1 AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT ev.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY ev.vec_id
+        |      ORDER BY sum((ev.qx - c.cx) * (ev.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev JOIN c1 c ON ev.pos = c.pos
+        |  GROUP BY ev.vec_id, c.centroid_id) WHERE rnk = 1),
+        |u2 AS (SELECT a.centroid_id, ev.pos, CAST(round(avg(ev.qx)) AS BIGINT) AS ux
+        |       FROM a1 a JOIN ev ON a.vec_id = ev.vec_id
+        |       GROUP BY a.centroid_id, ev.pos),
+        |c2 AS (SELECT c.centroid_id, c.pos, COALESCE(u.ux, c.cx) AS cx
+        |       FROM c1 c LEFT JOIN u2 u
+        |         ON c.centroid_id = u.centroid_id AND c.pos = u.pos)
+        |SELECT vec_id, centroid_id, dist2 FROM (
+        |  SELECT ev.vec_id, c.centroid_id,
+        |    CAST(sum((ev.qx - c.cx) * (ev.qx - c.cx)) AS BIGINT) AS dist2,
+        |    row_number() OVER (PARTITION BY ev.vec_id
+        |      ORDER BY sum((ev.qx - c.cx) * (ev.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev JOIN c2 c ON ev.pos = c.pos
+        |  GROUP BY ev.vec_id, c.centroid_id) WHERE rnk = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_mode" ->
+      """SELECT user_id, event_type AS mode_event, n FROM (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rnk
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+
+    "q_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_type, round(min(m.med), 6) AS median_value,
+        |       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |FROM events e JOIN med m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH fs AS (SELECT user_id,
+        |              CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |            FROM events GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week,
+        |         CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN fs f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -214,6 +214,54 @@ object Similarity {
     cents.toSeq.sortBy(_._1).toDF("centroid_id", "cv")
   }
 
+  /** Lloyd k-means over integer-quantized vectors, exactly
+    * reproducible on any engine: components quantize once to
+    * `round(x * 1000)` (BIGINT), distances are integer squared-L2, and
+    * each updated centroid component is `round(avg(q))` re-quantized to
+    * BIGINT — so every iteration's state is integers, whose sums are
+    * order-independent, making true multi-round k-means (not just the
+    * first-n-seed stand-in of [[ivfAssign]]) oracle-checkable.
+    *
+    * Dataflow per round — long format (vec_id, pos, qx), not arrays:
+    * assignment is corpus ⋈ broadcast(centroids) on `pos` followed by a
+    * map-side-combinable sum to (vec_id, centroid_id) and a per-vector
+    * top-1; the update is one groupBy(centroid_id, pos) avg. The corpus
+    * never shuffles by cluster and centroids stay k×dim rows (tiny →
+    * broadcast), the same shape MLlib uses. Empty clusters keep their
+    * previous centroid, so ids are stable.
+    *
+    * Returns the final assignment (vec_id, centroid_id, dist2). */
+  def kmeansQuantized(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val ev = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("vec_id"), (col("p0") + 1).as("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("qx"))
+      .localCheckpoint() // feeds every round twice; lineage must not grow
+    def assign(cents: DataFrame): DataFrame =
+      ev.join(broadcast(cents), "pos")
+        .groupBy(col("vec_id"), col("centroid_id"))
+        .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("dist2"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist2"), col("centroid_id"))))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("dist2"))
+    var cents = ev.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("pos"), col("qx").as("cx"))
+    for (_ <- 1 to iters) {
+      val upd = assign(cents).select(col("vec_id"), col("centroid_id"))
+        .join(ev, "vec_id")
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(expr("CAST(round(avg(qx)) AS BIGINT)").as("ux"))
+      cents = cents.join(upd, Seq("centroid_id", "pos"), "left")
+        .select(col("centroid_id"), col("pos"),
+          coalesce(col("ux"), col("cx")).as("cx"))
+        .localCheckpoint() // next round reads it for assign AND update
+    }
+    assign(cents).orderBy(col("vec_id"))
+  }
+
   /** Deterministic IVF index: centroids are the embeddings of the first
     * `nlist` vec_ids (a stand-in for k-means at this scale); every vector
     * is assigned to its max-cosine centroid. Returns (vec_id, label, v,

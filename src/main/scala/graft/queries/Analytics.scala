@@ -1085,4 +1085,81 @@ object Analytics {
         max(col("last_us")).as("last_us"))
       .orderBy(col("user_id"))
   }
+
+  /** 2-D skyline (Pareto frontier) of parts on (retail price ↓, size ↓):
+    * a part survives iff no other part is <= on both dimensions and < on
+    * at least one. The naive form is a quadratic NOT EXISTS self-join
+    * (the oracle); this runs the classic sorted-sweep instead, collapsed
+    * to the PRICE DOMAIN: per distinct price the min size (one shuffle,
+    * map-side combinable), a running strictly-preceding min over that
+    * ~|price domain| aggregate (single-partition window over the tiny
+    * domain table, never the fact table), then one broadcast join back.
+    * 100 TB of parts flows through one aggregation + one broadcast
+    * join; only the distinct-price table must stay driver-small. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val mins = p.groupBy(col("p_retailprice").as("price"))
+      .agg(min(col("p_size")).as("msz"))
+    val prevMin = min(col("msz")).over(
+      Window.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, -1))
+    val run = mins.withColumn("prev_min", prevMin)
+    p.join(broadcast(run), col("p_retailprice") === col("price"))
+      // dominated ⇔ strictly-cheaper part with size <= mine, or
+      // equal-price part with size < mine
+      .filter(coalesce(col("prev_min") > col("p_size"), lit(true)) &&
+        col("msz") >= col("p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Mode (most frequent value) of event_type per user, count-desc then
+    * lexicographic tie-break — the categorical analogue of median, two
+    * map-side-combinable aggregations and one per-user top-1. */
+  def modePerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+      .orderBy(col("user_id"))
+
+  /** Median absolute deviation per event_type: the robust spread metric
+    * (insensitive to the heavy tails that wreck stddev-based outlier
+    * fences). Two exact-percentile passes: per-key median, then the
+    * median of |value − median| after a broadcast join of the k-row
+    * median table back onto the facts. */
+  def madPerType(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        round(min(col("med")), 6).as("median_value"),
+        round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Weekly cohort retention: users bucketed by the week of their first
+    * event; cell (cohort_week, week_offset) counts distinct users of
+    * that cohort active offset weeks later — the canonical retention
+    * triangle. First-seen is one map-side-combinable min; the offset is
+    * exact integer date arithmetic (both week stamps are Mondays, so
+    * datediff/7 is exact). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

@@ -31,6 +31,39 @@ class GraphSpec extends SparkSpec {
     assert(cc === Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("pagerank: symmetric pair is a fixed point at 1e6 micro-units") {
+    // both nodes have out-degree 1, so rank = 150000 + 85% of 1e6 = 1e6
+    // every round — integer PageRank conserves the uniform distribution
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(e, iters = 3).as[(Long, Long)].collect().toMap
+    assert(pr === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pagerank: 3-leaf star matches the hand-unrolled integer recurrence") {
+    val e0 = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val e = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    // center c, leaf l; c0=l0=1e6
+    // c1 = 150000 + 85*(3*(l0 div 1)) div 100 = 2700000
+    // l1 = 150000 + 85*(c0 div 3) div 100    = 433333
+    // c2 = 150000 + 85*(3*l1) div 100        = 1254999
+    // l2 = 150000 + 85*(c1 div 3) div 100    = 915000
+    // c3 = 150000 + 85*(3*l2) div 100        = 2483250
+    // l3 = 150000 + 85*(c2 div 3) div 100    = 505583
+    val pr = Graph.pageRank(e, iters = 3).as[(Long, Long)].collect().toMap
+    assert(pr === Map(0L -> 2483250L, 1L -> 505583L, 2L -> 505583L, 3L -> 505583L))
+  }
+
+  test("trade rank: hubs outrank leaves and id spaces stay disjoint") {
+    val pr = Graph.tradeRank(spark, sf).as[(Long, Long)].collect()
+    assert(pr.nonEmpty)
+    assert(pr.forall(_._2 >= 150000L)) // base mass is the floor
+    val (cust, supp) = pr.partition(_._1 % 2 == 0)
+    assert(cust.nonEmpty && supp.nonEmpty)
+    // suppliers serve many customers -> the max-degree side carries the
+    // highest rank mass in a bipartite trade graph
+    assert(supp.map(_._2).max > cust.map(_._2).max)
+  }
+
   test("doc clusters on testdata: members pair with a lower-id doc in-cluster") {
     val clusters = Graph.docClusters(spark, sf)
       .as[(Long, Long)].collect()

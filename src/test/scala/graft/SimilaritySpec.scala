@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpec {
       === again.collect().map(_.toString).sorted)
   }
 
+  test("quantized k-means: seeds self-assign at zero distance, Lloyd tightens") {
+    import org.apache.spark.sql.functions._
+    val zero = Similarity.kmeansQuantized(spark, sf, k = 8, iters = 0)
+    // with the seed centroids, every seed vector is its own centroid
+    val seedsSelf = zero.filter(col("vec_id") < 8)
+      .as[(Long, Long, Long)].collect()
+    seedsSelf.foreach { case (vid, cid, d2) =>
+      assert(cid === vid && d2 === 0L, s"seed $vid -> $cid at $d2")
+    }
+    val trained = Similarity.kmeansQuantized(spark, sf, k = 8, iters = 2)
+    // same corpus, every vector assigned exactly once
+    assert(trained.count() === zero.count())
+    assert(trained.select("centroid_id").distinct().count() <= 8)
+    // Lloyd non-increasing total within-cluster distance (quantization
+    // rounds each centroid coordinate by <= 0.5, far below the
+    // inter-cluster gaps on this corpus)
+    def cost(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("dist2"))).as[Long].head()
+    assert(cost(trained) <= cost(zero))
+    // exact determinism across re-runs (the oracle contract)
+    val again = Similarity.kmeansQuantized(spark, sf, k = 8, iters = 2)
+    assert(trained.collect().toSeq === again.collect().toSeq)
+  }
+
   test("cosine of a vector with itself is 1") {
     Similarity.register(spark)
     val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
