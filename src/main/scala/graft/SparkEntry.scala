@@ -141,6 +141,13 @@ object SparkEntry {
     "q_mode" -> (Analytics.modePerUser _),
     "q_mad" -> (Analytics.madPerType _),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
+    // round 4 (cont.): resample/fill, chunking, triangles, incremental
+    // dedup, exact-moment regression
+    "q_gap_fill" -> (Analytics.gapFill _),
+    "q_ols_trend" -> (Analytics.olsTrend _),
+    "q_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(s, d)),
+    "q_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "q_triangles" -> ((s, d) => graft.ops.Graph.copurchaseTriangles(s, d)),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -1470,5 +1477,78 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN fs f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h, value, ts, event_id
+        |            FROM events),
+        |obs AS (SELECT user_id, h, value AS v_obs FROM (
+        |    SELECT user_id, h, value,
+        |      row_number() OVER (PARTITION BY user_id, h
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+        |         FROM ev GROUP BY user_id)
+        |SELECT g.user_id, g.h AS epoch_hour,
+        |  round(last_value(o.v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled,
+        |  o.v_obs IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+        |ORDER BY g.user_id, epoch_hour""".stripMargin,
+
+    "q_ols_trend" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM (SELECT event_type,
+        |          (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+        |          CAST(round(value * 100) AS BIGINT) AS y
+        |        FROM events)
+        |  GROUP BY event_type),
+        |s AS (SELECT *, CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+        |      FROM m)
+        |SELECT event_type, n,
+        |  round(slope, 6) AS slope_cents_per_hour,
+        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+        |    AS intercept_cents
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d2 AS (SELECT doc_id, w, len(w) AS n,
+        |  CASE WHEN len(w) <= 64 THEN 1 ELSE 1 + (len(w) - 64 + 47) // 48 END AS n_chunks
+        |  FROM docs),
+        |ch AS (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |       FROM d2)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '))
+        |    AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+        |hist AS (SELECT DISTINCT content_md5 FROM docs WHERE doc_id % 10 < 8),
+        |delta AS (SELECT * FROM docs WHERE doc_id % 10 >= 8)
+        |SELECT min(doc_id) AS doc_id, content_md5, count(*) AS n_dups
+        |FROM delta WHERE content_md5 NOT IN (SELECT content_md5 FROM hist)
+        |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |            WHERE ord.o_orderdate >= TIMESTAMP '1995-01-01'
+        |              AND ord.o_orderdate < TIMESTAMP '1995-07-01'),
+        |ok AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 10),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      JOIN ok ON x.o = ok.o),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |SELECT v AS node, count(*) AS n_triangles FROM n
+        |GROUP BY v ORDER BY node""".stripMargin,
   )
 }

@@ -424,6 +424,28 @@ object Dedup {
   /** Generic drop-duplicates-keep-first on arbitrary key columns — the
     * upsert/dedup primitive the sink router uses (models the reference's
     * Cassandra last-write-wins PK semantics, SURVEY.md §1.1). */
+  /** Incremental exact dedup: admit only new-batch (delta) documents
+    * whose content hash is unseen in history, electing one survivor
+    * (min doc_id) per hash WITHIN the delta too. The history side is its
+    * distinct-hash INDEX, not the corpus — in a lakehouse that index is
+    * a maintained side table, so a 100 TB history costs one narrow-column
+    * scan (here) or nothing (maintained), and only the delta is ever
+    * shuffled at full width. The anti-join and the survivor election
+    * share the same hash key, so the delta shuffles once. History/delta
+    * are split by a deterministic doc_id band to stay reproducible. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+    val historyIndex = docs.filter(col("doc_id") % 10 < 8)
+      .select(col("content_md5")).distinct()
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    delta.join(historyIndex, Seq("content_md5"), "left_anti")
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("content_md5"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))

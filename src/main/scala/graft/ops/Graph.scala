@@ -141,4 +141,80 @@ object Graph {
     val bi = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     pageRank(bi, iters = 3).orderBy(col("node"))
   }
+
+  /** Exact per-node triangle counts of an undirected graph, by
+    * degree-ordered orientation — the O(m^1.5) algorithm (each edge is
+    * directed from its lower-(degree, id) endpoint to its higher one, so
+    * every triangle is generated exactly once, from its lowest-order
+    * corner, and wedge fan-out is bounded by ~√m per node instead of the
+    * raw degree: the hub that breaks naive wedge counting has huge
+    * in-degree but tiny OUT-degree after orientation).
+    *
+    * Dataflow: degree aggregation (map-side combinable) + two hash
+    * joins — wedges share an oriented source, the closing edge is
+    * probed by (v1, v2). No driver-side adjacency; every step shuffles
+    * on a key, so the shape survives a 1000-executor scale-up as long
+    * as the wedge set does (which orientation is exactly what bounds).
+    *
+    * `edges` columns: (a, b), distinct, a < b. Returns (node,
+    * n_triangles) for nodes in at least one triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // annotate both endpoints with degree; deg is |V|-sized — broadcast
+    val withDeg = e
+      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+    // orient toward the higher (degree, id); carry the target's rank so
+    // wedge endpoints can be ordered without re-joining degrees
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint()
+    // wedges at the lowest-order corner: two out-edges of u, ordered
+    val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+    // close the wedge with the oriented edge v1→v2 (orientation order is
+    // consistent, so the closing edge can only point that way)
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tris = wedges.join(closing, Seq("v1", "v2"))
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Triangle census of the co-purchase graph: parts are adjacent when
+    * some order (in a fixed six-month window) contains both. Per-order
+    * pair generation is the quadratic hazard of every co-occurrence
+    * graph, so orders with more than `maxFan` distinct parts are dropped
+    * before pairing — the standard hub cap, bounding work per order at
+    * C(maxFan, 2) no matter how pathological the basket. */
+  def copurchaseTriangles(spark: SparkSession, dir: String,
+      maxFan: Int = 10): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val op = Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val ok = op.groupBy(col("o")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxFan).select(col("o"))
+    val capped = op.join(ok, "o")
+    val edges = capped.select(col("o"), col("p").as("pa"))
+      .join(capped.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+      .distinct()
+    triangleCounts(edges)
+      .select(col("node"), col("n_triangles"))
+      .orderBy(col("node"))
+  }
 }

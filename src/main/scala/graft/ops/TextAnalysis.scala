@@ -442,6 +442,33 @@ object TextAnalysis {
   }
 
   /** Corpus rollup per (lang, source) — count/χ stats over features. */
+  /** Sliding-window document chunking with overlap (RAG / long-context
+    * training prep): fixed `width`-token chunks every `stride` tokens,
+    * so consecutive chunks share `width − stride` tokens and no token is
+    * orphaned at a hard boundary. Chunk count and slices are pure in-row
+    * array algebra (`sequence` + `explode` + `slice`) — a zero-shuffle
+    * projection pass whose output order rides the scan, with the md5
+    * fingerprint giving downstream exact-dedup a chunk-level key. The
+    * last chunk is the natural remainder (slice truncates at the array
+    * end), never padded. */
+  def chunkOverlap(spark: SparkSession, dir: String,
+      width: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && width > stride, "need 0 < stride < width")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("n_chunks", when(col("n") <= width, lit(1))
+        .otherwise(lit(1) + expr(s"(n - $width + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(w, chunk_id * $stride + 1, $width)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("lang"), col("source"))

@@ -1144,6 +1144,66 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Hourly resample + forward fill (LOCF) of each user's event series:
+    * one row per user per hour from that user's first to last active
+    * hour, carrying the last observed value across silent hours — the
+    * gap-filling step every downstream time-series model assumes has
+    * already happened. Grid generation is `sequence` + `explode` per
+    * user (bounded by the user's own span, never a global calendar
+    * cross-join); the fill is one `last(ignoreNulls)` running window per
+    * user partition, so the whole operator is two key-shuffles and
+    * parallel across users at any scale. The per-hour observation is the
+    * latest event in the hour ((ts, event_id)-argmax, deterministic
+    * under ties). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+    val obs = ev.groupBy(col("user_id"), col("h"))
+      .agg(expr("max_by(value, struct(ts, event_id))").as("v_obs"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val filled = last(col("v_obs"), ignoreNulls = true).over(
+      Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grid.join(obs, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("epoch_hour"),
+        round(filled, 6).as("value_filled"),
+        col("v_obs").isNotNull.as("is_observed"))
+      .orderBy(col("user_id"), col("epoch_hour"))
+  }
+
+  /** Per-event-type linear trend (OLS of value vs hours since the
+    * series origin) from EXACT integer moments: x is the integer hour
+    * index, y integer cents, and the five sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy) are built-in long sums on the codegen'd
+    * map-side-combine path — order-independent and engine-exact, unlike
+    * a float covariance accumulator. The closed-form slope/intercept is
+    * computed from decimal-exact products (headroom beyond long at
+    * larger scale) with ONE IEEE division each at the very end, so both
+    * engines see identical doubles. One tiny aggregation; the scan
+    * never shuffles raw rows. */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val origin = 1704067200000000L // 2024-01-01T00:00:00Z µs
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - ${origin}L) div 3600000000").as("x"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val den = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    m.withColumn("slope", num.cast("double") / den.cast("double"))
+      .select(col("event_type"), col("n"),
+        round(col("slope"), 6).as("slope_cents_per_hour"),
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"), 4).as("intercept_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; cell (cohort_week, week_offset) counts distinct users of
     * that cohort active offset weeks later — the canonical retention

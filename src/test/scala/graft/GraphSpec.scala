@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Graph
 
 class GraphSpec extends SparkSpec {
@@ -79,5 +81,40 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .map { case (cid, n, _) => cid -> n }.toMap
     assert(sizes === byCluster.view.mapValues(_.length.toLong).toMap)
+  }
+
+  test("triangleCounts: K4 plus a pendant — each clique node in C(3,2) triangles") {
+    // K4 on {1,2,3,4} has 4 triangles, each node in 3; pendant 5-1 adds none
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: matches brute-force enumeration on the co-purchase graph") {
+    // rebuild the capped edge list exactly as copurchaseTriangles does
+    val ord = graft.util.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val op = graft.util.Tables.lineitem(spark, sf)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val byOrder = op.as[(Long, Long)].collect().groupBy(_._1)
+      .filter(_._2.length <= 10).view.mapValues(_.map(_._2).sorted).toMap
+    val edgeSet = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edgeSet.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteTris = for {
+      (a, b) <- edgeSet.toSeq
+      c <- adj.getOrElse(b, Set.empty) if edgeSet.contains((a, c))
+    } yield (a, b, c)
+    val brute = bruteTris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.copurchaseTriangles(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === brute)
+    assert(got.nonEmpty)
   }
 }
