@@ -148,6 +148,13 @@ object SparkEntry {
     "q_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(s, d)),
     "q_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_triangles" -> ((s, d) => graft.ops.Graph.copurchaseTriangles(s, d)),
+    // round 4 (cont. 2): feature prep + blocking dedup + weighted price
+    "q_feature_scale" -> (Analytics.featureScale _),
+    "q_robust_outliers" -> ((s, d) => Analytics.robustOutliers(s, d)),
+    "q_temporal_split" -> ((s, d) => Analytics.temporalSplit(s, d)),
+    "q_label_encode" -> (Analytics.labelEncode _),
+    "q_vwap" -> (Analytics.vwap _),
+    "q_dedup_sorted" -> ((s, d) => Dedup.sortedNeighborhood(s, d)),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -1550,5 +1557,79 @@ object SparkEntry {
         |      UNION ALL SELECT z FROM tri)
         |SELECT v AS node, count(*) AS n_triangles FROM n
         |GROUP BY v ORDER BY node""".stripMargin,
+
+    "q_feature_scale" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |              CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c*c) AS ss
+        |       FROM ev GROUP BY event_type)
+        |SELECT event_id, ev.event_type,
+        |  round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS z
+        |FROM ev JOIN st ON ev.event_type = st.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "q_robust_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |mad AS (SELECT e.event_type, min(m.med) AS med,
+        |          quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |        FROM events e JOIN med m ON e.event_type = m.event_type
+        |        GROUP BY e.event_type)
+        |SELECT event_id, e.event_type, round(e.value, 6) AS value,
+        |  round(abs(0.6745 * (e.value - m.med) / m.mad), 6) AS score
+        |FROM events e JOIN mad m ON e.event_type = m.event_type
+        |WHERE round(abs(0.6745 * (e.value - m.med) / m.mad), 6) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
+    "q_temporal_split" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN percent_rank() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) < 0.8
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_label_encode" ->
+      """WITH codes AS (SELECT event_type,
+        |    row_number() OVER (ORDER BY count(*) DESC, event_type) - 1 AS code
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, CAST(code AS INTEGER) AS code
+        |FROM events e JOIN codes c ON e.event_type = c.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "q_vwap" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity * 1000) AS BIGINT) AS milli
+        |  FROM lineitem)
+        |SELECT p_brand, count(*) AS n_lines,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(sum(milli) AS DOUBLE)
+        |        * 1000.0 / 100.0, 6) AS vwap
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_dedup_sorted" ->
+      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 24) AS sk,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |o AS (SELECT doc_id, toks,
+        |        lag(doc_id, 1) OVER win AS p1, lag(toks, 1) OVER win AS t1,
+        |        lag(doc_id, 2) OVER win AS p2, lag(toks, 2) OVER win AS t2,
+        |        lag(doc_id, 3) OVER win AS p3, lag(toks, 3) OVER win AS t3
+        |      FROM d WINDOW win AS (PARTITION BY lang ORDER BY sk, doc_id)),
+        |pairs AS (
+        |  SELECT p1 AS id_a, doc_id AS id_b, t1 AS ta, toks AS tb FROM o WHERE p1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT p2, doc_id, t2, toks FROM o WHERE p2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT p3, doc_id, t3, toks FROM o WHERE p3 IS NOT NULL),
+        |j AS (SELECT id_a, id_b,
+        |        CAST(len(list_distinct(list_intersect(ta, tb))) AS DOUBLE)
+        |          / CAST(len(list_distinct(ta || tb)) AS DOUBLE) AS jac
+        |      FROM pairs)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+        |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -404,7 +404,10 @@ object Dedup {
       col("nrm").as("b_nrm"))
     // round-then-compare mirrors the oracle exactly (6-dp cosine is the
     // cross-engine-stable value; the raw double is not a contract)
-    val dropped = a.hint("shuffle_hash").join(b,
+    // the hint must ride the RIGHT side: a left-semi join can only build
+    // its hash table from the right, so a left-side hint is ignored with
+    // a warning and the planner falls back to its own choice
+    val dropped = a.join(b.hint("shuffle_hash"),
         col("a.centroid_id") === col("b_centroid_id") &&
         col("b_vec_id") < col("a.vec_id") &&
         round(Similarity.cosinePrenormed(
@@ -421,9 +424,6 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  /** Generic drop-duplicates-keep-first on arbitrary key columns — the
-    * upsert/dedup primitive the sink router uses (models the reference's
-    * Cassandra last-write-wins PK semantics, SURVEY.md §1.1). */
   /** Incremental exact dedup: admit only new-batch (delta) documents
     * whose content hash is unseen in history, electing one survivor
     * (min doc_id) per hash WITHIN the delta too. The history side is its
@@ -446,6 +446,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocked sorted-neighborhood dedup — the third classic blocking
+    * family next to LSH banding and prefix filtering: sort records on a
+    * cheap key (here the text's 24-char prefix) and compare each record
+    * only to its `w` predecessors in that order. The textbook form uses
+    * ONE global sort — a single total order is exactly what does not
+    * scale — so this blocks by `lang` first and sorts within the block:
+    * the neighborhood window is a per-block `lag`, every block runs in
+    * parallel, and nothing is ever globally ordered. (With finer blocks
+    * — length buckets, key prefixes — the same shape carries a 100 TB
+    * corpus; recall degrades only at block boundaries, the standard
+    * trade of every blocking scheme.) Candidates are then verified with
+    * exact token-set Jaccard in-row (array algebra, no shuffle beyond
+    * the one sort). */
+  def sortedNeighborhood(spark: SparkSession, dir: String,
+      w: Int = 3, tau: Double = 0.5): DataFrame = {
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(col("sk"), col("doc_id"))
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 24).as("sk"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val withLags = (1 to w).foldLeft(base) { (df, k) =>
+      df.withColumn(s"p$k", lag(col("doc_id"), k).over(win))
+        .withColumn(s"t$k", lag(col("toks"), k).over(win))
+    }
+    val pairs = (1 to w).map { k =>
+      withLags.filter(col(s"p$k").isNotNull)
+        .select(col(s"p$k").as("id_a"), col("doc_id").as("id_b"),
+          col(s"t$k").as("ta"), col("toks").as("tb"))
+    }.reduce(_ unionAll _)
+    pairs
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Generic drop-duplicates-keep-first on arbitrary key columns — the
+    * upsert/dedup primitive the sink router uses (models the reference's
+    * Cassandra last-write-wins PK semantics, SURVEY.md §1.1). */
   def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))

@@ -101,8 +101,15 @@ object Graph {
     * `ranks` on the same hash keeps every iteration's join narrow.
     * Callers must pass edges where every node has out-degree >= 1
     * (e.g. symmetrized edges); dangling-mass redistribution is
-    * deliberately out of scope. */
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    * deliberately out of scope.
+    *
+    * Lineage is truncated every `checkpointEvery` rounds rather than
+    * every round: a handful of join+agg rounds is a shallow plan that
+    * Catalyst pipelines into fewer jobs, and only long runs need the
+    * periodic cut to keep plan growth (and recovery cost on a real
+    * cluster) bounded. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      checkpointEvery: Int = 5): DataFrame = {
     // materialize the edge list once — deg, adj and the rank init all
     // read it, and an un-checkpointed lineage would re-derive it (e.g.
     // the orders⋈lineitem distinct) three times
@@ -114,15 +121,14 @@ object Graph {
     // loop needs at scale
     val adj = e.join(deg, "src").repartition(col("src")).localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("pr div d").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

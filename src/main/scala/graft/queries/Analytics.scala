@@ -1204,6 +1204,115 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Per-key z-score feature scaling from EXACT integer moments: mean
+    * and variance of integer cents derive from (n, Σc, Σc²) long sums
+    * (map-side combinable, order-independent), broadcast back as a
+    * k-row stats table, and each row's standardized value is computed
+    * in one identically-shaped IEEE expression — so the normalized
+    * feature is reproducible across runs, partitionings, and engines,
+    * which a float `stddev_samp` pipeline is not. The corpus scan never
+    * shuffles; only the k-row stats table moves. */
+  def featureScale(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("mean_c", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("sd_c", sqrt(
+        (col("n").cast("double") * col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))))
+      .select(col("event_id"), col("event_type"),
+        round((col("c").cast("double") - col("mean_c")) / col("sd_c"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Robust outlier detection via the modified z-score
+    * 0.6745·(x − median)/MAD — the fence that survives the heavy tails
+    * which inflate a stddev-based cut until real outliers pass. Two
+    * exact-percentile aggregations per key (median, then MAD after a
+    * broadcast join of the k-row median table), then a zero-shuffle
+    * scoring scan; only flagged rows are emitted. */
+  def robustOutliers(spark: SparkSession, dir: String,
+      fence: Double = 3.5): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .withColumn("score",
+        round(abs(lit(0.6745) * (col("value") - col("med")) / col("mad")), 6))
+      .filter(col("score") > fence)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), col("score"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Temporal train/test split: each user's FIRST 80% of events (by
+    * time) train, the trailing 20% test — the leakage-safe split for
+    * forecasting-shaped tasks, where a row-hash split would let the
+    * model peek at the future. percent_rank over the per-user time
+    * order (event_id tie-break) is exact small-integer arithmetic, so
+    * the boundary is deterministic and engine-portable; every user
+    * splits in parallel, nothing is globally ordered. */
+  def temporalSplit(spark: SparkSession, dir: String,
+      trainFrac: Double = 0.8): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("user_id"), col("event_id"),
+        when(col("pr") < trainFrac, lit("train")).otherwise(lit("test"))
+          .as("split"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Dense categorical label encoding: codes assigned by frequency
+    * (most common = 0) with lexicographic tie-break — the vocabulary
+    * step of feature engineering. The code table is one tiny aggregate
+    * + rank window over k rows; rows encode through a broadcast join,
+    * so the corpus pass is shuffle-free. */
+  def labelEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    val codes = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("n").desc, col("event_type"))) - 1)
+      .select(col("event_type"), col("code"))
+    ev.join(broadcast(codes), "event_type")
+      .select(col("event_id"), col("event_type"), col("code"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Quantity-weighted average price per brand (the VWAP shape of the
+    * crypto reference, on the harness schema): Σ(price·qty)/Σ(qty) from
+    * integer-cents and milli-unit long sums — exact, order-independent
+    * partials on the map-side-combine path, one IEEE division per brand
+    * at the end. The part dim broadcasts; lineitem shuffles only its
+    * two aggregate columns. */
+  def vwap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        expr("cast(round(l_quantity * 1000) as bigint)").as("milli"))
+    li.join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("cents")).as("sum_cents"), sum(col("milli")).as("sum_milli"),
+        count(lit(1)).as("n_lines"))
+      .select(col("p_brand"), col("n_lines"),
+        round(col("sum_cents").cast("double") / col("sum_milli").cast("double")
+          * 1000.0 / 100.0, 6).as("vwap"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; cell (cohort_week, week_offset) counts distinct users of
     * that cohort active offset weeks later — the canonical retention
