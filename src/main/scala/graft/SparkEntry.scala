@@ -155,6 +155,8 @@ object SparkEntry {
     "q_label_encode" -> (Analytics.labelEncode _),
     "q_vwap" -> (Analytics.vwap _),
     "q_dedup_sorted" -> ((s, d) => Dedup.sortedNeighborhood(s, d)),
+    "q_corr_matrix" -> (Analytics.corrMatrix _),
+    "q_degree_dist" -> ((s, d) => graft.ops.Graph.degreeDistribution(s, d)),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -1631,5 +1633,35 @@ object SparkEntry {
         |      FROM pairs)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n,
+        |    sum(a.c) AS sx, sum(b.c) AS sy,
+        |    sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy,
+        |    sum(a.c * b.c) AS sxy
+        |  FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS r
+        |FROM m ORDER BY ta, tb""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |            WHERE ord.o_orderdate >= TIMESTAMP '1995-01-01'
+        |              AND ord.o_orderdate < TIMESTAMP '1995-07-01'),
+        |ok AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 10),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      JOIN ok ON x.o = ok.o),
+        |d AS (SELECT v, count(*) AS degree FROM (
+        |        SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+        |SELECT degree, count(*) AS n_nodes FROM d
+        |GROUP BY degree ORDER BY degree""".stripMargin,
   )
 }

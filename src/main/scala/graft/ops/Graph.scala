@@ -202,6 +202,15 @@ object Graph {
     * before pairing — the standard hub cap, bounding work per order at
     * C(maxFan, 2) no matter how pathological the basket. */
   def copurchaseTriangles(spark: SparkSession, dir: String,
+      maxFan: Int = 10): DataFrame =
+    triangleCounts(copurchaseEdges(spark, dir, maxFan))
+      .select(col("node"), col("n_triangles"))
+      .orderBy(col("node"))
+
+  /** The co-purchase edge list feeding [[copurchaseTriangles]] — split
+    * out so plan guards can assert the order-date pushdown before
+    * [[triangleCounts]] truncates lineage with its checkpoint. */
+  def copurchaseEdges(spark: SparkSession, dir: String,
       maxFan: Int = 10): DataFrame = {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
@@ -214,13 +223,24 @@ object Graph {
     val ok = op.groupBy(col("o")).agg(count(lit(1)).as("f"))
       .filter(col("f") <= maxFan).select(col("o"))
     val capped = op.join(ok, "o")
-    val edges = capped.select(col("o"), col("p").as("pa"))
+    capped.select(col("o"), col("p").as("pa"))
       .join(capped.select(col("o"), col("p").as("pb")), Seq("o"))
       .filter(col("pa") < col("pb"))
       .select(col("pa").as("a"), col("pb").as("b"))
       .distinct()
-    triangleCounts(edges)
-      .select(col("node"), col("n_triangles"))
-      .orderBy(col("node"))
+  }
+
+  /** Degree-distribution census of the co-purchase graph: how many
+    * nodes have each degree — the first sanity report of any graph
+    * pipeline (skew, hubs, disconnection all show up here). Two
+    * map-side-combinable aggregations over the edge list; the
+    * distribution table is |distinct degrees|-sized, trivially small
+    * at any corpus scale. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
   }
 }

@@ -1313,6 +1313,36 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** Pairwise Pearson correlation between event types over their
+    * hour-aligned value series, from EXACT integer moments: hourly
+    * cents sums per type (one map-side-combinable aggregation), a
+    * self-join on the hour (the aligned-series join every correlation
+    * matrix needs — k² pair rows per hour, k = #types, never the raw
+    * corpus), then the six sufficient statistics as long sums. The
+    * final r uses decimal-exact products, IEEE sqrt and one division —
+    * reproducible across engines and partitionings, which a float
+    * `corr()` accumulator is not. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+    val a = hourly.select(col("h"), col("event_type").as("ta"), col("c").as("x"))
+    val b = hourly.select(col("h"), col("event_type").as("tb"), col("c").as("y"))
+    val m = a.join(b, "h").filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val num = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
+    val denx = (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double")
+    val deny = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))).cast("double")
+    m.select(col("ta"), col("tb"), col("n"),
+        round(num / (sqrt(denx) * sqrt(deny)), 6).as("r"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; cell (cohort_week, week_offset) counts distinct users of
     * that cohort active offset weeks later — the canonical retention

@@ -110,6 +110,36 @@ class FeaturePrepSpec extends SparkSpec {
     assert(got.head._3 === r6(cents.toDouble / milli.toDouble * 1000.0 / 100.0))
   }
 
+  test("corrMatrix: bounded, complete over type pairs, exact on a hand pair") {
+    val rs = Analytics.corrMatrix(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    val types = Tables.events(spark, sf).select($"event_type").distinct()
+      .as[String].collect().sorted
+    assert(rs.length === types.length * (types.length - 1) / 2)
+    rs.foreach { case (ta, tb, n, r) =>
+      assert(ta < tb); assert(n > 1)
+      assert(r >= -1.0 && r <= 1.0)
+    }
+    // hand-recompute one pair from the hourly integer sums
+    val hourly = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000"), $"event_type",
+        expr("cast(round(value * 100) as bigint)"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val (ta, tb, _, rGot) = rs.head
+    val joined = hourly.collect { case ((h, t), x) if t == ta =>
+      hourly.get((h, tb)).map(y => (x, y)) }.flatten.toSeq
+    val n = joined.length.toLong
+    val (sx, sy) = (joined.map(_._1).sum, joined.map(_._2).sum)
+    val sxx = joined.map(p => p._1 * p._1).sum
+    val syy = joined.map(p => p._2 * p._2).sum
+    val sxy = joined.map(p => p._1 * p._2).sum
+    val expect = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rGot === r6(expect))
+  }
+
   test("sortedNeighborhood: pairs verified at tau, candidates within the block window") {
     val pairs = Dedup.sortedNeighborhood(spark, sf)
       .as[(Long, Long, Double)].collect()

@@ -117,4 +117,12 @@ class GraphSpec extends SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty)
   }
+
+  test("degreeDistribution: node-weighted degree total equals 2|E|") {
+    val dist = Graph.degreeDistribution(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(dist.nonEmpty)
+    val nEdges = Graph.copurchaseEdges(spark, sf).count()
+    assert(dist.map(d => d._1 * d._2).sum === 2 * nEdges)
+  }
 }

@@ -113,6 +113,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_overlap: zero-shuffle projection pass") {
+    val p = plan(graft.ops.TextAnalysis.chunkOverlap(spark, sf).limit(10))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_feature_scale / q_vwap / q_label_encode: stats and dims ride broadcasts") {
+    Seq(Analytics.featureScale(spark, sf),
+        Analytics.vwap(spark, sf),
+        Analytics.labelEncode(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  test("q_triangles: order-date window reaches the orders scan; joins never nest loops") {
+    // edge derivation (pre-checkpoint): the date window must prune the scan
+    val pe = plan(graft.ops.Graph.copurchaseEdges(spark, sf))
+    assert(pe.contains("GreaterThanOrEqual(o_orderdate"), pe)
+    // full query (post-checkpoint): wedge + closing joins stay hash/merge
+    val p = plan(graft.ops.Graph.copurchaseTriangles(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_semantic: pair probe shuffles both sides on the cluster key") {
+    val p = plan(graft.ops.Dedup.semanticDedup(spark, sf))
+    // the left-semi probe must be a shuffled hash join (build = one
+    // cluster's bucket), not a corpus-wide broadcast and not a sort-merge
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("shingle self-joins shuffle on the key — never broadcast an explode") {
     // Catalyst sizes a Generate by its parquet child, so without the
     // shuffle_hash hints it would broadcast the whole exploded shingle /
