@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.Analytics
+import graft.ops.{Dedup, Linkage, Multimodal, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Relational, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -157,6 +157,23 @@ object SparkEntry {
     "q_dedup_sorted" -> ((s, d) => Dedup.sortedNeighborhood(s, d)),
     "q_corr_matrix" -> (Analytics.corrMatrix _),
     "q_degree_dist" -> ((s, d) => graft.ops.Graph.degreeDistribution(s, d)),
+    // round 4 (cont. 3): TPC-H classics adapted to the trimmed schema
+    "q_trade_volume" -> (Relational.tradeVolume _),
+    "q_ship_priority" -> (Relational.shipPriority _),
+    "q_promo_share" -> (Relational.promoShare _),
+    "q_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    "q_brand_revenue" -> (Relational.brandRevenue _),
+    // round 4 (cont. 3): interval/path/sequence analytics
+    "q_interval_merge" -> ((s, d) => Temporal.intervalMerge(s, d)),
+    "q_drawdown" -> (Temporal.drawdown _),
+    "q_transitions" -> (Temporal.transitionMatrix _),
+    "q_cum_users" -> (Temporal.cumulativeDistinctUsers _),
+    "q_seasonality" -> (Temporal.seasonality _),
+    "q_weighted_median" -> (Temporal.weightedMedian _),
+    "q_rolling_slope" -> ((s, d) => Temporal.rollingSlope(s, d)),
+    // round 4 (cont. 3): record linkage + corpus novelty
+    "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
+    "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -1663,5 +1680,221 @@ object SparkEntry {
         |        SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
         |SELECT degree, count(*) AS n_nodes FROM d
         |GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "q_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_ship_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_promo_share" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS promo_cents,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT (100.0 * promo_cents) / total_cents AS promo_pct,
+        |       promo_cents, total_cents
+        |FROM c""".stripMargin,
+
+    "q_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_cents
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty_cents
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_brand_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_type = 'SMALL' AND p_size BETWEEN 16 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)
+        |   OR (p_type = 'LARGE' AND p_size BETWEEN 36 AND 50
+        |       AND l_quantity BETWEEN 25 AND 50)""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + 1800000000 AS end_us
+        |  FROM events),
+        |flag AS (
+        |  SELECT *, CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR start_us > max(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, CAST(sum(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM flag)
+        |SELECT user_id, island,
+        |  make_timestamp(min(start_us)) AS island_start,
+        |  make_timestamp(max(end_us)) AS island_end,
+        |  count(*) AS n_events
+        |FROM isl
+        |GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
+    "q_drawdown" ->
+      """WITH path AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pk AS (
+        |  SELECT user_id, cum_cents,
+        |    CAST(max(cum_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_cents
+        |  FROM path)
+        |SELECT user_id,
+        |  CAST(max(peak_cents - cum_cents) AS BIGINT) AS max_drawdown_cents,
+        |  CAST(max(peak_cents) AS BIGINT) AS peak_cents,
+        |  count(*) AS n_events
+        |FROM pk
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM cnt
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_cum_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+        |  GROUP BY user_id),
+        |daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM daily
+        |ORDER BY day""".stripMargin,
+
+    "q_seasonality" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hod,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY dow, hod""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH wtd AS (
+        |  SELECT event_type, value, event_id, (event_id % 7) + 1 AS wt
+        |  FROM events),
+        |cumed AS (
+        |  SELECT event_type, value, event_id, wt,
+        |    CAST(sum(wt) OVER (PARTITION BY event_type ORDER BY value, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_wt,
+        |    CAST(sum(wt) OVER (PARTITION BY event_type) AS BIGINT) AS tot_wt
+        |  FROM wtd)
+        |SELECT event_type,
+        |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS wmedian_cents,
+        |  CAST(max(tot_wt) AS BIGINT) AS total_weight
+        |FROM cumed
+        |WHERE cum_wt * 2 >= tot_wt
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_rolling_slope" ->
+      """WITH xy AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    count(*) OVER f AS cnt,
+        |    CAST(sum(x) OVER f AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER f AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER f AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) OVER f AS BIGINT) AS sxy
+        |  FROM xy
+        |  WINDOW f AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, ts, event_id,
+        |  CASE WHEN cnt = 20 THEN
+        |    CAST(20 * sxy - sx * sy AS DOUBLE) / CAST(20 * sxx - sx * sx AS DOUBLE)
+        |  END AS slope_cents
+        |FROM m
+        |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """SELECT a.p_brand, count(*) AS n_pairs,
+        |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INTEGER) AS min_dist,
+        |  CAST(sum(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS sum_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 6
+        |GROUP BY a.p_brand
+        |ORDER BY a.p_brand""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+         |novel AS (SELECT first_doc AS doc_id, count(*) AS n_novel
+         |          FROM firsts GROUP BY first_doc)
+         |SELECT p.doc_id, p.n_shingles,
+         |  coalesce(n.n_novel, 0) AS n_novel,
+         |  CAST(coalesce(n.n_novel, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) AS novelty
+         |FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Record linkage: approximate-match joins for entity resolution — the
+  * fuzzy cousin of [[Dedup]]'s set-similarity ops (there: token sets;
+  * here: edit distance on short strings).
+  *
+  * The scale pattern is BLOCKING: never evaluate the O(n²) pairwise edit
+  * distance across the corpus — first shuffle both sides on a cheap
+  * blocking key that any true match must share, then run the quadratic
+  * comparison only within each (small, bounded) block. This is the same
+  * candidate-generation/verification split LSH uses, with a deterministic
+  * key instead of a probabilistic one: recall is exact for matches that
+  * agree on the blocking key, zero outside it — state the key's
+  * assumptions, don't hide them.
+  */
+object Linkage {
+
+  /** Within-block fuzzy pairs: part names compared by Levenshtein distance
+    * inside (p_brand, p_size) blocks, rolled up per brand.
+    *
+    * The self-join shuffles both sides on the block key once (sort-merge
+    * on equal keys); with B blocks of ~n/B rows the comparison count drops
+    * from n²/2 to B·(n/B)²/2 — a 1/B reduction, and each block's work is
+    * independent → embarrassingly parallel across executors. `levenshtein`
+    * is a codegen'd Catalyst expression (no UDF). Output is the per-brand
+    * rollup (pair counts explode quadratically inside dup-heavy blocks;
+    * aggregate at the block level so the result stays bounded).
+    *
+    * Reference ties: the reference's only string matching is exact
+    * suffix/equality (`flask/app.py:51,110,163`); this is the upgrade
+    * entity resolution needs at scale. */
+  def fuzzyPairsByBrand(spark: SparkSession, dir: String,
+      maxDist: Int = 6): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    val a = p.toDF("a_key", "p_brand", "p_size", "a_name")
+    val b = p.toDF("b_key", "p_brand", "p_size", "b_name")
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("dist")).as("min_dist"),
+        sum(col("dist")).as("sum_dist"))
+      .orderBy(col("p_brand"))
+  }
+}

@@ -469,6 +469,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** First-occurrence n-gram novelty: for each document (in doc_id
+    * order, the corpus's arrival order), the share of its distinct word
+    * 3-grams never seen in any EARLIER document — the dedup-adjacent
+    * freshness signal a crawl pipeline tracks per snapshot.
+    *
+    * Shape at scale: one shuffle of the shingle stream keyed by the gram
+    * computes both the global first-seer (`min(doc_id)`) and, in the same
+    * pass, each doc's novel-gram count via `count(first == doc)`; per-doc
+    * cardinalities are a second map-side-combinable agg on doc_id. The
+    * gram-keyed aggregate is the only wide exchange — no join back to the
+    * exploded stream (which would shuffle it twice). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(spark, dir))
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("s"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("lang"), col("source"))

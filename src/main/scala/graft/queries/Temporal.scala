@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Time-series / sequence operators beyond the reference's indicator set —
+  * the session-, interval- and path-shaped analytics a trading or event
+  * pipeline needs (the reference stops at per-key rolling indicators,
+  * `spark-streaming.py:164-194`).
+  *
+  * Exactness convention shared with [[Analytics]]: every cross-engine
+  * comparison quantity is carried as integer cents / microseconds (BIGINT)
+  * so window sums are order-independent and hash-identical across engines;
+  * a final single division (BIGINT→DOUBLE) is IEEE-exact in both.
+  *
+  * Scale notes: every operator here is one window pass over a
+  * `partitionBy(user_id …)` spec (one hash shuffle on the series key, the
+  * same distribution reused by consecutive window layers — Catalyst
+  * collapses same-spec windows into one sort), or one shuffle + one
+  * map-side-combinable aggregation. Nothing materializes per-key state on
+  * the driver.
+  */
+object Temporal {
+
+  private val evOrder = Seq(col("ts"), col("event_id"))
+
+  /** Event-value in exact integer cents. */
+  private def cents(c: String = "value") =
+    round(col(c) * 100).cast("long")
+
+  // --------------------------------------------------------------------
+  // Gaps-and-islands: merge overlapping activity intervals
+  // --------------------------------------------------------------------
+
+  /** Interval union per user: each event opens a 30-minute activity
+    * interval `[ts, ts+30m)`; overlapping/touching intervals merge into
+    * islands. Returns one row per merged island.
+    *
+    * The island boundary is `start > max(end of all previous intervals)`
+    * — a running max over the preceding frame (NOT a lag of the previous
+    * row's end: an earlier long interval can swallow several short
+    * successors). Single window shuffle on user_id; all arithmetic in
+    * epoch microseconds (BIGINT, exact). */
+  def intervalMerge(spark: SparkSession, dir: String,
+      widthUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    val prevMaxEnd = max(col("end_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + widthUs).as("end_us"))
+    ev.withColumn("new_island",
+        when(prevMaxEnd.isNull || col("start_us") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        timestamp_micros(min(col("start_us"))).as("island_start"),
+        timestamp_micros(max(col("end_us"))).as("island_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
+  // --------------------------------------------------------------------
+  // Max drawdown — the canonical risk metric over a cumulative P&L path
+  // --------------------------------------------------------------------
+
+  /** Per-user maximum drawdown of the cumulative event-value path:
+    * `dd_t = max_{s<=t}(cum_s) - cum_t`, reported as the path maximum in
+    * cents, with the running peak at the end of the series. Two stacked
+    * same-spec windows (cumsum, then running max) → ONE sort/shuffle;
+    * the per-user reduction is a plain map-side-combinable agg. */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("cum_cents", sum(cents()).over(w))
+      .withColumn("peak_cents", max(col("cum_cents")).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("peak_cents") - col("cum_cents")).as("max_drawdown_cents"),
+        max(col("peak_cents")).as("peak_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // --------------------------------------------------------------------
+  // First-order Markov transition matrix over event types
+  // --------------------------------------------------------------------
+
+  /** Global event-type transition counts and probabilities: for each user's
+    * ts-ordered event sequence, count `(event_type -> next event_type)`
+    * pairs, then normalize per source type. One window shuffle on user_id
+    * (lead), one map-side-combinable count, one tiny broadcast-sized
+    * normalization window over ~|types|² rows. The probability is a single
+    * BIGINT/BIGINT division — IEEE-exact across engines. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+               col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // --------------------------------------------------------------------
+  // Cumulative distinct users (growth curve)
+  // --------------------------------------------------------------------
+
+  /** Daily new-user and cumulative-distinct-user counts: distinct is
+    * reduced to "first day per user" (one agg on user_id — exact, no
+    * sketch), then a per-day count and a running sum over the day
+    * sequence. The final window is over ~|days| rows — negligible; the
+    * heavy lifting is the map-side-combinable min(day) per user. */
+  def cumulativeDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("day"))
+
+  // --------------------------------------------------------------------
+  // Seasonality heatmap (the visualization-layer aggregate)
+  // --------------------------------------------------------------------
+
+  /** Day-of-week × hour-of-day activity heatmap: event counts, exact cents
+    * volume, and distinct users per cell. 7×24 output cells — the classic
+    * dashboard heatmap the reference's viz layer would render. Single
+    * map-side-combinable aggregation; distinct users per cell is exact
+    * (the cell count is bounded, the shuffle is on the 168 cell keys plus
+    * user for the distinct). */
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(cents()).as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("dow"), col("hod"))
+
+  // --------------------------------------------------------------------
+  // Weighted median (selection form — no interpolation, stays exact)
+  // --------------------------------------------------------------------
+
+  /** Weighted lower median of event value per event type, with
+    * deterministic synthetic weights `(event_id % 7) + 1`: the smallest
+    * value whose cumulative weight reaches half the total. Selection (not
+    * interpolation) keeps the result a value from the data → exact across
+    * engines. Two same-spec windows (cumulative weight, total) → one
+    * shuffle on event_type; the argmin is a min over qualifying rows. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("wt", (col("event_id") % 7 + 1).cast("long"))
+      .withColumn("cum_wt",
+        sum(col("wt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot_wt",
+        sum(col("wt")).over(Window.partitionBy(col("event_type"))))
+    ev.filter(col("cum_wt") * 2 >= col("tot_wt"))
+      .groupBy(col("event_type"))
+      .agg(min(cents()).as("wmedian_cents"),
+           max(col("tot_wt")).as("total_weight"))
+      .orderBy(col("event_type"))
+  }
+
+  // --------------------------------------------------------------------
+  // Rolling OLS slope (local trend strength)
+  // --------------------------------------------------------------------
+
+  /** 20-row rolling OLS slope of value-cents against the row index, per
+    * (user_id, event_type) series — the local linear trend under each
+    * point. All five moments (n, Σx, Σx², Σy, Σxy) are BIGINT window sums
+    * over the same frame (x = row_number within the series, y = cents), so
+    * the slope numerator/denominator are exact integers; the one division
+    * at the end is IEEE-exact. Same-spec windows collapse to a single
+    * sort + shuffle on the series key. */
+  def rollingSlope(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val w = Window.partitionBy(key: _*).orderBy(evOrder: _*)
+    val f = w.rowsBetween(-(n - 1), 0)
+    val ev = Tables.events(spark, dir)
+      .withColumn("x", row_number().over(w).cast("long"))
+      .withColumn("y", cents())
+    val cnt = count(lit(1)).over(f)
+    val sx = sum(col("x")).over(f)
+    val sy = sum(col("y")).over(f)
+    val sxx = sum(col("x") * col("x")).over(f)
+    val sxy = sum(col("x") * col("y")).over(f)
+    ev.withColumn("slope_cents",
+        when(cnt === n,
+          (lit(n) * sxy - sx * sy).cast("double") /
+            (lit(n) * sxx - sx * sx).cast("double")))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+              col("slope_cents"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+  }
+}

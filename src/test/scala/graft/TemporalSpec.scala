@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Temporal
+import graft.util.Tables
+
+/** Temporal/sequence operators (round 4): interval merge, drawdown,
+  * Markov transitions, weighted median, rolling OLS slope, cumulative
+  * distinct users. Each cross-checked against an independent brute-force
+  * computation on the sf0.001 tables. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events =
+    Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+
+  test("intervalMerge: islands cover every event; island bounds nest") {
+    val width = 30L * 60 * 1000000
+    val byUser = events.groupBy(_._1)
+    val brute = byUser.map { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      var islands = 0
+      var maxEnd = Long.MinValue
+      var n = Map.empty[Int, Long]
+      sorted.foreach { e =>
+        if (e._2 > maxEnd) islands += 1
+        maxEnd = math.max(maxEnd, e._2 + width)
+        n = n.updated(islands, n.getOrElse(islands, 0L) + 1)
+      }
+      u -> n
+    }
+    val got = Temporal.intervalMerge(spark, sf)
+      .select($"user_id", $"island", $"n_events")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.map(r => r._2.toInt -> r._3).toMap
+      }
+    assert(got === brute)
+  }
+
+  test("intervalMerge: within a user, islands are disjoint and ordered") {
+    val rows = Temporal.intervalMerge(spark, sf)
+      .select($"user_id", $"island",
+        unix_micros($"island_start"), unix_micros($"island_end"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.values.foreach { isl =>
+      val sorted = isl.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3) // prev end < next start
+        case _ =>
+      }
+    }
+  }
+
+  test("drawdown: matches the scalar running-peak recurrence") {
+    val brute = events.groupBy(_._1).map { case (u, evs) =>
+      val cents = evs.sortBy(e => (e._2, e._3))
+        .map(e => math.round(e._4 * 100))
+      var cum = 0L; var peak = Long.MinValue; var dd = Long.MinValue
+      cents.foreach { c =>
+        cum += c; peak = math.max(peak, cum); dd = math.max(dd, peak - cum)
+      }
+      u -> ((dd, peak, cents.length.toLong))
+    }
+    val got = Temporal.drawdown(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, dd, pk, n) => u -> ((dd, pk, n)) }.toMap
+    assert(got === brute)
+  }
+
+  test("transitions: per-source probabilities sum to 1; counts match") {
+    val rows = Temporal.transitionMatrix(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    rows.groupBy(_._1).values.foreach { grp =>
+      assert(math.abs(grp.map(_._4).sum - 1.0) < 1e-9)
+    }
+    // total transition count = total events - one per (user) sequence
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === nEvents - nUsers)
+  }
+
+  test("weightedMedian: cumulative-weight definition holds") {
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", $"value", $"event_id")
+      .as[(String, Double, Long)].collect()
+      .groupBy(_._1)
+    val brute = byType.map { case (t, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+        .map(e => (math.round(e._2 * 100), e._3 % 7 + 1))
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      t -> ((med, tot))
+    }
+    val got = Temporal.weightedMedian(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, m, w) => t -> ((m, w)) }.toMap
+    assert(got === brute)
+  }
+
+  test("rollingSlope: matches least-squares fit on a sampled frame") {
+    val rows = Temporal.rollingSlope(spark, sf)
+      .filter($"slope_cents".isNotNull)
+      .as[(Long, String, java.sql.Timestamp, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // recompute one series' slopes by brute force
+    val (u, t) = (rows.head._1, rows.head._2)
+    val series = Tables.events(spark, sf)
+      .filter($"user_id" === u && $"event_type" === t)
+      .select(unix_micros($"ts"), $"event_id", $"value")
+      .as[(Long, Long, Double)].collect()
+      .sortBy(e => (e._1, e._2))
+      .map(e => math.round(e._3 * 100).toDouble)
+    val expected = series.indices.collect {
+      case i if i >= 19 =>
+        val ys = series.slice(i - 19, i + 1)
+        val xs = (i - 18).to(i + 1).map(_.toDouble) // row_number is 1-based
+        val n = 20.0
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxx = xs.map(x => x * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val got = rows.filter(r => r._1 == u && r._2 == t)
+      .sortBy(r => (r._3.getTime, r._4)).map(_._5)
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+  }
+
+  test("cumulativeDistinctUsers: final cumulative equals distinct users") {
+    val rows = Temporal.cumulativeDistinctUsers(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.last._3 === nUsers)
+    assert(rows.map(_._2).sum === nUsers)
+    // cumulative is the prefix sum of new_users
+    assert(rows.scanLeft(0L)(_ + _._2).tail.toSeq === rows.map(_._3).toSeq)
+  }
+
+  test("seasonality: cells partition the event count") {
+    val cells = Temporal.seasonality(spark, sf)
+      .as[(Int, Int, Long, Long, Long)].collect()
+    assert(cells.map(_._3).sum === Tables.events(spark, sf).count())
+    cells.foreach { c =>
+      assert(c._1 >= 1 && c._1 <= 7 && c._2 >= 0 && c._2 <= 23)
+    }
+  }
+}
