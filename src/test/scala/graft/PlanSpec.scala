@@ -156,4 +156,46 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
     }
   }
+
+  test("q_trade_volume: both nation maps broadcast; date range reaches the scan") {
+    val p = plan(graft.queries.Relational.tradeVolume(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_drawdown: stacked windows + final agg reuse ONE user_id shuffle") {
+    // cumsum window, running-max window and the per-user reduction all
+    // hash-partition on user_id — Catalyst must plan a single Exchange,
+    // or at 100 TB the path data crosses the network three times.
+    val p = plan(graft.queries.Temporal.drawdown(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q_rolling_slope: five moment sums share one Window operator") {
+    val p = plan(graft.queries.Temporal.rollingSlope(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    // row_number spec and the moment frames differ, but there is no
+    // reason for more than the two Window operators
+    assert("Window".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_interval_merge: island detection is one shuffle + reused agg") {
+    val p = plan(graft.queries.Temporal.intervalMerge(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q_fuzzy_pairs: blocked self-join never degenerates to a cross product") {
+    val p = plan(graft.ops.Linkage.fuzzyPairsByBrand(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ngram_novelty: novel counts derive from aggregates, not a stream re-join") {
+    // the exploded shingle stream must be shuffled once on the gram key;
+    // joining the raw stream back to firsts would double the wide exchange
+    val p = plan(graft.ops.TextAnalysis.ngramNovelty(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
 }
