@@ -174,6 +174,8 @@ object SparkEntry {
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    // round 4 (cont. 4): DataSource V2 feed table (pushdown-pruned scan)
+    "q_ticker_summary" -> (graft.sources.TickerQueries.summary _),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -1896,5 +1898,33 @@ object SparkEntry {
          |  CAST(coalesce(n.n_novel, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) AS novelty
          |FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+
+    // reproduces the DSv2 Ticker generator closed-form: 12-hex-digit md5
+    // prefix as unsigned int, price/volume by modulus — no parquet input
+    "q_ticker_summary" ->
+      """WITH coins AS (
+        |  SELECT 'coin' || lpad(CAST(i AS VARCHAR), 2, '0') AS coin_id
+        |  FROM (SELECT unnest(range(0, 20)) AS i)),
+        |ticks AS (SELECT unnest(range(100, 400)) AS tick),
+        |rows_ AS (
+        |  SELECT coin_id, tick,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef',
+        |              substr(md5(coin_id || '|ex0|' || CAST(tick AS VARCHAR)),
+        |                     CAST(k AS INTEGER), 1)) - 1)
+        |           * CAST(16 ** (12 - k) AS BIGINT))) AS BIGINT) AS h
+        |  FROM coins CROSS JOIN ticks),
+        |v AS (SELECT coin_id,
+        |        100000 + h % 900000 AS price_cents,
+        |        1000 + h % 99000 AS volume_milli
+        |      FROM rows_)
+        |SELECT coin_id, count(*) AS n_ticks,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+        |  CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+        |  CAST(max(price_cents) AS BIGINT) AS max_price_cents,
+        |  CAST(sum(volume_milli) AS BIGINT) AS sum_volume_milli
+        |FROM v
+        |GROUP BY coin_id
+        |ORDER BY coin_id""".stripMargin,
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Ticker, TickerQueries}
+
+/** DataSource V2 Ticker feed: schema, determinism, column pruning,
+  * filter pushdown (partition pruning at planning time), and the
+  * closed-form content contract the DuckDB oracle mirrors. */
+class TickerSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ticker = spark.read.format("graft.sources.Ticker").load()
+
+  test("full scan: |coins| x |exchanges| x |ticks| rows, default config") {
+    assert(ticker.count() === 20L * 9 * 500)
+  }
+
+  test("deterministic: two scans agree row-for-row") {
+    val a = ticker.orderBy("coin_id", "exchange", "tick").collect()
+    val b = ticker.orderBy("coin_id", "exchange", "tick").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("content matches the closed-form md5 contract") {
+    val row = ticker
+      .filter($"coin_id" === "coin03" && $"exchange" === "ex2" && $"tick" === 7L)
+      .select("price_cents", "volume_milli").as[(Long, Long)].head()
+    val h = Ticker.hash12("coin03", "ex2", 7L)
+    assert(row === ((Ticker.priceCents(h), Ticker.volumeMilli(h))))
+    assert(h >= 0 && h < (1L << 48))
+  }
+
+  test("equality pushdown prunes partitions at planning time") {
+    val pruned = ticker.filter($"exchange" === "ex0" && $"coin_id" === "coin01")
+    assert(pruned.rdd.getNumPartitions === 1) // 1 of 180 pairs planned
+    assert(pruned.count() === 500)
+    val p = pruned.queryExecution.executedPlan.toString()
+    assert(p.contains("TickerScan"), p)
+  }
+
+  test("IN-list pushdown keeps only the named pairs") {
+    val pruned = ticker.filter($"coin_id".isin("coin00", "coin05"))
+    assert(pruned.rdd.getNumPartitions === 2 * 9)
+    assert(pruned.count() === 2L * 9 * 500)
+  }
+
+  test("tick range pushdown narrows generation, bounds half-open") {
+    val slice = ticker.filter($"tick" >= 100L && $"tick" < 400L)
+    assert(slice.count() === 20L * 9 * 300)
+    val edge = ticker.filter($"tick" > 498L)
+    assert(edge.count() === 20L * 9 * 1)
+  }
+
+  test("contradictory range plans zero partitions") {
+    val none = ticker.filter($"tick" >= 400L && $"tick" < 100L)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0)
+  }
+
+  test("column pruning: tick-only projection reads LongType only") {
+    val df = ticker.filter($"exchange" === "ex0").select("tick")
+    assert(df.schema.fieldNames.toSeq === Seq("tick"))
+    assert(df.distinct().count() === 500)
+  }
+
+  test("residual (non-pushable) predicates still apply Spark-side") {
+    val df = ticker.filter($"exchange" === "ex0" && $"price_cents" % 2 === 0)
+    val n = df.count()
+    assert(n > 0 && n < 20L * 500)
+  }
+
+  test("ts derives from the 5-minute cadence") {
+    val (t0, t1) = ticker.filter($"coin_id" === "coin00" && $"exchange" === "ex0")
+      .filter($"tick".isin(0L, 1L))
+      .orderBy("tick").select(unix_micros($"ts")).as[Long].collect() match {
+        case Array(a, b) => (a, b)
+      }
+    assert(t1 - t0 === 300L * 1000000)
+    assert(t0 === 1704067200L * 1000000) // 2024-01-01T00:00:00Z
+  }
+
+  test("summary query equals a brute-force recomputation") {
+    val got = TickerQueries.summary(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 20)
+    val brute = (0 until 20).map { c =>
+      val coin = f"coin$c%02d"
+      val hs = (100L until 400L).map(Ticker.hash12(coin, "ex0", _))
+      (coin, hs.length.toLong,
+        hs.map(Ticker.priceCents).sum, hs.map(Ticker.priceCents).min,
+        hs.map(Ticker.priceCents).max, hs.map(Ticker.volumeMilli).sum)
+    }
+    assert(got.toSeq === brute)
+  }
+}
