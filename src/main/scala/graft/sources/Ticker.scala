@@ -77,7 +77,8 @@ object Ticker {
 /** Generation parameters; coins are `coin00..`, exchanges `ex0..`. */
 case class TickerConfig(
     nCoins: Int, nExchanges: Int, nTicks: Long,
-    startEpochSec: Long, intervalSec: Long) {
+    startEpochSec: Long, intervalSec: Long,
+    maxTicksPerBatch: Long) {
   def coinName(i: Int): String = f"coin$i%02d"
   def exchangeName(i: Int): String = s"ex$i"
   def coins: Seq[String] = (0 until nCoins).map(coinName)
@@ -90,7 +91,8 @@ object TickerConfig {
     nExchanges = opts.getOrElse("exchanges", "9").toInt,
     nTicks = opts.getOrElse("ticks", "500").toLong,
     startEpochSec = opts.getOrElse("start", "1704067200").toLong, // 2024-01-01
-    intervalSec = opts.getOrElse("interval", "300").toLong)       // 5 min (S2 cadence)
+    intervalSec = opts.getOrElse("interval", "300").toLong,       // 5 min (S2 cadence)
+    maxTicksPerBatch = opts.getOrElse("maxTicksPerBatch", "100").toLong)
 }
 
 /** Queries over the [[Ticker]] DSv2 source. The scale-factor dir is
@@ -122,7 +124,8 @@ class TickerTable(config: TickerConfig) extends Table with SupportsRead {
   override def name(): String = "ticker"
   override def schema(): StructType = Ticker.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TickerScanBuilder(config)
 }
@@ -161,6 +164,9 @@ class TickerScan(config: TickerConfig, requiredSchema: StructType,
     filters: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TickerMicroBatchStream(config, requiredSchema)
   override def description(): String = {
     val f = filters.map(_.toString).sorted.mkString(", ")
     s"TickerScan PushedFilters: [$f], ReadSchema: ${requiredSchema.simpleString}"
@@ -204,6 +210,69 @@ class TickerScan(config: TickerConfig, requiredSchema: StructType,
 
 case class TickerPartition(coin: String, exchange: String,
     tickLo: Long, tickHi: Long) extends InputPartition
+
+/** Streaming form of the feed: the offset IS the tick index (exactly the
+  * Kafka-offset shape of the reference's S1 source, without the broker).
+  * Each micro-batch covers the tick range (start, end] split one
+  * partition per (coin, exchange) pair; restart replays from the
+  * checkpointed tick, giving exactly-once with a deterministic generator.
+  * `maxTicksPerBatch` bounds admission so a cold start over a deep
+  * backlog becomes several bounded batches, not one giant one. */
+class TickerMicroBatchStream(config: TickerConfig, schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  // Trigger.AvailableNow: snapshot the drain target; admission control
+  // (latestOffset(start, limit)) still paces the batches toward it —
+  // without this interface the AvailableNow wrapper runs ONE unbounded
+  // batch, defeating maxTicksPerBatch on a deep backlog.
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(config.nTicks)
+
+  private case class TickOffset(tick: Long) extends Offset {
+    override def json(): String = tick.toString
+  }
+
+  override def initialOffset(): Offset = TickOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    TickOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def latestOffset(): Offset = TickOffset(config.nTicks)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(
+      config.maxTicksPerBatch * config.nCoins * config.nExchanges)
+
+  /** Admission control: advance by at most `limit / pairs` ticks (every
+    * tick fans out one row per (coin, exchange) pair). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[TickOffset].tick
+    val maxTicks = limit match {
+      case r: ReadMaxRows =>
+        math.max(1L, r.maxRows() / (config.nCoins.toLong * config.nExchanges))
+      case _ => config.nTicks
+    }
+    val target = availableNowTarget.getOrElse(config.nTicks)
+    TickOffset(math.min(target, from + maxTicks))
+  }
+  override def reportLatestOffset(): Offset = TickOffset(config.nTicks)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[TickOffset].tick
+    val hi = end.asInstanceOf[TickOffset].tick
+    if (lo >= hi) Array.empty
+    else (for (c <- config.coins; e <- config.exchanges)
+      yield TickerPartition(c, e, lo, hi): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TickerReaderFactory(schema, config.startEpochSec, config.intervalSec)
+}
 
 class TickerReaderFactory(schema: StructType, startEpochSec: Long,
     intervalSec: Long) extends PartitionReaderFactory {

@@ -73,8 +73,8 @@ class RelationalSpec extends SparkSpec {
 
   test("fuzzyPairsByBrand: block join equals quadratic scan at this sf") {
     val parts = Tables.part(spark, sf)
-      .select($"p_partkey", $"p_brand", $"p_size", $"p_name")
-      .as[(Long, String, Int, String)].collect()
+      .select($"p_partkey", $"p_brand", $"p_name")
+      .as[(Long, String, String)].collect()
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0
@@ -86,8 +86,8 @@ class RelationalSpec extends SparkSpec {
     }
     val brute = (for {
       a <- parts; b <- parts
-      if a._2 == b._2 && a._3 == b._3 && a._1 < b._1
-      dist = lev(a._4, b._4) if dist <= 6
+      if a._2 == b._2 && a._1 < b._1
+      dist = lev(a._3, b._3) if dist <= 4
     } yield (a._2, dist)).groupBy(_._1).map { case (brand, xs) =>
       brand -> ((xs.length.toLong, xs.map(_._2).min, xs.map(_._2.toLong).sum))
     }
