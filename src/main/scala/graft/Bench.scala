@@ -52,10 +52,22 @@ object Bench {
       System.gc()
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last 2000 chars of stdout and sbt
+    // appends a ~75-char [success] line after ours, so the JSON line must
+    // stay well under ~1900 chars or the driver records parsed:null (it
+    // did for rounds 1-3). Round to ms and emit the slowest queries until
+    // a fixed budget is spent; "value" and "nq" always cover every query.
+    def ms(d: Double): String = f"$d%.3f"
+    val total = ms(results.map(_._2).sum)
+    val prefix =
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"sf":"$sfDir","queries":{"""
+    val budget = 1700 - prefix.length
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val kept = entries
+      .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
+      .drop(1).takeWhile(_._2 <= budget).map(_._1)
+    println(prefix + kept.mkString(",") + "}}")
     spark.stop()
   }
 }
