@@ -45,15 +45,28 @@ object Linkage {
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
     val a = p.toDF("a_key", "p_brand", "a_name")
     val b = p.toDF("b_key", "p_brand", "b_name")
+    // A post-join `filter(levenshtein(..) <= d)` gets pushed INTO the join
+    // condition, where it (a) runs before the cheap a_key < b_key check and
+    // (b) is re-evaluated in the downstream projection — the DP matrix per
+    // pair twice. Keeping the threshold inside conditional aggregates
+    // leaves the join condition to the cheap key inequality and evaluates
+    // levenshtein exactly once per pair, guarded by a lossless
+    // length-difference lower bound (edit distance >= |len(a) - len(b)|,
+    // so the when() short-circuits the DP for most of the block).
+    val lenOk = abs(length(col("a_name")) - length(col("b_name"))) <= maxDist
+    // banded threshold form: O(maxDist·n) diagonal band instead of the
+    // O(m·n) full DP; returns -1 when the distance exceeds the threshold
+    val dist = when(lenOk, levenshtein(col("a_name"), col("b_name"), maxDist))
+    val hit = col("dist").isNotNull && col("dist") =!= -1
     a.join(b, Seq("p_brand"))
       .filter(col("a_key") < col("b_key"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= maxDist)
+      .select(col("p_brand"), dist.as("dist"))
       .groupBy(col("p_brand"))
       .agg(
-        count(lit(1)).as("n_pairs"),
-        min(col("dist")).as("min_dist"),
-        sum(col("dist")).as("sum_dist"))
+        count(when(hit, 1)).as("n_pairs"),
+        min(when(hit, col("dist"))).as("min_dist"),
+        sum(when(hit, col("dist"))).as("sum_dist"))
+      .filter(col("n_pairs") > 0)
       .orderBy(col("p_brand"))
   }
 }
