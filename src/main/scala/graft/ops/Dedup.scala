@@ -88,7 +88,14 @@ object Dedup {
     * there is no distinct pass and no count window. On corpora where hub
     * shingles make this join quadratic, [[jaccardPairsPrefix]] computes
     * the identical result with PPJoin prefix filtering. */
-  def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+  def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
+    jaccardPairsUnsorted(spark, dir, tau).orderBy(col("id_a"), col("id_b"))
+
+  /** [[jaccardPairs]] without the final presentation sort — the form to
+    * compose (e.g. as connected-components input), where a global
+    * range-partition sort of the pair stream is pure wasted shuffle. */
+  def jaccardPairsUnsorted(spark: SparkSession, dir: String,
+      tau: Double = 0.8): DataFrame = {
     val sh = shinglesWithCard(Tables.documents(spark, dir))
     // the self-join MUST shuffle on the shingle: Catalyst sizes a Generate
     // by its (tiny) parquet child, so without the hint it broadcasts the
@@ -101,7 +108,6 @@ object Dedup {
         (col("ca") + col("cb") - col("ix")), 6))
       .filter(col("jac") >= tau)
       .select(col("id_a"), col("id_b"), col("jac"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** [[jaccardPairs]] with PPJoin-style prefix filtering (Xiao et al.,

@@ -73,7 +73,8 @@ object Graph {
     * cluster and would swamp the output). */
   def docClusters(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
     connectedComponents(
-        Dedup.jaccardPairs(spark, dir, tau).select(col("id_a"), col("id_b")))
+        Dedup.jaccardPairsUnsorted(spark, dir, tau)
+          .select(col("id_a"), col("id_b")))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy(col("cluster_id"), col("doc_id"))
 
