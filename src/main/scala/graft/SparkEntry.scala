@@ -90,6 +90,10 @@ object SparkEntry {
     "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q_winnow" -> ((s, d) => Dedup.winnowSummary(s, d)),
     "q_contamination" -> ((s, d) => Dedup.contamination(s, d)),
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // the PPJoin prefix-filtered path as a gated query: identical result
+    // to q_dedup_jaccard (same oracle), different physical strategy
+    "q_dedup_ppjoin" -> ((s, d) => Dedup.jaccardPairsPrefix(s, d)),
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
@@ -120,6 +124,8 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)), // rows-only (sketch)
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
+    "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
+    "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     "q_profile" -> (Analytics.profileTable _),
     "q_rsi_wilder" -> (Analytics.rsiWilder _),
     // LLM-pipeline: multimodal plumbing
@@ -704,6 +710,45 @@ object SparkEntry {
          |WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_containment" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_sub, id_super,
+         |       round(CAST(ix AS DOUBLE) / ca.c, 6) AS containment
+         |FROM inter JOIN card ca ON ca.doc_id = id_sub
+         |WHERE round(CAST(ix AS DOUBLE) / ca.c, 6) >= 0.9
+         |ORDER BY id_sub, id_super""".stripMargin,
+
+    // PPJoin prefix-filtered path: same result contract as q_dedup_jaccard
+    "q_dedup_ppjoin" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) AS jac
+         |FROM inter
+         |JOIN card ca ON ca.doc_id = id_a
+         |JOIN card cb ON cb.doc_id = id_b
+         |WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """WITH keyed AS (SELECT doc_id, md5('ep1|' || doc_id) AS okey
+        |               FROM documents),
+        |sharded AS (SELECT doc_id, okey,
+        |  CAST((strpos('0123456789abcdef', substr(okey, 1, 1)) - 1) % 8 AS INT)
+        |    AS shard FROM keyed)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+        |    AS BIGINT) AS seq
+        |FROM sharded
+        |ORDER BY shard, seq""".stripMargin,
+
     // transitive closure over the verified Jaccard pairs (the recursive
     // CTE IS the oracle for the Spark-side iterative label propagation)
     "q_dedup_clusters" ->
@@ -724,6 +769,27 @@ object SparkEntry {
          |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
          |FROM reach GROUP BY node
          |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN card ca ON ca.doc_id = id_a
+         |          JOIN card cb ON cb.doc_id = id_b
+         |          WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8),
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT src AS node, dst AS r FROM bi
+         |          UNION
+         |          SELECT w.node, b.dst FROM reach w JOIN bi b ON w.r = b.src),
+         |clusters AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+         |             FROM reach GROUP BY node)
+         |SELECT cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc
+         |FROM clusters GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin,
 
     "q_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -110,6 +110,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Asymmetric containment near-dup pairs: |A∩B| / |A| >= tau, i.e. at
+    * least `tau` of A's shingle set occurs in B. Directional where Jaccard
+    * is symmetric — the quote/excerpt/subset detector (a short document
+    * wholly quoted inside a long one has high containment but low Jaccard,
+    * so a Jaccard dedup pass never finds it). Same single shuffle-hash
+    * self-join shape as [[jaccardPairsUnsorted]]; only the denominator
+    * changes (|A| instead of |A∪B|), and both directions of a pair emit
+    * independently. Containment >= Jaccard always, so tau here should sit
+    * above the Jaccard threshold to stay selective. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      tau: Double = 0.9): DataFrame = {
+    val sh = shinglesWithCard(Tables.documents(spark, dir))
+    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_sub"), col("b.doc_id").as("id_super"))
+      .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"))
+      .withColumn("containment",
+        round(col("ix").cast("double") / col("ca"), 6))
+      .filter(col("containment") >= tau)
+      .select(col("id_sub"), col("id_super"), col("containment"))
+      .orderBy(col("id_sub"), col("id_super"))
+  }
+
   /** [[jaccardPairs]] with PPJoin-style prefix filtering (Xiao et al.,
     * WWW'08; Bayardo et al.'s all-pairs): under any fixed global shingle
     * order, two sets with J >= tau MUST share an element inside each

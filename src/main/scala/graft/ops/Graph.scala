@@ -72,15 +72,19 @@ object Graph {
     * verified pair are emitted (singletons are trivially their own
     * cluster and would swamp the output). */
   def docClusters(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
+    docClustersUnsorted(spark, dir, tau)
+      .orderBy(col("cluster_id"), col("doc_id"))
+
+  private def docClustersUnsorted(spark: SparkSession, dir: String,
+      tau: Double): DataFrame =
     connectedComponents(
         Dedup.jaccardPairsUnsorted(spark, dir, tau)
           .select(col("id_a"), col("id_b")))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
-      .orderBy(col("cluster_id"), col("doc_id"))
 
   /** Cluster census: size and id range per near-dup cluster. */
   def clusterSizes(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
-    docClusters(spark, dir, tau)
+    docClustersUnsorted(spark, dir, tau)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("cluster_id"))

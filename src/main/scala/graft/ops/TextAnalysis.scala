@@ -290,6 +290,34 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
 
+  /** Deterministic epoch reshuffle: the training-order shuffle an epoch
+    * of LLM training needs, as pure dataflow — no engine randomness, no
+    * global sort. Each document's order key is `md5("ep<seed>|" ||
+    * doc_id)`, its shard is the key's first nibble mod `shards`, and its
+    * in-shard sequence is the rank by order key: changing the seed
+    * permutes everything, same seed replays bit-identically (resumable
+    * training). The rank window partitions BY SHARD, so no single
+    * partition ever holds the corpus; at 100 TB the shard count scales
+    * with corpus size (more hex digits) so one shard ≈ one training file
+    * and every shard ranks in parallel. A global `orderBy(rand())` — the
+    * naive form — is neither reproducible nor resumable and range-sorts
+    * the whole corpus. */
+  def epochShuffle(spark: SparkSession, dir: String, seed: Int = 1,
+      shards: Int = 8): DataFrame = {
+    val okey = md5(concat(lit(s"ep$seed|"), col("doc_id")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), okey.as("okey"))
+      .withColumn("shard",
+        pmod(conv(substring(col("okey"), 1, 1), 16, 10).cast("int"),
+          lit(shards)))
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("okey"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("seq"))
+      .orderBy(col("shard"), col("seq"))
+  }
+
   /** Terms scrubbed by [[redact]] — the deny-list of a PII/sensitive-term
     * redaction pass. (This synthetic corpus has no digits or punctuation,
     * so regex shapes like emails/phones would be vacuous here; the

@@ -170,6 +170,23 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(_._3 == 0L))
   }
 
+  test("containment: directional, >= jaccard on shared pairs, both orders emitted for symmetric dups") {
+    val cont = Dedup.containmentPairs(spark, sf, tau = 0.8)
+      .as[(Long, Long, Double)].collect()
+    val jac = Dedup.jaccardPairs(spark, sf, tau = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.nonEmpty)
+    val contMap = cont.map(r => (r._1, r._2) -> r._3).toMap
+    // containment(A,B) >= jaccard(A,B): every verified jaccard pair must
+    // appear in at least the sub->super direction with a score no lower
+    jac.foreach { case (a, b, j) =>
+      val c = math.max(contMap.getOrElse((a, b), 0.0), contMap.getOrElse((b, a), 0.0))
+      assert(c >= j - 1e-9, s"pair ($a,$b): containment $c < jaccard $j")
+    }
+    // directionality: scores are containment of the SUB side's set
+    cont.foreach { case (s2, sup, c) => assert(s2 != sup && c >= 0.8 && c <= 1.0) }
+  }
+
   test("keepLatest keeps exactly one row per key, newest first") {
     val df = Seq(("k1", 1L, "old"), ("k1", 2L, "new"), ("k2", 5L, "only"))
       .toDF("k", "v", "tag")

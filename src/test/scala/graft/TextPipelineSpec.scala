@@ -24,6 +24,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(joined.map(_._3).sum > 0) // the denylist actually fires on this corpus
   }
 
+  test("epoch shuffle: total, per-shard seq contiguous, replayable, seed-sensitive") {
+    val e1 = TextAnalysis.epochShuffle(spark, sf, seed = 1)
+      .as[(Long, Int, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(e1.length.toLong === nDocs) // a permutation: every doc placed once
+    assert(e1.map(_._1).distinct.length === e1.length)
+    // within each shard the sequence is exactly 1..n (resumable cursor)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // same seed replays bit-identically
+    val e1b = TextAnalysis.epochShuffle(spark, sf, seed = 1)
+      .as[(Long, Int, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq === e1b.sortBy(_._1).toSeq)
+    // a different seed is a different permutation
+    val e2 = TextAnalysis.epochShuffle(spark, sf, seed = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq !== e2.sortBy(_._1).toSeq)
+  }
+
   test("pack sequences: per-source bins are contiguous and start at zero") {
     val rows = TextAnalysis.packSequences(spark, sf, ctx = 256)
       .as[(Long, String, Long, Long, Long)].collect()
