@@ -741,7 +741,7 @@ object SparkEntry {
       """WITH keyed AS (SELECT doc_id, md5('ep1|' || doc_id) AS okey
         |               FROM documents),
         |sharded AS (SELECT doc_id, okey,
-        |  CAST((strpos('0123456789abcdef', substr(okey, 1, 1)) - 1) % 8 AS INT)
+        |  CAST(('0x' || substr(okey, 1, 4))::BIGINT % 8 AS INT)
         |    AS shard FROM keyed)
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)

@@ -297,18 +297,22 @@ object TextAnalysis {
     * in-shard sequence is the rank by order key: changing the seed
     * permutes everything, same seed replays bit-identically (resumable
     * training). The rank window partitions BY SHARD, so no single
-    * partition ever holds the corpus; at 100 TB the shard count scales
-    * with corpus size (more hex digits) so one shard ≈ one training file
-    * and every shard ranks in parallel. A global `orderBy(rand())` — the
-    * naive form — is neither reproducible nor resumable and range-sorts
-    * the whole corpus. */
+    * partition ever holds the corpus; the shard id is drawn from the
+    * key's first four nibbles (0..65535 — uniform for any power-of-two
+    * `shards`; widen the substring for more), so at 100 TB the shard
+    * count scales until one shard ≈ one training file and every shard
+    * ranks in parallel. A global `orderBy(rand())` — the naive form —
+    * is neither reproducible nor resumable and range-sorts the whole
+    * corpus. */
   def epochShuffle(spark: SparkSession, dir: String, seed: Int = 1,
       shards: Int = 8): DataFrame = {
+    require(shards > 0 && 65536 % shards == 0,
+      s"shards must divide 65536 for an unbiased nibble-mod assignment: $shards")
     val okey = md5(concat(lit(s"ep$seed|"), col("doc_id")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), okey.as("okey"))
       .withColumn("shard",
-        pmod(conv(substring(col("okey"), 1, 1), 16, 10).cast("int"),
+        pmod(conv(substring(col("okey"), 1, 4), 16, 10).cast("int"),
           lit(shards)))
       .withColumn("seq", row_number().over(
         org.apache.spark.sql.expressions.Window
