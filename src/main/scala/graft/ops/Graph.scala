@@ -173,10 +173,14 @@ object Graph {
     val e = edges.localCheckpoint()
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // annotate both endpoints with degree; deg is |V|-sized — broadcast
+    // annotate both endpoints with degree. No broadcast hint: deg is
+    // |V|-sized, and on the 1e9-node graphs this operator is written for
+    // a forced |V| broadcast is the executor OOM — let Catalyst/AQE
+    // broadcast while deg measures small and fall back to a shuffle join
+    // on the endpoint key beyond that
     val withDeg = e
-      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
-      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
     // orient toward the higher (degree, id); carry the target's rank so
     // wedge endpoints can be ordered without re-joining degrees
     val oriented = withDeg.select(

@@ -116,21 +116,24 @@ object Relational {
 
   /** Orders whose total line quantity exceeds 150 units, with their
     * customer — the HAVING-then-join shape. The quantity rollup runs
-    * FIRST (map-side combinable, shuffle on orderkey), its survivors are
-    * a tiny set that then joins broadcast-style against orders+customer;
-    * joining before aggregating would shuffle the full fact table through
-    * the dimension join for rows that are thrown away. */
+    * FIRST (map-side combinable, shuffle on orderkey); its survivors are
+    * the tiny set and stay the BROADCAST side of both joins, so the
+    * fact-sized orders and customer tables only stream. (Customer is
+    * fact-sized in TPC-H — 150k rows per SF — so broadcasting it, the
+    * tempting static choice, is the 100 TB OOM.) Joining before
+    * aggregating would shuffle the full fact table through the dimension
+    * join for rows that are thrown away. */
   def largeVolumeCustomers(spark: SparkSession, dir: String,
       thresholdQty: Double = 150.0): DataFrame = {
     val bigOrders = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sum(round(col("l_quantity") * 100).cast("long")).as("total_qty_cents"))
       .filter(col("total_qty_cents") > (thresholdQty * 100).toLong)
-    bigOrders
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)
-              .select(col("c_custkey"), col("c_name"))),
-        col("o_custkey") === col("c_custkey"))
+    val withOrders = Tables.orders(spark, dir)
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .join(broadcast(withOrders), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
               col("o_orderdate"), col("total_qty_cents"))
       .orderBy(col("total_qty_cents").desc, col("o_orderkey"))
