@@ -28,5 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VecDot(exprs(0), exprs(1))))
+    // logical rewrite: banded levenshtein for threshold predicates
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }
 }

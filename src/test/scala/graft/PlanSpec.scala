@@ -191,6 +191,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LevenshteinBandRule: threshold predicates rewrite to the banded form, results unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("same", "same"),
+      (null, "x")).toDF("a", "b")
+    // unit: the rule swaps in a thresholded Levenshtein
+    val analyzed = df.filter(expr("levenshtein(a, b) <= 2")).queryExecution.analyzed
+    val rewritten = graft.plans.LevenshteinBandRule(analyzed)
+    var thresholded = 0
+    rewritten.transformAllExpressions {
+      case l: Levenshtein if l.threshold.isDefined => thresholded += 1; l
+    }
+    assert(thresholded === 1, rewritten.toString)
+    // end-to-end: with the rule installed, every comparison shape keeps
+    // its semantics (null rows stay dropped, boundary distances kept)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.LevenshteinBandRule
+    try {
+      def pairs(cond: String): Set[(String, String)] =
+        df.filter(expr(cond)).as[(String, String)].collect().toSet
+      assert(pairs("levenshtein(a, b) <= 2") === Set(("abc", "abd"), ("same", "same")))
+      assert(pairs("levenshtein(a, b) <= 3") ===
+        Set(("kitten", "sitting"), ("abc", "abd"), ("same", "same")))
+      assert(pairs("levenshtein(a, b) < 1") === Set(("same", "same")))
+      assert(pairs("1 >= levenshtein(a, b)") === Set(("abc", "abd"), ("same", "same")))
+      assert(pairs("levenshtein(a, b) <= -1") === Set.empty) // degenerate: not rewritten
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.LevenshteinBandRule)
+    }
+  }
+
   test("q_ngram_novelty: novel counts derive from aggregates, not a stream re-join") {
     // the exploded shingle stream must be shuffled once on the gram key;
     // joining the raw stream back to firsts would double the wide exchange
