@@ -43,7 +43,12 @@ object Linkage {
       maxDist: Int = 4): DataFrame = {
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val a = p.toDF("a_key", "p_brand", "a_name")
+    // the probe side carries the quadratic DP work; a dim-sized parquet
+    // file scans as one input split, which would serialize the whole
+    // block comparison onto one task — spread it across the cluster
+    // first (free at scale, where the scan is already many splits)
+    val a = p.repartition(spark.sparkContext.defaultParallelism)
+      .toDF("a_key", "p_brand", "a_name")
     val b = p.toDF("b_key", "p_brand", "b_name")
     // A post-join `filter(levenshtein(..) <= d)` gets pushed INTO the join
     // condition, where it (a) runs before the cheap a_key < b_key check and
