@@ -123,13 +123,20 @@ object Dedup {
       tau: Double = 0.9): DataFrame = {
     val sh = shinglesWithCard(Tables.documents(spark, dir))
     val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_sub"), col("b.doc_id").as("id_super"))
-      .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"))
-      .withColumn("containment",
-        round(col("ix").cast("double") / col("ca"), 6))
+    // intersect each unordered pair ONCE (id_a < id_b — half the join
+    // output of a != join) and emit the two directions from the
+    // aggregate; the branches share the pair exchange (ReuseExchange),
+    // so only the k-row final agg runs twice
+    val base = a
+      .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
+    val dirA = base.select(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+      round(col("ix").cast("double") / col("ca"), 6).as("containment"))
+    val dirB = base.select(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+      round(col("ix").cast("double") / col("cb"), 6).as("containment"))
+    dirA.unionAll(dirB)
       .filter(col("containment") >= tau)
-      .select(col("id_sub"), col("id_super"), col("containment"))
       .orderBy(col("id_sub"), col("id_super"))
   }
 
