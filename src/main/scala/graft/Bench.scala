@@ -37,19 +37,22 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // several operators localCheckpoint() intermediates; left to the
+      // ContextCleaner those blocks only free on a GC, so they pile up in
+      // the block manager and later work pays the memory pressure as GC
+      // debt (measured 3-20x inflation vs the same query standalone).
+      // Drop them eagerly AFTER EACH RUN, off the clock — a second timed
+      // run of a checkpoint-heavy query must not inherit the first run's
+      // blocks, and the next query must not inherit either.
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        dt
       }
-      // several operators localCheckpoint() intermediates; left to the
-      // ContextCleaner those blocks only free on a GC, so across ~80
-      // queries they pile up in the block manager and later queries pay
-      // the memory pressure as GC debt (measured 3-20x inflation vs the
-      // same query standalone). Drop them eagerly, off the clock.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
       name -> times.min
     }
     // The driver captures only the last 2000 chars of stdout and sbt
