@@ -182,6 +182,8 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     // round 4 (cont. 4): DataSource V2 feed table (pushdown-pruned scan)
     "q_ticker_summary" -> (graft.sources.TickerQueries.summary _),
+    // the transformWithState fold in batch mode over the same feed
+    "q_state_v2" -> (graft.streaming.StateV2.tickerPartials _),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -1988,6 +1990,30 @@ object SparkEntry {
         |  CAST(min(price_cents) AS BIGINT) AS min_price_cents,
         |  CAST(max(price_cents) AS BIGINT) AS max_price_cents,
         |  CAST(sum(volume_milli) AS BIGINT) AS sum_volume_milli
+        |FROM v
+        |GROUP BY coin_id
+        |ORDER BY coin_id""".stripMargin,
+
+    // same closed-form feed rebuild, aggregated with the column names of
+    // the transformWithState partial (price rides as cents end-to-end)
+    "q_state_v2" ->
+      """WITH coins AS (
+        |  SELECT 'coin' || lpad(CAST(i AS VARCHAR), 2, '0') AS coin_id
+        |  FROM (SELECT unnest(range(0, 20)) AS i)),
+        |ticks AS (SELECT unnest(range(100, 400)) AS tick),
+        |rows_ AS (
+        |  SELECT coin_id, tick,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef',
+        |              substr(md5(coin_id || '|ex0|' || CAST(tick AS VARCHAR)),
+        |                     CAST(k AS INTEGER), 1)) - 1)
+        |           * CAST(16 ** (12 - k) AS BIGINT))) AS BIGINT) AS h
+        |  FROM coins CROSS JOIN ticks),
+        |v AS (SELECT coin_id, 100000 + h % 900000 AS price_cents FROM rows_)
+        |SELECT coin_id, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(price_cents) AS BIGINT) AS min_cents,
+        |  CAST(max(price_cents) AS BIGINT) AS max_cents
         |FROM v
         |GROUP BY coin_id
         |ORDER BY coin_id""".stripMargin,

@@ -65,4 +65,35 @@ object StateV2 {
       .transformWithState(new TickStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Batch face of the operator, oracle-gated as q_state_v2: the DSv2
+    * ticker feed mapped to ticks and folded through the SAME processor
+    * (batch mode runs each key's rows once, so the emitted partial IS
+    * the final aggregate — DuckDB cross-checks it against the closed-
+    * form rebuild of the feed). Proves the streaming state fold and the
+    * relational aggregation agree bit-for-bit. */
+  def tickerPartials(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // the v2 state API runs only on the RocksDB state store; pin it for
+    // this session (the store a 100 TB key space needs anyway)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch execution still loads stores through the StateStoreCoordinator,
+    // whose RPC endpoint is created by the streaming query manager — touch
+    // it so a pure-batch session has one
+    spark.streams.active
+    val ticks = spark.read.format("graft.sources.Ticker").load()
+      .filter(org.apache.spark.sql.functions.col("exchange") === "ex0" &&
+        org.apache.spark.sql.functions.col("tick") >= 100L &&
+        org.apache.spark.sql.functions.col("tick") < 400L)
+      .select($"coin_id", $"exchange",
+        org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L)).as("timestamp"),
+        ($"price_cents".cast("double") / 100.0).as("price"),
+        org.apache.spark.sql.functions.lit(0.0).as("volume_24h"),
+        org.apache.spark.sql.functions.lit(0.0).as("percent_change_24h"))
+      .as[PriceTick]
+    attach(ticks).toDF()
+      .orderBy(org.apache.spark.sql.functions.col("coin_id"))
+  }
 }
