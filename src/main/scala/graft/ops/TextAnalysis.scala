@@ -473,6 +473,29 @@ object TextAnalysis {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** [[dataPrep]]'s quality gate with ONE-PASS observability: two
+    * `observe` nodes meter the stream as it flows — corpus size and
+    * token mass at ingest, surviving size and mass after the gate — so
+    * admission metrics cost zero extra scans (at 100 TB a metrics
+    * recount is a second pass over the corpus; `observe` aggregates ride
+    * the existing task iterators, the same mechanism as SQL metrics).
+    * Returns the gated frame plus the two Observations; callers read
+    * them after any action. Metric exactness vs direct aggregation is
+    * asserted in TextPipelineSpec. */
+  def qualityGateObserved(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5):
+      (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val ingest = org.apache.spark.sql.Observation("ingest")
+    val kept = org.apache.spark.sql.Observation("kept")
+    val gated = Tables.documents(spark, dir)
+      .observe(ingest, count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .filter(qualityScore(col("text")) >= minQuality)
+      .observe(kept, count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"))
+    (gated, ingest, kept)
+  }
+
   /** Corpus rollup per (lang, source) — count/χ stats over features. */
   /** Sliding-window document chunking with overlap (RAG / long-context
     * training prep): fixed `width`-token chunks every `stride` tokens,
