@@ -49,6 +49,7 @@ object SparkEntry {
     "q_scd2" -> (Analytics.scd2 _),
     "q_funnel" -> (Analytics.funnel _),
     "q_asof_join" -> (Analytics.asofJoin _),
+    "q_asof_forward" -> (Analytics.asofForward _),
     "q_asof_tolerance" -> (Analytics.asofTolerance _),
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
@@ -508,6 +509,16 @@ object SparkEntry {
         |SELECT c.user_id, c.ts, c.event_id, c.click_value, p.last_purchase
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH c AS (SELECT user_id, ts, event_id, round(value, 6) AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, round(value, 6) AS next_purchase
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ts, c.event_id, c.click_value, p.next_purchase
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
 
     "q_asof_tolerance" ->

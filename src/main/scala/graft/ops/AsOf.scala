@@ -98,4 +98,44 @@ object AsOf {
       leftTs: String, rightTs: String, valueCol: String, as: String): DataFrame =
     joinAsOf(left, right.withColumnRenamed(valueCol, as),
       keys, leftTs, rightTs, Seq(as))
+
+  /** Forward as-of join: each left row takes the EARLIEST right-side
+    * values at-or-after its timestamp per key — the mirror of
+    * [[joinAsOf]] ("next quote" / time-to-next-conversion, where
+    * backward as-of is "last quote"). Same one-shuffle union+window
+    * composition with the frame reversed: left rows sort before right
+    * rows on timestamp ties (tag 0 < 1), and
+    * `first(payload, ignoreNulls) OVER (... ROWS CURRENT..UNBOUNDED
+    * FOLLOWING)` picks the nearest following right row — inclusive
+    * at-or-after, matching DuckDB's `ASOF JOIN ... ON l.ts <= r.ts`. */
+  def joinAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val packed = struct(payload.map(col): _*)
+    val packedType = right.select(packed.as("__p")).schema("__p").dataType
+    val l = left
+      .withColumn("__tag", lit(0))
+      .select(left.columns.map(col) :+
+        lit(null).cast(packedType).as("__p") :+ col("__tag"): _*)
+    val r = right
+      .withColumn("__tag", lit(1))
+      .select(keys.map(col) ++
+        Seq(col(rightTs).as(leftTs)) ++
+        left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(packed.as("__p")) :+ col("__tag"): _*)
+    val u = l.unionByName(r)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(leftTs), col("__tag"), col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = u.withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+    payload.foldLeft(filled.filter(col("__tag") === 0)) { (d, c) =>
+        d.withColumn(c, col("__p").getField(c))
+      }
+      .drop("__p", "__tag")
+  }
 }

@@ -384,6 +384,22 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Forward as-of: each click enriched with the NEXT purchase value
+    * at-or-after its timestamp per user — time-to-conversion semantics,
+    * the mirror of [[asofJoin]]. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value"), 6).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), round(col("value"), 6).as("next_purchase"))
+    graft.ops.AsOf.joinAsOfForward(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("next_purchase"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** [[asofJoin]] with a 1-hour staleness bound: a purchase only
     * enriches a click made within the following hour — the freshness
     * contract every market-data as-of carries in practice. Same

@@ -53,6 +53,30 @@ class AsOfSpec extends SparkSpec {
       (3L, Some(8.0), Some(1L * 1000000L))))
   }
 
+  test("forward as-of picks the earliest right row at-or-after, per key") {
+    val left = Seq(
+      ("u1", ts(10), 1L), ("u1", ts(20), 2L), ("u1", ts(16), 3L),
+      ("u2", ts(10), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      ("u1", ts(10), 2.5), ("u1", ts(15), 3.5), ("u1", ts(8), 1.5),
+      ("u3", ts(99), 9.9))
+      .toDF("user_id", "ts", "p")
+    val out = AsOf.joinAsOfForward(left, right, Seq("user_id"), "ts", "ts", Seq("p"))
+      .select("user_id", "event_id", "p")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(out(1L).contains(2.5)) // ts=10: right row AT 10 wins (inclusive)
+    assert(out(2L).isEmpty)       // ts=20: nothing at-or-after
+    assert(out(3L).isEmpty)       // ts=16: 15 is before, nothing follows
+    assert(out(4L).isEmpty)       // u2: no right rows at all
+    // count preservation on real data
+    val fwd = graft.queries.Analytics.asofForward(spark, sf)
+    val clicks = graft.util.Tables.events(spark, sf)
+      .filter("event_type = 'click'").count()
+    assert(fwd.count() === clicks)
+  }
+
   test("left row count is preserved (no cross product, no drops)") {
     val out = graft.queries.Analytics.asofJoin(spark, sf)
     val clicks = graft.util.Tables.events(spark, sf)
