@@ -173,6 +173,7 @@ object SparkEntry {
     // round 4 (cont. 3): interval/path/sequence analytics
     "q_interval_merge" -> ((s, d) => Temporal.intervalMerge(s, d)),
     "q_drawdown" -> (Temporal.drawdown _),
+    "q_twap" -> (Temporal.twap _),
     "q_transitions" -> (Temporal.transitionMatrix _),
     "q_cum_users" -> (Temporal.cumulativeDistinctUsers _),
     "q_seasonality" -> (Temporal.seasonality _),
@@ -1874,6 +1875,24 @@ object SparkEntry {
         |  CAST(max(peak_cents) AS BIGINT) AS peak_cents,
         |  count(*) AS n_events
         |FROM pk
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_twap" ->
+      """WITH ticks AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) - epoch_us(ts)
+        |      AS dur_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur_us) AS BIGINT) AS span_us,
+        |  round(CAST(sum(c * dur_us) AS DOUBLE)
+        |        / CAST(sum(dur_us) AS DOUBLE) / 100.0, 6) AS twap
+        |FROM ticks
+        |WHERE dur_us IS NOT NULL AND dur_us > 0
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 

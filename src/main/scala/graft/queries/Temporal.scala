@@ -182,6 +182,36 @@ object Temporal {
   }
 
   // --------------------------------------------------------------------
+  // Time-weighted average price (TWAP)
+  // --------------------------------------------------------------------
+
+  /** Per-user TWAP of the event value: each observation holds until the
+    * next one, so its weight is the holding duration — the metric VWAP's
+    * volume weighting becomes when the axis is time (and what a plain
+    * mean gets wrong whenever sampling is irregular). The weighted sum
+    * is Σ(cents × duration_µs), a BIGINT product bounded by ~1e5 · 1e12
+    * < 2⁶³ — exact and order-independent, so the one closing division
+    * is the only float op on the comparison path. One lead-window pass
+    * (shuffle on user_id) + one map-side-combinable agg; the last
+    * observation of each series has no following tick and carries zero
+    * weight (the standard open-interval convention). */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents().as("c"))
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur_us").isNotNull && col("dur_us") > 0)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("span_us"),
+        round(sum(col("c") * col("dur_us")).cast("double")
+          / sum(col("dur_us")).cast("double") / 100.0, 6).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  // --------------------------------------------------------------------
   // Rolling OLS slope (local trend strength)
   // --------------------------------------------------------------------
 

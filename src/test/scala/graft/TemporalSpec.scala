@@ -142,6 +142,29 @@ class TemporalSpec extends SparkSpec {
     assert(rows.scanLeft(0L)(_ + _._2).tail.toSeq === rows.map(_._3).toSeq)
   }
 
+  test("twap: matches the scalar interval-weighted mean per user") {
+    val got = Temporal.twap(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ticks = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    ticks.foreach { case (u, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3))
+      val iv = s.zip(s.tail).map { case (a, b) => (a._4, b._2 - a._2) }
+        .filter(_._2 > 0)
+      if (iv.nonEmpty) {
+        val (n, span) = (iv.length.toLong, iv.map(_._2).sum)
+        val exp = iv.map { case (c, d) => c.toDouble * d }.sum / span / 100.0
+        val g = got(u)
+        assert(g._2 === n && g._3 === span, s"user $u intervals/span")
+        assert(math.abs(g._4 - exp) < 1e-6, s"user $u twap")
+      } else assert(!got.contains(u))
+    }
+  }
+
   test("seasonality: cells partition the event count") {
     val cells = Temporal.seasonality(spark, sf)
       .as[(Int, Int, Long, Long, Long)].collect()
