@@ -151,6 +151,7 @@ object SparkEntry {
     // round 4 (cont.): resample/fill, chunking, triangles, incremental
     // dedup, exact-moment regression
     "q_gap_fill" -> (Analytics.gapFill _),
+    "q_interpolate" -> (Analytics.interpolate _),
     "q_ols_trend" -> (Analytics.olsTrend _),
     "q_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(s, d)),
     "q_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -1603,6 +1604,38 @@ object SparkEntry {
         |  o.v_obs IS NOT NULL AS is_observed
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
         |ORDER BY g.user_id, epoch_hour""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h, value, ts, event_id
+        |            FROM events),
+        |obs AS (SELECT user_id, h, c_obs FROM (
+        |    SELECT user_id, h, CAST(round(value * 100) AS BIGINT) AS c_obs,
+        |      row_number() OVER (PARTITION BY user_id, h
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+        |         FROM ev GROUP BY user_id),
+        |anch AS (
+        |  SELECT g.user_id, g.h, o.c_obs,
+        |    last_value(o.c_obs IGNORE NULLS) OVER wp AS pc,
+        |    last_value(CASE WHEN o.c_obs IS NOT NULL THEN g.h END IGNORE NULLS)
+        |      OVER wp AS ph,
+        |    first_value(o.c_obs IGNORE NULLS) OVER wn AS nc,
+        |    first_value(CASE WHEN o.c_obs IS NOT NULL THEN g.h END IGNORE NULLS)
+        |      OVER wn AS nh
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+        |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY g.user_id ORDER BY g.h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h AS epoch_hour,
+        |  (CASE WHEN nh = ph THEN CAST(pc AS DOUBLE)
+        |    ELSE CAST(pc AS DOUBLE)
+        |      + CAST((nc - pc) * (h - ph) AS DOUBLE) / CAST(nh - ph AS DOUBLE)
+        |    END) / 100.0 AS value_interp,
+        |  c_obs IS NOT NULL AS is_observed
+        |FROM anch
+        |ORDER BY user_id, epoch_hour""".stripMargin,
 
     "q_ols_trend" ->
       """WITH m AS (SELECT event_type, count(*) AS n,

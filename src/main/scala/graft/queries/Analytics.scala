@@ -1190,6 +1190,53 @@ object Analytics {
       .orderBy(col("user_id"), col("epoch_hour"))
   }
 
+  /** Hourly resample + LINEAR interpolation — the smooth companion of
+    * [[gapFill]]'s LOCF: silent hours take the straight line between the
+    * surrounding observations instead of holding the last one. Anchors
+    * ride two ignoreNulls windows over the same grid (last-preceding and
+    * first-following observation, value and hour alike), so the plan is
+    * the identical two key-shuffles as LOCF plus one projection. The
+    * grid spans each user's own observed range, so every grid hour has
+    * both anchors by construction. Exactness: observations are integer
+    * cents and `Δcents × Δhours` is an exact BIGINT product; the single
+    * division making the fraction is the only float op, identical in
+    * both engines — observed hours short-circuit to the exact value. */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+    val obs = ev.groupBy(col("user_id"), col("h"))
+      .agg(expr("max_by(cast(round(value * 100) as bigint), struct(ts, event_id))")
+        .as("c_obs"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("c_obs").isNotNull, col("h"))
+    val anchored = grid.join(obs, Seq("user_id", "h"), "left")
+      .withColumn("pc", last(col("c_obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(obsH, ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("c_obs"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(obsH, ignoreNulls = true).over(wNext))
+    val interp = when(col("nh") === col("ph"), col("pc").cast("double"))
+      .otherwise(col("pc").cast("double") +
+        ((col("nc") - col("pc")) * (col("h") - col("ph"))).cast("double")
+          / (col("nh") - col("ph")).cast("double"))
+    // NO final rounding: every op here (exact BIGINT→double casts, one
+    // correctly-rounded division, one addition, /100.0) is IEEE-identical
+    // in both engines, so the raw double is bit-exact — while round(x, 6)
+    // on a repeating fraction can land on a 6-dp tie that Spark and
+    // DuckDB break differently
+    anchored
+      .select(col("user_id"), col("h").as("epoch_hour"),
+        (interp / 100.0).as("value_interp"),
+        col("c_obs").isNotNull.as("is_observed"))
+      .orderBy(col("user_id"), col("epoch_hour"))
+  }
+
   /** Per-event-type linear trend (OLS of value vs hours since the
     * series origin) from EXACT integer moments: x is the integer hour
     * index, y integer cents, and the five sufficient statistics

@@ -44,6 +44,29 @@ class ResampleSpec extends SparkSpec {
     }
   }
 
+  test("interpolate: observed hours are exact, silent hours sit on the anchor line") {
+    val rows = Analytics.interpolate(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val s = rs.sortBy(_._2)
+      // grid contiguous, endpoints observed (anchors exist everywhere)
+      assert(s.head._4 && s.last._4)
+      assert(s.map(_._2).toSeq === (s.head._2 to s.last._2).toSeq)
+      // every silent hour lies on the segment between its anchors
+      val obsIdx = s.zipWithIndex.filter(_._1._4).map(_._2)
+      obsIdx.zip(obsIdx.tail).foreach { case (i, j) =>
+        val (vi, vj) = (s(i)._3, s(j)._3)
+        (i + 1 until j).foreach { k =>
+          val frac = (k - i).toDouble / (j - i)
+          val expect = vi + (vj - vi) * frac
+          assert(math.abs(s(k)._3 - expect) < 1e-6,
+            s"hour ${s(k)._2}: ${s(k)._3} vs $expect")
+        }
+      }
+    }
+  }
+
   test("olsTrend: recovers slope/intercept of a clean synthetic line") {
     // y = 250 + 3x cents over x = 0..99: slope and intercept exact
     val n = 100L
