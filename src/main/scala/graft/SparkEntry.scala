@@ -27,6 +27,7 @@ object SparkEntry {
     // the five Flask-endpoint shapes
     "q_price_chart" -> (Analytics.priceChart _),
     "q_ohlc_resample" -> (Analytics.ohlcResample _),
+    "q_ohlc_multi" -> (Analytics.ohlcMulti _),
     "q_latest_per_key" -> (Analytics.latestPerKey _),
     "q_coin_table" -> (Analytics.coinTable _),
     "q_coin_table_ref" -> (Analytics.coinTableRef _),
@@ -260,6 +261,35 @@ object SparkEntry {
         |FROM ev
         |GROUP BY user_id, day
         |ORDER BY user_id, day""".stripMargin,
+
+    "q_ohlc_multi" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+        |            FROM events),
+        |fr AS (
+        |  SELECT user_id, ts, event_id, value, '1h' AS tf,
+        |         us // 3600000000 AS bucket FROM ev
+        |  UNION ALL SELECT user_id, ts, event_id, value, '1d',
+        |         us // 86400000000 FROM ev
+        |  UNION ALL SELECT user_id, ts, event_id, value, '1w',
+        |         (us // 86400000000 + 3) // 7 FROM ev
+        |  UNION ALL SELECT user_id, ts, event_id, value, '1M',
+        |         CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) FROM ev),
+        |rk AS (
+        |  SELECT user_id, tf, bucket, value,
+        |    row_number() OVER (PARTITION BY user_id, tf, bucket
+        |                       ORDER BY ts, event_id) AS ro,
+        |    row_number() OVER (PARTITION BY user_id, tf, bucket
+        |                       ORDER BY ts DESC, event_id DESC) AS rc
+        |  FROM fr)
+        |SELECT user_id, tf, bucket,
+        |  round(max(CASE WHEN ro = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rc = 1 THEN value END), 6) AS close,
+        |  count(*) AS n_ticks
+        |FROM rk
+        |GROUP BY user_id, tf, bucket
+        |ORDER BY user_id, tf, bucket""".stripMargin,
 
     "q_latest_per_key" ->
       """SELECT user_id, event_type, ts, event_id, round(value, 6) AS value

@@ -78,6 +78,40 @@ object Analytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Multi-timeframe OHLC in ONE pass — the reference pulls 1h/1d/1w/1M
+    * bars as four separate REST fetches per coin
+    * (`dags/crypto_data_streaming.py:67-70`); here each tick explodes
+    * into its four (timeframe, bucket) assignments and a single
+    * map-side-combinable aggregation builds every bar of every frame:
+    * one scan and one shuffle for the whole ladder instead of four
+    * (the explode is map-side — 4× rows into the partial agg, which
+    * collapses them to bar granularity before anything moves). Buckets
+    * are pure integer algebra on epoch-µs (weeks Monday-aligned via
+    * `(epoch_day + 3) div 7`, months as `year·12 + month − 1`);
+    * open/close are (ts, event_id)-argmin/argmax — deterministic under
+    * ties, no window pass at all. */
+  def ohlcMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val frames = array(
+      struct(lit("1h").as("tf"), expr("us div 3600000000").as("bucket")),
+      struct(lit("1d").as("tf"), expr("us div 86400000000").as("bucket")),
+      struct(lit("1w").as("tf"),
+        expr("((us div 86400000000) + 3) div 7").as("bucket")),
+      struct(lit("1M").as("tf"),
+        (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("bucket")))
+    ev.withColumn("f", explode(frames))
+      .groupBy(col("user_id"), col("f.tf").as("tf"), col("f.bucket").as("bucket"))
+      .agg(
+        round(expr("min_by(value, struct(ts, event_id))"), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(expr("max_by(value, struct(ts, event_id))"), 6).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("user_id"), col("tf"), col("bucket"))
+  }
+
   // --------------------------------------------------------------------
   // latest-per-key (A2): the `sort + groupby.last` of flask/app.py:300
   // --------------------------------------------------------------------

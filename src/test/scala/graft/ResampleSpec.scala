@@ -67,6 +67,26 @@ class ResampleSpec extends SparkSpec {
     }
   }
 
+  test("ohlcMulti: the 1d frame equals the daily resample; coarser frames nest tick counts") {
+    val multi = Analytics.ohlcMulti(spark, sf)
+      .as[(Long, String, Long, Double, Double, Double, Double, Long)].collect()
+    // 1d bars == ohlcResample daily bars (bucket = epoch day of the date)
+    val daily = Analytics.ohlcResample(spark, sf)
+      .as[(Long, java.sql.Date, Double, Double, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2.toLocalDate.toEpochDay) -> (r._3, r._4, r._5, r._6, r._7))
+      .toMap
+    val d1 = multi.filter(_._2 == "1d")
+    assert(d1.length === daily.size)
+    d1.foreach { case (u, _, b, o, h, l, c, n) =>
+      assert(daily((u, b)) === ((o, h, l, c, n)))
+    }
+    // every frame partitions the same tick count
+    val total = Tables.events(spark, sf).count()
+    Seq("1h", "1d", "1w", "1M").foreach { tf =>
+      assert(multi.filter(_._2 == tf).map(_._8).sum === total, tf)
+    }
+  }
+
   test("olsTrend: recovers slope/intercept of a clean synthetic line") {
     // y = 250 + 3x cents over x = 0..99: slope and intercept exact
     val n = 100L
