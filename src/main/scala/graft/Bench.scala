@@ -60,7 +60,10 @@ object Bench {
     // stay well under ~1900 chars or the driver records parsed:null (it
     // did for rounds 1-3). Round to ms and emit the slowest queries until
     // a fixed budget is spent; "value" and "nq" always cover every query.
-    def ms(d: Double): String = f"$d%.3f"
+    // explicit locale: the f-interpolator follows the JVM default, and a
+    // comma-decimal locale (de_DE etc.) would emit invalid JSON
+    def ms(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val total = ms(results.map(_._2).sum)
     val prefix =
       s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"sf":"$sfDir","queries":{"""

@@ -72,8 +72,8 @@ object SparkEntry {
     "q_length_buckets" -> (Analytics.lengthBuckets _),
     "q_scalar_pack2" -> (Analytics.scalarPack2 _),
     "q_datetime_pack" -> (Analytics.datetimePack _),
-    "q_approx_distinct" -> (Analytics.approxDistinct _), // rows-only (sketch)
-    "q_sketch_merge" -> (Analytics.sketchMerge _), // rows-only (sketch)
+    "q_approx_distinct" -> (Analytics.approxDistinct _),
+    "q_sketch_merge" -> (Analytics.sketchMerge _),
     "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
@@ -123,7 +123,7 @@ object SparkEntry {
     "q_inverted_index" -> (TextAnalysis.invertedIndex _),
     "q_lang_quota" -> ((s, d) => TextAnalysis.langQuota(s, d)),
     "q_compaction_plan" -> ((s, d) => graft.sink.Layout.compactionPlan(s, d)),
-    "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)), // rows-only (sketch)
+    "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -533,6 +533,10 @@ object SparkEntry {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // q_asof_* tie contract: DuckDB's ASOF JOIN picks an UNSPECIFIED right
+    // row at exact-ts ties, so these oracles assume the right (purchase)
+    // side has at most one row per (user_id, ts) — asserted in AsOfSpec;
+    // see graft.ops.AsOf's scaladoc before editing the events fixture
     "q_asof_join" ->
       """WITH c AS (SELECT user_id, ts, event_id, round(value, 6) AS click_value
         |           FROM events WHERE event_type = 'click'),
@@ -721,6 +725,38 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // bracket-style sketch oracles: the hashed columns are exact values
+    // (DuckDB-reproducible) + 0/1 flags the Spark side DERIVES from the
+    // sketch estimates (within published error envelopes) — so the gate
+    // still exercises the sketches without hashing engine-specific buffers
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT value) AS exact_values,
+        |  CAST(1 AS BIGINT) AS approx_users_ok,
+        |  CAST(1 AS BIGINT) AS approx_values_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_sketch_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS merge_lossless,
+        |  CAST(1 AS BIGINT) AS users_within_rse,
+        |  CAST(1 AS BIGINT) AS p50_in_bracket,
+        |  CAST(1 AS BIGINT) AS p99_in_bracket
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |cnts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |SELECT term, cnt, CAST(1 AS BIGINT) AS sketch_agrees
+        |FROM cnts
+        |ORDER BY cnt DESC, term
+        |LIMIT 20""".stripMargin,
 
     "q_series_collect" ->
       """SELECT event_type,

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * before left rows on timestamp ties (tag 0 < 1), giving inclusive
   * at-or-before semantics, matching DuckDB's `ASOF JOIN ... ON l.ts >=
   * r.ts` which the oracle uses.
+  *
+  * Tie contract: among RIGHT rows sharing (key, ts), the backward join
+  * takes the maximum packed-payload struct and [[joinAsOfForward]] the
+  * minimum — deterministic here (rows identical in (key, ts, payload)
+  * are interchangeable), but DuckDB's ASOF JOIN picks an *unspecified*
+  * row at exact-ts ties, so oracle parity additionally assumes the right
+  * side carries at most one row per (key, ts). The events fixture
+  * satisfies that today (asserted in AsOfSpec); the same note rides the
+  * q_asof_* oracles so a fixture edit that breaks it is traceable.
   */
 object AsOf {
 

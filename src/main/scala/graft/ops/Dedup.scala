@@ -389,15 +389,22 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (the
     * pre-clustering key) so the pair space is per-block, not global.
-    * The cosine is exact; blocking is what scales it. */
+    * The cosine is exact; blocking is what scales it.
+    *
+    * The pair probe is a shuffled-hash equi-join ON the block key — the
+    * same shape as [[semanticDedup]]: after co-location each task's
+    * build side is exactly one label's bucket, so the corpus-sized build
+    * side a broadcast (or the Generate-undersized plan Catalyst would
+    * pick alone) needs never materializes. Parallelism is bounded by
+    * #labels — at 100 TB the block key is the finer IVF/LSH cluster id
+    * (see semanticDedup), which grows with the corpus; skewed blocks
+    * split under AQE's skew-join handling. PlanSpec asserts no
+    * BroadcastExchange appears in this plan. */
   def embeddingNearDups(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
     val e = Similarity.vecs(spark, dir) // norms precomputed once per vector
-    // shuffling on `label` caps parallelism at #labels (10) and inherits
-    // their skew; broadcasting the (small) right side instead keeps the
-    // pair generation map-side and N-way parallel. At scale the broadcast
-    // side is the per-label centroid/LSH-bucketed subset, not the corpus.
-    val a = e.repartition(spark.sparkContext.defaultParallelism).as("a")
-    val b = broadcast(e).as("b")
+    // the hint rides the RIGHT side: build-side choice follows it there
+    val a = e.as("a")
+    val b = e.hint("shuffle_hash").as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(Similarity.cosinePrenormed(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -293,7 +294,7 @@ object TextAnalysis {
   /** Deterministic epoch reshuffle: the training-order shuffle an epoch
     * of LLM training needs, as pure dataflow — no engine randomness, no
     * global sort. Each document's order key is `md5("ep<seed>|" ||
-    * doc_id)`, its shard is the key's first nibble mod `shards`, and its
+    * doc_id)`, its shard is the key's first four nibbles mod `shards`, and its
     * in-shard sequence is the rank by order key: changing the seed
     * permutes everything, same seed replays bit-identically (resumable
     * training). The rank window partitions BY SHARD, so no single
@@ -410,15 +411,34 @@ object TextAnalysis {
     * sketch, partials merge associatively, only k rows leave the
     * aggregation. The mergeable, bounded-memory alternative to
     * [[vocab]]'s exact groupBy for interactive corpus telemetry at
-    * 100 TB. Rows-only check (sketch internals differ across engines);
-    * VocabSpec asserts exactness against true counts while the term
-    * cardinality is under sketch capacity. */
-  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    Tables.documents(spark, dir)
+    * 100 TB.
+    *
+    * Gated with a bracket-style oracle: the hashed output is the EXACT
+    * top-k (deterministic (cnt desc, term) tie-break — DuckDB
+    * reproduces it) plus a 0/1 flag per term asserting the sketch found
+    * it with the exact count. While term cardinality is under sketch
+    * capacity (default 10k items — true at every test SF, asserted in
+    * VocabSpec) the sketch tracks exact counts, so the only legitimate
+    * divergence is WHICH tied term sits at the boundary; boundary-count
+    * ties therefore pass the flag regardless of the sketch's pick. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val terms = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("term"))
+    val sketch = terms
       .select(expr(s"inline(approx_top_k(term, $k))"))
-      .select(col("item").as("term"), col("count").as("cnt"))
+      .select(col("item").as("term"), col("count").as("sk_cnt"))
+    // orderBy+limit = TakeOrderedAndProject (per-partition top-k, k-row
+    // reduction) — never a single-task global rank window
+    val exactTop = terms
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("kth", min(col("cnt")).over(Window.partitionBy()))
+    exactTop.join(broadcast(sketch), Seq("term"), "left")
+      .select(col("term"), col("cnt"),
+        when(col("sk_cnt") === col("cnt") || col("cnt") === col("kth"), 1L)
+          .otherwise(0L).as("sketch_agrees"))
       .orderBy(col("cnt").desc, col("term"))
+  }
 
   /** Within-document repetition metrics — the third axis of cheap quality
     * filtering after length/stopwords ([[qualityScore]]) and corpus-level

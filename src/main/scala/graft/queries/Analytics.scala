@@ -572,17 +572,29 @@ object Analytics {
         round(avg(col("s_acctbal")), 6).as("avg_bal"))
       .orderBy(col("r_name"))
 
-  /** Sketch/approximate aggregation (HLL-based approx_count_distinct next
-    * to the exact count). No oracle: DuckDB's HLL is a different sketch,
-    * so the driver records the rows-only check — the EXACT columns are
-    * still covered by q_series_stats' oracle. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+  /** Sketch/approximate aggregation (HLL-based approx_count_distinct),
+    * gated with a bracket-style oracle: the hashed output carries the
+    * EXACT distinct counts (DuckDB-reproducible) plus 0/1 flags asserting
+    * each sketch estimate landed within its published error envelope —
+    * the default-rsd (0.05) sketch within 3σ = 15%, the rsd=0.02 sketch
+    * within 6%. The flags are DERIVED from the sketch values, so a broken
+    * sketch flips them and fails the hash gate; the raw estimates stay
+    * out of the hashed columns because no other engine reproduces a
+    * DataSketches buffer bit-for-bit. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def within(est: Column, exact: Column, tol: Double): Column =
+      when(abs(est.cast("double") - exact) <= lit(tol) * exact, 1L).otherwise(0L)
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id")).as("au"),
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("value"), 0.02).as("approx_values"))
+        approx_count_distinct(col("value"), 0.02).as("av"),
+        countDistinct(col("value")).as("exact_values"))
+      .select(col("event_type"), col("exact_users"), col("exact_values"),
+        within(col("au"), col("exact_users"), 0.15).as("approx_users_ok"),
+        within(col("av"), col("exact_values"), 0.06).as("approx_values_ok"))
       .orderBy(col("event_type"))
+  }
 
   /** Range (interval) join, scalable form: clicks ⋈ purchases of the
     * same user within ±5 minutes. A naive theta-join is O(n·m) per user;
@@ -989,33 +1001,49 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
-  /** Mergeable-sketch rollup per event_type (rows-only check: DuckDB's
-    * HLL is a different implementation, so no value parity exists):
-    *   - users_direct: one-shot HLL distinct-user estimate;
-    *   - users_merged: the SAME estimate via per-shard partial sketches
-    *     merged with hll_union_agg — the two are asserted EQUAL in
-    *     SketchSpec, which is the property that lets 1000 executors
-    *     sketch locally and combine 32-KB buffers instead of shuffling
-    *     raw user_ids;
-    *   - p50/p90/p99_value: approx_percentile (mergeable KLL-style
-    *     quantile sketch) vs the exact percentiles of q_percentiles.
-    * At 100 TB this is the only affordable form of distinct/quantile
+  /** Mergeable-sketch rollup per event_type, gated with a bracket-style
+    * oracle (see [[approxDistinct]] — raw sketch values never hash-match
+    * across engines, so the hashed columns are exact values + 0/1 flags
+    * DERIVED from the sketches):
+    *   - merge_lossless: the one-shot HLL distinct-user estimate equals
+    *     the same estimate via per-shard partial sketches merged with
+    *     hll_union_agg — the property that lets 1000 executors sketch
+    *     locally and combine 32-KB buffers instead of shuffling raw
+    *     user_ids;
+    *   - users_within_rse: the HLL estimate is within 5% (> 3σ at the
+    *     default lgConfigK=12, ~1.6% RSE) of the exact distinct count;
+    *   - p50/p99_in_bracket: approx_percentile (mergeable KLL-style
+    *     quantile sketch, rank error not value error) lands inside the
+    *     exact rank bracket [percentile .45, .55] resp. [.95, max].
+    * At 100 TB sketches are the only affordable form of distinct/quantile
     * telemetry — exact forms shuffle the full key universe. */
   def sketchMerge(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val direct = ev.groupBy(col("event_type"))
       .agg(
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("users_direct"),
+        countDistinct(col("user_id")).as("exact_users"),
         round(approx_percentile(col("value"), lit(0.5), lit(10000)), 6).as("p50_value"),
-        round(approx_percentile(col("value"), lit(0.99), lit(10000)), 6).as("p99_value"))
+        round(approx_percentile(col("value"), lit(0.99), lit(10000)), 6).as("p99_value"),
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.95)").as("lo99"),
+        max(col("value")).as("hi99"))
     val merged = ev
       .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_merged"))
     direct.join(merged, "event_type")
-      .select(col("event_type"), col("users_direct"), col("users_merged"),
-        col("p50_value"), col("p99_value"))
+      .select(col("event_type"), col("exact_users"),
+        when(col("users_direct") === col("users_merged"), 1L).otherwise(0L)
+          .as("merge_lossless"),
+        when(abs(col("users_direct").cast("double") - col("exact_users")) <=
+          lit(0.05) * col("exact_users"), 1L).otherwise(0L).as("users_within_rse"),
+        when(col("p50_value").between(col("lo50"), col("hi50")), 1L).otherwise(0L)
+          .as("p50_in_bracket"),
+        when(col("p99_value").between(col("lo99"), col("hi99")), 1L).otherwise(0L)
+          .as("p99_in_bracket"))
       .orderBy(col("event_type"))
   }
 

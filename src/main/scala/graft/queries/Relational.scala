@@ -116,13 +116,15 @@ object Relational {
 
   /** Orders whose total line quantity exceeds 150 units, with their
     * customer — the HAVING-then-join shape. The quantity rollup runs
-    * FIRST (map-side combinable, shuffle on orderkey); its survivors are
-    * the tiny set and stay the BROADCAST side of both joins, so the
-    * fact-sized orders and customer tables only stream. (Customer is
-    * fact-sized in TPC-H — 150k rows per SF — so broadcasting it, the
-    * tempting static choice, is the 100 TB OOM.) Joining before
+    * FIRST (map-side combinable, shuffle on orderkey); joining before
     * aggregating would shuffle the full fact table through the dimension
-    * join for rows that are thrown away. */
+    * join for rows that are thrown away. No side carries a broadcast
+    * hint: the HAVING survivors scale LINEARLY with the data (a constant
+    * qualifying fraction of orders), so forcing them broadcast is the
+    * same data-scaled-build-side OOM as broadcasting customer (150k rows
+    * per SF — fact-sized); AQE sizes the build side from the runtime
+    * survivor count instead, broadcasting when genuinely small and
+    * falling back to a shuffle join when not. */
   def largeVolumeCustomers(spark: SparkSession, dir: String,
       thresholdQty: Double = 150.0): DataFrame = {
     val bigOrders = Tables.lineitem(spark, dir)
@@ -130,10 +132,10 @@ object Relational {
       .agg(sum(round(col("l_quantity") * 100).cast("long")).as("total_qty_cents"))
       .filter(col("total_qty_cents") > (thresholdQty * 100).toLong)
     val withOrders = Tables.orders(spark, dir)
-      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
     Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"))
-      .join(broadcast(withOrders), col("c_custkey") === col("o_custkey"))
+      .join(withOrders, col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
               col("o_orderdate"), col("total_qty_cents"))
       .orderBy(col("total_qty_cents").desc, col("o_orderkey"))

@@ -72,11 +72,16 @@ object StateV2 {
     * the final aggregate — DuckDB cross-checks it against the closed-
     * form rebuild of the feed). Proves the streaming state fold and the
     * relational aggregation agree bit-for-bit. */
-  def tickerPartials(spark: org.apache.spark.sql.SparkSession,
+  def tickerPartials(parent: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // fork the session so the RocksDB pin below cannot leak into later
+    // queries/streams sharing the parent (same SparkContext, own conf);
+    // the returned DataFrame stays bound to the fork, so lazy execution
+    // still sees the pin
+    val spark = parent.newSession()
     import spark.implicits._
     // the v2 state API runs only on the RocksDB state store; pin it for
-    // this session (the store a 100 TB key space needs anyway)
+    // this (forked) session (the store a 100 TB key space needs anyway)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // batch execution still loads stores through the StateStoreCoordinator,

@@ -83,4 +83,15 @@ class AsOfSpec extends SparkSpec {
       .filter("event_type = 'click'").count()
     assert(out.count() === clicks)
   }
+
+  test("oracle tie precondition: right side unique per (user_id, ts)") {
+    // DuckDB's ASOF JOIN picks an unspecified row at exact-ts ties, so
+    // the q_asof_* hash gates assume no (user_id, ts) collisions among
+    // purchase events — see AsOf's scaladoc tie contract
+    val dups = graft.util.Tables.events(spark, sf)
+      .filter("event_type = 'purchase'")
+      .groupBy("user_id", "ts").count()
+      .filter("count > 1").count()
+    assert(dups === 0L, s"$dups (user_id, ts) collisions break the asof oracles")
+  }
 }

@@ -5,11 +5,12 @@ package graft
   * across re-runs (the oracle hash-compare assumes all three). */
 class ContractSpec extends SparkSpec {
 
-  /** Queries intentionally without an oracle: sketch outputs that no
-    * other engine reproduces bit-for-bit. The driver records a rows-only
-    * check for these; everything else must be fully oracle-gated. */
-  private val rowsOnly =
-    Set("q_approx_distinct", "q_sketch_merge", "q_heavy_hitters")
+  /** Queries intentionally without an oracle. Empty since round 5: the
+    * sketch queries now carry bracket-style oracles (exact columns + 0/1
+    * envelope flags derived from the sketch estimates), so EVERY query
+    * is fully oracle-gated. The mechanism stays for future genuinely
+    * un-oracle-able shapes. */
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle (or a declared rows-only reason)") {
     val q = SparkEntry.queries.keySet

@@ -232,4 +232,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
+
+  test("q_dedup_embedding: pair probe shuffles on the block key, never broadcasts the corpus") {
+    // the embedding table scales with the corpus — a BroadcastExchange of
+    // it is the 100 TB executor-OOM; the join must be shuffled-hash on
+    // `label` (ShuffledHashJoin builds one label's bucket per task)
+    val p = plan(graft.ops.Dedup.embeddingNearDups(spark, sf))
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
 }

@@ -42,18 +42,20 @@ class VocabSpec extends SparkSpec {
   test("heavy hitters: sketch counts are exact while cardinality fits capacity") {
     import org.apache.spark.sql.functions._
     val got = TextAnalysis.heavyHitters(spark, sf, k = 10)
-      .as[(String, Long)].collect()
+      .as[(String, Long, Long)].collect()
     assert(got.length === 10)
+    // the sketch-agreement flag (the bracket the oracle hashes) is green
+    got.foreach { case (term, _, ok) => assert(ok === 1L, s"$term: sketch missed") }
     val exact = graft.util.Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("t"))
       .groupBy("t").count().as[(String, Long)].collect().toMap
     // every reported count is the true count (vocab << sketch capacity)
-    got.foreach { case (term, cnt) => assert(exact(term) === cnt, term) }
+    got.foreach { case (term, cnt, _) => assert(exact(term) === cnt, term) }
     // and the selection is a valid top-k under ties: every reported count
     // is >= the (k+1)-th largest true count
     val boundary = exact.values.toSeq.sorted(Ordering[Long].reverse)
       .drop(10).headOption.getOrElse(0L)
-    got.foreach { case (_, cnt) => assert(cnt >= boundary) }
+    got.foreach { case (_, cnt, _) => assert(cnt >= boundary) }
   }
 
   test("profile: one row per column, exact counts on lineitem") {
