@@ -170,6 +170,18 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(_._3 == 0L))
   }
 
+  test("prefix-filtered containment equals the naive all-pairs form exactly") {
+    // the prefix bound is on the subset side only; verification is exact,
+    // so both strategies must produce identical directed pairs
+    for (tau <- Seq(0.5, 0.8, 0.9)) {
+      val naive = Dedup.containmentPairs(spark, sf, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.containmentPairsPrefix(spark, sf, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === naive, s"tau=$tau")
+    }
+  }
+
   test("containment: directional, >= jaccard on shared pairs, both orders emitted for symmetric dups") {
     val cont = Dedup.containmentPairs(spark, sf, tau = 0.8)
       .as[(Long, Long, Double)].collect()
