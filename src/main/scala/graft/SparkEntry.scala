@@ -652,7 +652,9 @@ object SparkEntry {
         |  reverse(p_type) AS reversed,
         |  replace(p_brand, '#', '_') AS translated,
         |  p_brand || '|' || p_brand AS doubled,
-        |  levenshtein(p_type, 'PROMO BURNISHED STEEL') AS edit_dist
+        |  levenshtein(p_type, 'PROMO BURNISHED STEEL') AS edit_dist,
+        |  list_aggregate(list_transform(string_split(lower(p_type), ' '),
+        |    x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS title_type
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
 

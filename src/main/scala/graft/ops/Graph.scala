@@ -52,13 +52,18 @@ object Graph {
       // halve every round — convergence in O(log diameter) rounds instead
       // of O(diameter), the difference between 40 and 6 shuffle rounds on
       // a 1e12-edge graph with stringy components
+      // convergence check rides the checkpoint job as an observe metric
+      // (CollectMetrics computes during materialization) — no separate
+      // isEmpty action, so each round is exactly one job
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val jumped = stepped
         .join(stepped.select(col("node").as("j_node"), col("next").as("j_next")),
           col("next") === col("j_node"), "left")
         .select(col("node"), col("label"),
           least(col("next"), coalesce(col("j_next"), col("next"))).as("next"))
+        .observe(obs, count(when(col("next") < col("label"), 1)).as("improved"))
         .localCheckpoint()
-      converged = jumped.filter(col("next") < col("label")).isEmpty
+      converged = obs.get("improved").asInstanceOf[Long] == 0L
       labels = jumped.select(col("node"), col("next").as("label"))
       iter += 1
     }

@@ -184,7 +184,12 @@ object Similarity {
     * MLlib's KMeans does); assignment is a broadcast join + one window
     * top-1, the update one (centroid, position) aggregation. The corpus
     * never shuffles by cluster. Empty clusters keep their previous
-    * centroid, so ids are stable and k never shrinks. */
+    * centroid, so ids are stable and k never shrinks.
+    *
+    * SPEC-ONLY BY DESIGN (SimilaritySpec): double means never hash-match
+    * across engines, so the oracle-gated twin [[kmeansQuantized]]
+    * (q_ivf_kmeans) supersedes this for correctness gating; this variant
+    * stays as the float-precision form a user would actually deploy. */
   def kmeansCentroids(spark: SparkSession, dir: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
     import spark.implicits._

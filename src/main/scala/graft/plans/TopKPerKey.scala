@@ -28,16 +28,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * `ClusteredDistribution(keys)`, so EnsureRequirements inserts the one
   * hash exchange; AQE still plans/coalesces it normally.
   *
-  * LIMITATION — no spill path. Memory per task is O(k × distinct keys
-  * in the partition): the heaps live in an in-memory hash map with no
-  * external-sorter fallback, unlike Window/Sort (spillable) or hash
-  * aggregation (sort-based fallback). With bounded key cardinality
-  * (symbols, exchanges, categories — the intended domain) that is the
-  * whole point; with UNBOUNDED key cardinality (e.g. user id over a
-  * 100 TB event log) a task can OOM, and the declarative
-  * `row_number OVER (...) <= k` window form — which spills — is the
-  * right operator instead. Rule of thumb: distinct-keys-per-task × k ×
-  * rowSize must fit in a fraction of executor task memory.
+  * MEMORY GUARD (no spill path — the heaps live in an in-memory hash
+  * map, unlike Window/Sort which spill). Memory per task is O(k ×
+  * distinct keys); `spark.graft.topk.maxKeysPerTask` (default 4M) hard-
+  * bounds it at three levels:
+  *   - map-side (partial): past the cap, rows of NEW keys stream through
+  *     un-pruned — the final pass still prunes them, so the result stays
+  *     exact and memory stays bounded; only the shuffle savings degrade.
+  *   - reduce-side (final): exactness needs every key's full row set, so
+  *     past the cap the task fails fast with a pointer at the window
+  *     form rather than dying opaquely in GC/OOM.
+  *   - plan time: [[Graft.topKPerKey]] with a `distinctKeysHint` above
+  *     the cap plans the spillable `row_number OVER (...) <= k` window
+  *     form instead (identical semantics, asserted in TopKSpec).
+  * With bounded key cardinality (symbols, exchanges, categories — the
+  * intended domain) the heaps are the whole point; with unbounded keys
+  * (user id over a 100 TB event log) the window form is the right
+  * operator, and the guard makes that boundary explicit.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
@@ -80,22 +87,48 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortOrder = order
     val kk = k
     val schema = child.output
+    val isGlobal = global
+    val maxKeys = session.conf
+      .get(TopKPerKeyExec.MaxKeysConf, TopKPerKeyExec.MaxKeysDefault.toString).toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ord = GenerateOrdering.generate(sortOrder, schema)
       val heaps = new java.util.HashMap[UnsafeRow, PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // overflow handling keeps task memory hard-bounded at maxKeys heaps:
+      // map-side, rows of keys beyond the cap STREAM through un-pruned
+      // (emitted immediately, never buffered — the final pass prunes
+      // them, so the result stays exact); reduce-side, exactness needs
+      // the full key set, so the task fails fast with guidance instead
+      // of dying in GC
+      val streamed = iter.flatMap { row =>
         val key = keyProj(row)
         var pq = heaps.get(key)
-        if (pq == null) {
-          pq = PriorityQueue.empty[InternalRow](ord) // max-heap: head = worst
-          heaps.put(key.copy(), pq)
+        if (pq == null && heaps.size() >= maxKeys) {
+          if (isGlobal) throw new IllegalStateException(
+            s"TopKPerKey final pass exceeded ${TopKPerKeyExec.MaxKeysConf}=" +
+              s"$maxKeys distinct keys in one task; this operator holds " +
+              "k rows per key in memory and does not spill — use the " +
+              "row_number window form (Graft.topKPerKey with " +
+              "distinctKeysHint) for unbounded key cardinality")
+          Iterator.single(row) // handed straight downstream, no buffering
+        } else {
+          if (pq == null) {
+            pq = PriorityQueue.empty[InternalRow](ord) // max-heap: head = worst
+            heaps.put(key.copy(), pq)
+          }
+          if (pq.size < kk) pq.enqueue(row.copy())
+          else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
+          Iterator.empty
         }
-        if (pq.size < kk) pq.enqueue(row.copy())
-        else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      // ++ evaluates its right side lazily — the heaps drain only after
+      // the input (and thus every overflow row) is exhausted
+      streamed ++ heaps.values().iterator().asScala.flatMap(_.iterator)
     }
   }
+}
+
+object TopKPerKeyExec {
+  val MaxKeysConf = "spark.graft.topk.maxKeysPerTask"
+  val MaxKeysDefault: Long = 4L * 1024 * 1024
 }

@@ -541,7 +541,9 @@ object Analytics {
         reverse(col("p_type")).as("reversed"),
         translate(col("p_brand"), "#", "_").as("translated"),
         concat(col("p_brand"), lit("|"), col("p_brand")).as("doubled"),
-        levenshtein(col("p_type"), lit("PROMO BURNISHED STEEL")).as("edit_dist"))
+        levenshtein(col("p_type"), lit("PROMO BURNISHED STEEL")).as("edit_dist"),
+        // C4: the reference's display-casing (flask/app.py:139,194)
+        initcap(col("p_type")).as("title_type"))
       .orderBy(col("p_partkey"))
 
   /** Datetime extraction pack with engine-normalized semantics (ISO
