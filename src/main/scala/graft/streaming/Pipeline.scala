@@ -29,8 +29,9 @@ import graft.sink.Router
   *
   * The source is a line-delimited JSON file stream (one envelope per
   * line) — the same `value: String` shape a Kafka source yields after the
-  * P1 cast, so swapping `readStream.text(dir)` for
-  * `readStream.format("kafka")...` is a one-line change at deploy time.
+  * P1 cast. [[KafkaPipeline.start]] is the `format("kafka")` face of the
+  * same pipeline (exercised against the Kafka-wire mock in
+  * KafkaPipelineSpec; at deploy time only the jar is missing here).
   */
 object Pipeline {
 
