@@ -460,17 +460,26 @@ object Dedup {
     * same shape as [[semanticDedup]]: after co-location each task's
     * build side is exactly one label's bucket, so the corpus-sized build
     * side a broadcast (or the Generate-undersized plan Catalyst would
-    * pick alone) needs never materializes. Parallelism is bounded by
-    * #labels — at 100 TB the block key is the finer IVF/LSH cluster id
-    * (see semanticDedup), which grows with the corpus; skewed blocks
-    * split under AQE's skew-join handling. PlanSpec asserts no
-    * BroadcastExchange appears in this plan. */
-  def embeddingNearDups(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    * pick alone) needs never materializes. A label-only key caps
+    * parallelism at #labels (10 here — a third of the cores idle, and
+    * the BENCH_sf1 run showed it), so the join key is SALTED: the probe
+    * side takes one deterministic salt per row, the build side
+    * replicates to every salt — each qualifying pair still meets exactly
+    * once (at the probe row's salt), per-task build memory stays one
+    * label's bucket, and parallelism becomes #labels × S. At 100 TB the
+    * block key is the finer IVF/LSH cluster id (see semanticDedup),
+    * which grows with the corpus and makes the salt unnecessary.
+    * PlanSpec asserts no BroadcastExchange appears in this plan. */
+  def embeddingNearDups(spark: SparkSession, dir: String, tau: Double = 0.35,
+      salts: Int = 8): DataFrame = {
     val e = Similarity.vecs(spark, dir) // norms precomputed once per vector
     // the hint rides the RIGHT side: build-side choice follows it there
-    val a = e.as("a")
-    val b = e.hint("shuffle_hash").as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val a = e.withColumn("salt", pmod(col("vec_id"), lit(salts))).as("a")
+    val b = e.withColumn("salt",
+        explode(array((0 until salts).map(lit): _*)))
+      .hint("shuffle_hash").as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.salt") === col("b.salt") &&
+        col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(Similarity.cosinePrenormed(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6))
       .filter(col("cos") >= tau)
