@@ -556,9 +556,16 @@ object TextAnalysis {
     * gram-keyed aggregate is the only wide exchange — no join back to the
     * exploded stream (which would shuffle it twice). */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(spark, dir))
-    val perDoc = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // per-doc cardinality IN-ROW (the gram array is already distinct):
+    // a zero-shuffle projection, instead of a count aggregate over the
+    // exploded stream that would re-run the whole shingle pipeline a
+    // second time (BENCH_sf1 measured the re-run)
+    val perDoc = docs.select(col("doc_id"),
+      size(Dedup.shingleArray(col("text"))).as("n_shingles"))
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingleArray(col("text"))).as("s"))
     val novel = sh.groupBy(col("s"))
       .agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc").as("doc_id"))
