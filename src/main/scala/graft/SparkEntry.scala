@@ -110,6 +110,8 @@ object SparkEntry {
     "q_stratified_sample" -> (Analytics.stratifiedSample _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only check
     "q_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    // batch retrieval: many queries, one corpus scan, custom TopKPerKey
+    "q_ann_batch" -> ((s, d) => Similarity.batchTopK(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -1255,6 +1257,17 @@ object SparkEntry {
         |      FROM embeddings, q WHERE vec_id <> 0),
         |r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM s)
         |SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |          FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |      FROM embeddings e, q WHERE e.vec_id >= 8),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, vec_id) AS INTEGER) AS rnk FROM s)
+        |SELECT query_id, rnk, vec_id, cos FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q_ann_quantized" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -86,6 +86,37 @@ object Similarity {
       .select(col("rnk"), col("vec_id"), col("cos"))
       .orderBy(col("rnk"))
 
+  /** Batch ANN: exact top-`k` per query for a SET of query vectors in
+    * ONE corpus scan — the retrieval shape of dedup-candidate lookup and
+    * eval-suite contamination probes, where queries arrive thousands at
+    * a time and per-query scans would each cost a full pass.
+    *
+    * The bounded query set broadcasts; every corpus row scores against
+    * all queries map-side; the per-query top-k runs through the custom
+    * [[graft.plans.TopKPerKey]] operator, whose PARTIAL pass prunes to k
+    * rows per query per task BEFORE the shuffle — so the exchange
+    * carries O(tasks × queries × k) rows, not the full n × queries score
+    * matrix a window form would sort and shuffle. The k-row-per-query
+    * result then ranks with a trivially small window. */
+  def batchTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 3): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.filter(col("vec_id") >= nQueries)
+      .join(broadcast(q))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    graft.plans.Graft.topKPerKey(scored, Seq("query_id"),
+        Seq(("cos", true), ("vec_id", false)), k)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Random-hyperplane LSH signatures (SimHash for vectors): bit p is
     * the sign of v·h_p where hyperplane h_p's component d is a
     * deterministic pseudo-random weight derived from `md5("hp<p>|<d>")`

@@ -13,6 +13,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._2).contains(0L))
   }
 
+  test("batch ANN: per-query results match a single-query scan restricted to the shared corpus") {
+    val batch = Similarity.batchTopK(spark, sf, nQueries = 8, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 7L))
+    assert(batch.groupBy(_._1).forall(_._2.length === 3))
+    // cross-check one query against an independent brute-force scan over
+    // the same corpus slice (vec_id >= 8)
+    val solo = Similarity.vecs(spark, sf)
+    val q0 = solo.filter($"vec_id" === 0L)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val want = solo.filter($"vec_id" >= 8L)
+      .join(org.apache.spark.sql.functions.broadcast(q0))
+      .withColumn("cos", org.apache.spark.sql.functions.round(
+        Similarity.cosinePrenormed($"v", $"qv", $"nrm", $"qnrm"), 6))
+      .orderBy($"cos".desc, $"vec_id").limit(3)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+    val got = batch.filter(_._1 == 0L).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    assert(got === want)
+  }
+
   test("IVF ANN reaches >=50% recall@10 vs brute force while probing 2/8 buckets") {
     val exact = Similarity.bruteForceTopK(spark, sf, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
