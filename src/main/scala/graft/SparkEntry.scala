@@ -112,6 +112,9 @@ object SparkEntry {
     "q_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     // batch retrieval: many queries, one corpus scan, custom TopKPerKey
     "q_ann_batch" -> ((s, d) => Similarity.batchTopK(s, d)),
+    // bloom-prefiltered delta-vs-history anti-join (same oracle as the
+    // plain incremental form — bit-identical output by construction)
+    "q_incremental_bloom" -> ((s, d) => Dedup.incrementalDedupBloom(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -1754,6 +1757,16 @@ object SparkEntry {
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+        |hist AS (SELECT DISTINCT content_md5 FROM docs WHERE doc_id % 10 < 8),
+        |delta AS (SELECT * FROM docs WHERE doc_id % 10 >= 8)
+        |SELECT min(doc_id) AS doc_id, content_md5, count(*) AS n_dups
+        |FROM delta WHERE content_md5 NOT IN (SELECT content_md5 FROM hist)
+        |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+
+    // identical semantics to q_incremental_dedup: the bloom is a pure
+    // prefilter (no false negatives), so the exact form IS the oracle
+    "q_incremental_bloom" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
         |hist AS (SELECT DISTINCT content_md5 FROM docs WHERE doc_id % 10 < 8),
         |delta AS (SELECT * FROM docs WHERE doc_id % 10 >= 8)

@@ -563,6 +563,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[incrementalDedup]] with a bloom prefilter on the history index —
+    * the shape the anti-join takes once history holds billions of keys.
+    * The plain form shuffles the ENTIRE delta into the anti-join; here a
+    * bloom of the index (native `BloomFilterAggregate`, bounded bytes,
+    * maintained alongside the index in a real lakehouse) splits the delta
+    * map-side: rows the bloom has never seen are new WITH CERTAINTY (no
+    * false negatives) and skip the join entirely; only the ~dup fraction
+    * plus the bloom's false-positive mass pays the exact anti-join. The
+    * output is bit-identical to [[incrementalDedup]] by construction —
+    * same oracle SQL gates both. */
+  def incrementalDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Blooms
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+    val historyIndex = docs.filter(col("doc_id") % 10 < 8)
+      .select(col("content_md5")).distinct()
+    // the collected bloom is bounded by the ITEM BUDGET we set, never by
+    // data volume — the same contract as a broadcast dim, and the same
+    // bytes Spark's own runtime row-level filtering ships to executors
+    val bloomBytes = historyIndex
+      .agg(Blooms.agg(spark, xxhash64(col("content_md5")), 1L << 20).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+      .withColumn("maybe_seen", Blooms.mightContain(spark,
+        lit(bloomBytes), xxhash64(col("content_md5"))))
+    val definitelyNew = delta.filter(!col("maybe_seen")).drop("maybe_seen")
+    val maybeSeen = delta.filter(col("maybe_seen")).drop("maybe_seen")
+      .join(historyIndex, Seq("content_md5"), "left_anti")
+    definitelyNew.unionByName(maybeSeen)
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("content_md5"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Blocked sorted-neighborhood dedup — the third classic blocking
     * family next to LSH banding and prefix filtering: sort records on a
     * cheap key (here the text's 24-char prefix) and compare each record
