@@ -34,6 +34,11 @@ object Bench {
     // query is added, which moves GC/warmup debt between queries)
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // past this first-run time the second (min-of-2) run is skipped:
+    // warmup noise is negligible against a minute of runtime, and the
+    // repeat's GC debt is what starved the JVM in the first sf10 run
+    val slowCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "60").toDouble
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -44,16 +49,30 @@ object Bench {
       // Drop them eagerly AFTER EACH RUN, off the clock — a second timed
       // run of a checkpoint-heavy query must not inherit the first run's
       // blocks, and the next query must not inherit either.
-      val times = (1 to 2).map { _ =>
+      // A query error must be VISIBLE, not a silently-tiny timing: the
+      // first sf10 run lost its four tail queries to a dead context and
+      // the artifact read as if they had run.
+      def timed(): Double = {
+        if (spark.sparkContext.isStopped) {
+          if (!errors.contains(name)) { errors += name
+            System.err.println(s"[bench] $name skipped: SparkContext is stopped") }
+          return -1.0
+        }
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          if (!errors.contains(name)) { errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         System.gc()
         dt
       }
-      name -> times.min
+      val t1 = timed()
+      val best = if (t1 > slowCutoff || errors.contains(name)) t1
+        else math.min(t1, timed())
+      name -> best
     }
     // The driver captures only the last 2000 chars of stdout and sbt
     // appends a ~75-char [success] line after ours, so the JSON line must
@@ -65,8 +84,12 @@ object Bench {
     def ms(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val total = ms(results.map(_._2).sum)
+    // errors ride in the prefix so the char budget accounts for them;
+    // absent entirely in the normal all-green case
+    val errField = if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString("\"errors\":[", ",", "],")
     val prefix =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"sf":"$sfDir","queries":{"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},$errField"sf":"$sfDir","queries":{"""
     // overridable for local analysis runs that want every query in the
     // map; the driver-facing default stays under its 2000-char capture
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1700").toInt - prefix.length
