@@ -115,6 +115,8 @@ object SparkEntry {
     // bloom-prefiltered delta-vs-history anti-join (same oracle as the
     // plain incremental form — bit-identical output by construction)
     "q_incremental_bloom" -> ((s, d) => Dedup.incrementalDedupBloom(s, d)),
+    // near-dup delta-vs-history screen over the maintained LSH band index
+    "q_incremental_fuzzy" -> ((s, d) => Dedup.incrementalDedupFuzzy(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -1763,6 +1765,41 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, content_md5, count(*) AS n_dups
         |FROM delta WHERE content_md5 NOT IN (SELECT content_md5 FROM hist)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_fuzzy" ->
+      s"""WITH $shingleCte,
+         |$minhashSigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h3||'|'||h4||'|'||h5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h6||'|'||h7||'|'||h8) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h9||'|'||h10||'|'||h11) FROM sig),
+         |cand AS (SELECT h.doc_id AS id_a, d.doc_id AS id_b
+         |         FROM bands d JOIN bands h
+         |           ON d.band_idx = h.band_idx AND d.band_hash = h.band_hash
+         |         WHERE d.doc_id % 10 >= 8 AND h.doc_id % 10 < 8
+         |         GROUP BY 1, 2),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |ver AS (
+         |  SELECT id_a, id_b, jac FROM (
+         |    SELECT id_a, id_b, round(CAST(ix AS DOUBLE)/(ca+cb-ix), 6) AS jac FROM (
+         |      SELECT c.id_a, c.id_b, count(*) AS ix, max(ca.c) AS ca, max(cb.c) AS cb
+         |      FROM cand c
+         |      JOIN sh a ON a.doc_id = c.id_a
+         |      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+         |      JOIN card ca ON ca.doc_id = c.id_a
+         |      JOIN card cb ON cb.doc_id = c.id_b
+         |      GROUP BY c.id_a, c.id_b))
+         |  WHERE jac >= 0.8),
+         |best AS (SELECT id_b AS doc_id, max(jac) AS best_jac FROM ver GROUP BY id_b),
+         |pick AS (SELECT v.id_b AS doc_id, min(v.id_a) AS first_dup, b.best_jac
+         |         FROM ver v JOIN best b ON v.id_b = b.doc_id AND v.jac = b.best_jac
+         |         GROUP BY v.id_b, b.best_jac)
+         |SELECT d.doc_id, p.first_dup, p.best_jac,
+         |  CAST(CASE WHEN p.first_dup IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |LEFT JOIN pick p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // identical semantics to q_incremental_dedup: the bloom is a pure
     // prefilter (no false negatives), so the exact form IS the oracle

@@ -598,6 +598,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental FUZZY dedup — the near-dup twin of [[incrementalDedup]]
+    * and the shape a production crawl refresh runs: screen only the
+    * DELTA against the history's MinHash LSH band index, verify
+    * candidates exactly, and admit delta docs with no verified history
+    * near-dup. History contributes its band index (`Bands` narrow rows
+    * per doc — a maintained side table at scale, like the hash index of
+    * the exact form) plus the shingle sets of only the CANDIDATE history
+    * docs (map-side semi-join prune before any shuffle, the
+    * [[dedupSurvivors]] idiom). The delta — the only side read at full
+    * width — is banded fresh and probes the index on the band key;
+    * candidate volume is bounded by delta size × dup rate, so the
+    * verify-side broadcasts stay bounded by construction (at a dup rate
+    * where they outgrow the limit, swap the hints to shuffle_hash — the
+    * [[semanticDedup]] note). Output: every delta doc with its best
+    * verified history match (max jaccard, min history id on ties) and
+    * the admit flag. */
+  def incrementalDedupFuzzy(spark: SparkSession, dir: String,
+      tau: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % 10 >= 8
+    def banded(d: DataFrame): DataFrame = {
+      val sig = minhashSignatures(d)
+      val bandCols = (0 until Bands).map { bnd =>
+        val rows = (0 until RowsPerBand).map(r => col(s"h${bnd * RowsPerBand + r}"))
+        md5(concat_ws("|", rows: _*)).as(s"b$bnd")
+      }
+      sig.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until Bands).map(b => col(s"b$b")): _*))
+            .as(Seq("band_idx", "band_hash")))
+    }
+    val histIdx = banded(docs.filter(!isDelta)) // maintained at scale
+    val deltaIdx = banded(docs.filter(isDelta))
+    // candidates are read three times (id prune + both verify columns) —
+    // materialize once, like dedupSurvivors' candidate slice
+    val cand = deltaIdx.hint("shuffle_hash").as("d")
+      .join(histIdx.as("h"),
+        col("d.band_idx") === col("h.band_idx") &&
+          col("d.band_hash") === col("h.band_hash"))
+      .select(col("h.doc_id").as("id_a"), col("d.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val sh = withCard(
+      shingles(docs).join(broadcast(ids), Seq("doc_id"), "left_semi"))
+    val verified = verifyPairs(broadcast(cand), sh, tau) // id_a hist, id_b delta
+    // best history match per delta doc: max jaccard, min id on ties —
+    // one struct-max aggregate, no window
+    val best = verified.groupBy(col("id_b").as("doc_id"))
+      .agg(max(struct(col("jac"), (-col("id_a")).as("neg"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg")).as("first_dup"),
+        col("m.jac").as("best_jac"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("first_dup"), col("best_jac"),
+        when(col("first_dup").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Blocked sorted-neighborhood dedup — the third classic blocking
     * family next to LSH banding and prefix filtering: sort records on a
     * cheap key (here the text's 24-char prefix) and compare each record

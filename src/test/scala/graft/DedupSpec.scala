@@ -222,6 +222,31 @@ class DedupSpec extends SparkSpec {
     assert(pruned > 0, "bloom prefilter pruned nothing on the fixture")
   }
 
+  test("fuzzy incremental dedup: sound matches, full delta coverage") {
+    val out = Dedup.incrementalDedupFuzzy(spark, sf)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2), r.getLong(3)))
+    val deltaIds = Tables(spark, sf, "documents")
+      .filter($"doc_id" % 10 >= 8).select("doc_id").as[Long].collect().toSet
+    // one row per delta doc, no history docs in the output
+    assert(out.map(_._1).toSet === deltaIds)
+    // soundness: every flagged match is a VERIFIED history near-dup —
+    // recompute its jaccard directly from the shingle sets
+    val flagged = out.filter(_._4 == 0L)
+    val shl = Dedup.shingles(Tables(spark, sf, "documents"))
+      .as[(Long, String)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    flagged.foreach { case (d, h, jac, _) =>
+      assert(h % 10 < 8 && deltaIds.contains(d))
+      val (a, b) = (shl(h), shl(d))
+      val truth = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(truth - jac) < 1e-6 && jac >= 0.8,
+        s"pair ($h,$d): reported $jac, true $truth")
+    }
+    // kept rows carry no match payload
+    out.filter(_._4 == 1L).foreach { case (_, h, j, _) =>
+      assert(h == -1L && j == 0.0) }
+  }
+
   test("keepLatest keeps exactly one row per key, newest first") {
     val df = Seq(("k1", 1L, "old"), ("k1", 2L, "new"), ("k2", 5L, "only"))
       .toDF("k", "v", "tag")
