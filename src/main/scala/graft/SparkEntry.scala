@@ -117,6 +117,10 @@ object SparkEntry {
     "q_incremental_bloom" -> ((s, d) => Dedup.incrementalDedupBloom(s, d)),
     // near-dup delta-vs-history screen over the maintained LSH band index
     "q_incremental_fuzzy" -> ((s, d) => Dedup.incrementalDedupFuzzy(s, d)),
+    // round 5 (cont.): tokenizer induction, exact-span dedup, link prediction
+    "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
+    "q_dup_spans" -> ((s, d) => TextAnalysis.duplicatedSpans(s, d)),
+    "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -1810,6 +1814,63 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, content_md5, count(*) AS n_dups
         |FROM delta WHERE content_md5 NOT IN (SELECT content_md5 FROM hist)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+
+    // BPE round-0 statistics: in-word adjacent char pairs weighted by
+    // word frequency (mirrors TextAnalysis.bpePairStats)
+    "q_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM tok WHERE len(w) >= 2 GROUP BY w),
+        |pi AS (SELECT w, wc, unnest(range(1, len(w))) AS i FROM wc),
+        |p AS (SELECT substr(w, i, 2) AS pair, wc FROM pi)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+        |FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair LIMIT 40""".stripMargin,
+
+    // per-doc duplicated 8-token-window coverage (mirrors
+    // TextAnalysis.duplicatedSpans, k=8)
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tot AS (SELECT doc_id, greatest(len(t) - 7, 0) AS n_grams FROM d),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM d WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gm FROM pos),
+        |gd AS (SELECT gm, doc_id, count(*) AS cnt FROM g GROUP BY gm, doc_id),
+        |gs AS (SELECT gm, count(*) AS nd FROM gd GROUP BY gm),
+        |dup AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup
+        |        FROM gd JOIN gs USING (gm) WHERE nd >= 2 GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+        |  coalesce(dup.n_dup, 0) AS n_dup,
+        |  CASE WHEN tot.n_grams > 0
+        |       THEN round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / tot.n_grams, 6)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM tot LEFT JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // common-neighbor / Jaccard link prediction over the co-purchase
+    // graph (mirrors Graph.copurchaseLinks; shares q_triangles' edge CTE)
+    "q_link_predict" ->
+      """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |            WHERE ord.o_orderdate >= TIMESTAMP '1995-01-01'
+        |              AND ord.o_orderdate < TIMESTAMP '1995-07-01'),
+        |ok AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 10),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      JOIN ok ON x.o = ok.o),
+        |adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        |ctr AS (SELECT adj.v, adj.n FROM adj JOIN deg ON adj.v = deg.v
+        |        WHERE deg.deg <= 60),
+        |w AS (SELECT c1.n AS x, c2.n AS y
+        |      FROM ctr c1 JOIN ctr c2 ON c1.v = c2.v AND c1.n < c2.n),
+        |cm AS (SELECT x, y, count(*) AS common FROM w GROUP BY x, y),
+        |nc AS (SELECT cm.x, cm.y, cm.common FROM cm
+        |       LEFT JOIN e ON cm.x = e.a AND cm.y = e.b WHERE e.a IS NULL)
+        |SELECT nc.x, nc.y, nc.common,
+        |  round(CAST(nc.common AS DOUBLE) / (dx.deg + dy.deg - nc.common), 6)
+        |    AS jaccard
+        |FROM nc JOIN deg dx ON nc.x = dx.v JOIN deg dy ON nc.y = dy.v
+        |ORDER BY jaccard DESC, common DESC, x, y LIMIT 50""".stripMargin,
 
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p

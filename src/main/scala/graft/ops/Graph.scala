@@ -257,4 +257,46 @@ object Graph {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
   }
+
+  /** Link prediction by neighborhood overlap: for every non-adjacent node
+    * pair with at least one common neighbor, the common-neighbor count
+    * and Jaccard coefficient |N(x)∩N(y)| / |N(x)∪N(y)| — the classic
+    * unsupervised baseline (Liben-Nowell & Kleinberg 2003).
+    *
+    * Candidate pairs come from a wedge self-join of the adjacency list on
+    * the center vertex, so only pairs sharing a neighbor are ever
+    * materialized — never the O(n²) pair space. Wedge volume is
+    * Σ deg(v)², so hubs above `maxDeg` are excluded from the CENTER role
+    * first (they still appear as endpoints); that is the same hub-cap
+    * discipline `triangleCounts` applies, and at web scale it is what
+    * keeps the wedge fan-out near-linear. Existing edges leave by
+    * anti-join on the (a<b)-normalized edge list. */
+  def linkPrediction(edges: DataFrame, maxDeg: Int = 60,
+      topN: Int = 50): DataFrame = {
+    val adj = edges.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val centers = adj.join(
+      deg.filter(col("deg") <= maxDeg).select(col("v")), Seq("v"))
+    val wedges = centers.select(col("v"), col("n").as("x"))
+      .join(centers.select(col("v"), col("n").as("y")), Seq("v"))
+      .filter(col("x") < col("y"))
+    val common = wedges.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common"))
+      .join(edges, col("x") === col("a") && col("y") === col("b"),
+        "left_anti")
+    common
+      .join(deg.select(col("v").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("deg").as("dy")), Seq("y"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("dx") + col("dy") - col("common")), 6))
+      .select(col("x"), col("y"), col("common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("common").desc, col("x"), col("y"))
+      .limit(topN)
+  }
+
+  /** [[linkPrediction]] over the co-purchase graph: "parts never bought
+    * together that the neighborhood structure says should be". */
+  def copurchaseLinks(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(copurchaseEdges(spark, dir))
 }

@@ -586,4 +586,143 @@ object TextAnalysis {
         round(avg(tokenCount(col("text"))), 6).as("avg_tokens"),
         sum(tokenCount(col("text"))).as("total_tokens"))
       .orderBy(col("lang"), col("source"))
+
+  // --------------------------------------------------------------------
+  // Tokenizer induction (BPE)
+  // --------------------------------------------------------------------
+
+  /** One BPE statistics pass: adjacent symbol-pair frequencies over the
+    * corpus, weighted by word frequency — the candidate table a byte-pair
+    * tokenizer trainer ranks each merge round (Sennrich et al. 2016,
+    * arXiv:1508.07909).
+    *
+    * Shape for 100 TB: the corpus collapses to its word-frequency table
+    * FIRST (one map-side-combinable agg; vocabulary plateaus by Heaps'
+    * law, so the pair fan-out runs over |vocab| rows, not |corpus|
+    * tokens), then each word explodes into len-1 in-word pairs. Both
+    * aggregations are map-side combinable; nothing is ever collected. */
+  def bpePairStats(spark: SparkSession, dir: String, topN: Int = 40): DataFrame =
+    bpePairStatsFromWords(wordFreq(Tables.documents(spark, dir)), topN)
+
+  /** Corpus word-frequency table `(w, wc)` — the input shape both BPE
+    * passes aggregate over (single-char words carry no pairs, dropped). */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** [[bpePairStats]] over an explicit `(w, wc)` word-frequency table. */
+  def bpePairStatsFromWords(words: DataFrame, topN: Int = 40): DataFrame = {
+    words
+      .select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Learn `merges` BPE merge rules over the corpus and return the ranked
+    * merge table `(rank, pair, freq)`.
+    *
+    * Each word is held as its space-joined symbol string (symbols start
+    * as single characters); a merge round (a) aggregates adjacent-pair
+    * frequencies over the word-frequency table, (b) takes the single
+    * best pair to the driver (one row — bounded by construction), and
+    * (c) rewrites every word by a literal left-to-right replace of
+    * `" a b "` with `" ab "`, matching greedy BPE application. The
+    * delimiters make multi-character symbols unambiguous. Lineage is
+    * truncated every round so the plan stays O(1) across merges.
+    *
+    * Iterative by nature (each merge depends on the last), so this is
+    * spec-gated rather than oracle-gated; the one-round statistics pass
+    * [[bpePairStats]] carries the DuckDB oracle. */
+  def bpeLearn(spark: SparkSession, dir: String, merges: Int = 8): DataFrame =
+    bpeLearnFromWords(spark, wordFreq(Tables.documents(spark, dir)), merges)
+
+  /** [[bpeLearn]] over an explicit `(w, wc)` word-frequency table. */
+  def bpeLearnFromWords(spark: SparkSession, base: DataFrame,
+      merges: Int): DataFrame = {
+    import spark.implicits._
+    // " c h a r s " — every symbol space-delimited, sentinel-padded
+    var words = base.select(
+      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("sym"),
+      col("wc"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var rank = 0
+    while (rank < merges) {
+      // fully-merged words (one symbol left) carry no pairs; dropping them
+      // also keeps `sequence(1, size-1)` ascending
+      val syms = words.select(col("wc"), split(trim(col("sym")), " ").as("s"))
+        .filter(size(col("s")) >= 2)
+      val top = syms
+        .select(col("wc"), explode(
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => concat_ws(" ", element_at(col("s"), i),
+              element_at(col("s"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(1).as[(String, Long)].collect()
+      if (top.isEmpty) rank = merges
+      else {
+        val (pair, freq) = top.head
+        learned += ((rank, pair, freq))
+        val quoted = java.util.regex.Pattern.quote(s" $pair ")
+        val merged =
+          java.util.regex.Matcher.quoteReplacement(" " + pair.replace(" ", "") + " ")
+        words = words
+          .withColumn("sym", regexp_replace(col("sym"), quoted, merged))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    learned.toSeq.toDF("rank", "pair", "freq")
+  }
+
+  // --------------------------------------------------------------------
+  // Exact duplicated-span detection
+  // --------------------------------------------------------------------
+
+  /** Per-document duplicated-text fraction: of a doc's k-token sliding
+    * windows, how many also occur in at least one OTHER document — the
+    * exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499),
+    * reported as a per-doc coverage metric instead of span excision.
+    *
+    * Plan: one (gram, doc) aggregate over the exploded windows, then a
+    * window count over `gram` for the distinct-doc cardinality — the
+    * second pass reuses the first's hash partitioning (no extra
+    * exchange), and nothing joins back to the raw exploded stream. The
+    * gram aggregate is the only wide exchange; at 100 TB its key space is
+    * bounded by total token count, sharded uniformly by gram hash. */
+  def duplicatedSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    duplicatedSpansFromDocs(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism), k)
+
+  /** [[duplicatedSpans]] over an explicit `(doc_id, text)` table. */
+  def duplicatedSpansFromDocs(docsRaw: DataFrame, k: Int): DataFrame = {
+    val docs = docsRaw.select(col("doc_id"), tokens(col("text")).as("t"))
+    val perDoc = docs.select(col("doc_id"),
+      greatest(size(col("t")) - (k - 1), lit(0)).cast("long").as("n_grams"))
+    val grams = docs
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("gm"))
+    val gd = grams.groupBy(col("gm"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val dup = gd
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gm"))))
+      .filter(col("nd") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_dup"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          round(col("n_dup").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
 }

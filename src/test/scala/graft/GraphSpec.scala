@@ -33,6 +33,30 @@ class GraphSpec extends SparkSpec {
     assert(cc === Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("link prediction: common-neighbor pairs scored, edges excluded") {
+    // 1-2, 1-3, 2-3 triangle; 1-4 bridge; 4-5 leaf.
+    // Non-adjacent pairs with a shared neighbor: (2,4) via 1, (3,4) via 1,
+    // (1,5) via 4 — each 1 common, all jaccard 1/3; edges never appear.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.linkPrediction(e)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 1L, 0.333333),
+      (2L, 4L, 1L, 0.333333),
+      (3L, 4L, 1L, 0.333333)))
+  }
+
+  test("link prediction: hub above maxDeg is skipped as wedge center") {
+    // with maxDeg=2 node 1 (degree 3) cannot be a center, so only the
+    // (1,5) wedge through node 4 survives
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.linkPrediction(e, maxDeg = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 5L, 1L, 0.333333)))
+  }
+
   test("pagerank: symmetric pair is a fixed point at 1e6 micro-units") {
     // both nodes have out-degree 1, so rank = 150000 + 85% of 1e6 = 1e6
     // every round — integer PageRank conserves the uniform distribution
