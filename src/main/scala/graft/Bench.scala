@@ -37,7 +37,7 @@ object Bench {
     // past this first-run time the second (min-of-2) run is skipped:
     // warmup noise is negligible against a minute of runtime, and the
     // repeat's GC debt is what starved the JVM in the first sf10 run
-    val slowCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "60").toDouble
+    val slowCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "120").toDouble
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -71,7 +71,15 @@ object Bench {
       }
       val t1 = timed()
       val best = if (t1 > slowCutoff || errors.contains(name)) t1
-        else math.min(t1, timed())
+        else {
+          val t2 = timed()
+          // a >2.5x disagreement between the two runs means one of them
+          // was a noise spike (host contention, GC burst) — a third run
+          // bounds the damage a single spike can do to the recorded min
+          if (math.max(t1, t2) > 2.5 * math.min(t1, t2))
+            math.min(math.min(t1, t2), timed())
+          else math.min(t1, t2)
+        }
       name -> best
     }
     // The driver captures only the last 2000 chars of stdout and sbt

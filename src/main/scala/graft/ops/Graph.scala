@@ -271,8 +271,15 @@ object Graph {
     * discipline `triangleCounts` applies, and at web scale it is what
     * keeps the wedge fan-out near-linear. Existing edges leave by
     * anti-join on the (a<b)-normalized edge list. */
-  def linkPrediction(edges: DataFrame, maxDeg: Int = 60,
+  def linkPrediction(edgesRaw: DataFrame, maxDeg: Int = 60,
       topN: Int = 50): DataFrame = {
+    // the edge list fans out into SIX plan references (adjacency twice,
+    // the anti-join, and three degree joins) — without truncation every
+    // reference re-expands the whole upstream derivation (a 1000+-node
+    // plan for the co-purchase graph) and the planner re-executes it;
+    // one checkpoint makes each reference a scan of the materialized
+    // edge partitions (cluster form: reliable checkpoint)
+    val edges = edgesRaw.localCheckpoint()
     val adj = edges.select(col("a").as("v"), col("b").as("n"))
       .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
