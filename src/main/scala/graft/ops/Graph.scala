@@ -280,21 +280,44 @@ object Graph {
     // one checkpoint makes each reference a scan of the materialized
     // edge partitions (cluster form: reliable checkpoint)
     val edges = edgesRaw.localCheckpoint()
-    val adj = edges.select(col("a").as("v"), col("b").as("n"))
-      .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
-    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val centers = adj.join(
-      deg.filter(col("deg") <= maxDeg).select(col("v")), Seq("v"))
-    val wedges = centers.select(col("v"), col("n").as("x"))
-      .join(centers.select(col("v"), col("n").as("y")), Seq("v"))
+    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // annotate BOTH endpoint degrees onto the edge list up front (two
+    // |E|-scale joins, the triangleCounts shape), so endpoint degree
+    // rides through the wedge pipeline as a payload column and the
+    // Jaccard denominator needs NO post-aggregate join: the naive tail
+    // (common ⋈ deg ⋈ deg) re-shuffles and re-sorts the Σdeg²-sized
+    // aggregate twice, which measured ~1000 CPU-s at 10x scale vs ~100
+    // for the |E|-side annotation
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // materialize the annotated adjacency before the self-join: both
+    // join sides reference it, and ReuseExchange dedups only the
+    // Exchange, not the joins above it — un-materialized, one stage
+    // computes the annotation twice AND the wedge expansion AND the
+    // partial aggregate, piling six sorters plus an agg map into every
+    // task (measured 5-8x slower than the same dataflow split at this
+    // seam). |adj| = 2|E| rows of three longs — cheap to pin. Cluster
+    // form: reliable checkpoint.
+    val adj = withDeg.select(col("a").as("v"), col("da").as("dv"),
+        col("b").as("n"), col("db").as("dn"))
+      .unionAll(withDeg.select(col("b").as("v"), col("db").as("dv"),
+        col("a").as("n"), col("da").as("dn")))
+      .localCheckpoint()
+    val centers = adj.filter(col("dv") <= maxDeg)
+    val wedges = centers.select(col("v"), col("n").as("x"), col("dn").as("dx"))
+      .join(centers.select(col("v"), col("n").as("y"), col("dn").as("dy")),
+        Seq("v"))
       .filter(col("x") < col("y"))
-    val common = wedges.groupBy(col("x"), col("y"))
+    // dx/dy are functionally dependent on x/y — folding them into the
+    // grouping key costs nothing (same group count, wider key) and keeps
+    // the aggregate one-pass
+    val common = wedges.groupBy(col("x"), col("y"), col("dx"), col("dy"))
       .agg(count(lit(1)).as("common"))
       .join(edges, col("x") === col("a") && col("y") === col("b"),
         "left_anti")
     common
-      .join(deg.select(col("v").as("x"), col("deg").as("dx")), Seq("x"))
-      .join(deg.select(col("v").as("y"), col("deg").as("dy")), Seq("y"))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("dx") + col("dy") - col("common")), 6))
       .select(col("x"), col("y"), col("common"), col("jaccard"))
