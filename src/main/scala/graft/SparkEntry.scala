@@ -121,6 +121,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "q_dup_spans" -> ((s, d) => TextAnalysis.duplicatedSpans(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
+    "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
     "q_corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -1871,6 +1872,34 @@ object SparkEntry {
         |    AS jaccard
         |FROM nc JOIN deg dx ON nc.x = dx.v JOIN deg dy ON nc.y = dy.v
         |ORDER BY jaccard DESC, common DESC, x, y LIMIT 50""".stripMargin,
+
+    // leakage-free split: hash the near-dup CLUSTER representative, not
+    // the document, so clusters never straddle train/val (mirrors
+    // Graph.clusterSafeSplit; shares q_dedup_clusters' recursive CTE)
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN card ca ON ca.doc_id = id_a
+         |          JOIN card cb ON cb.doc_id = id_b
+         |          WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8),
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT src AS node, dst AS r FROM bi
+         |          UNION
+         |          SELECT w.node, b.dst FROM reach w JOIN bi b ON w.r = b.src),
+         |clusters AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+         |             FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS group_id,
+         |  CASE WHEN substr(md5('split:' ||
+         |         CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+         |       IN ('0', '1') THEN 'val' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN clusters c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p

@@ -87,6 +87,30 @@ object Graph {
           .select(col("id_a"), col("id_b")))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
 
+  /** Leakage-free train/val split: a near-dup cluster lands WHOLLY on one
+    * side. A per-document hash split (q_train_split) lets two near-copies
+    * of the same page straddle train and val, silently inflating eval —
+    * the contamination mode that motivates cluster-aware splitting in
+    * every published pretraining-data pipeline. Group key = the doc's
+    * near-dup cluster id (component min doc_id) when it has one, else its
+    * own doc_id; the split side hashes the GROUP key, so membership moves
+    * with the cluster, not the document.
+    *
+    * At scale: the cluster table is dup-rate-bounded (only docs in at
+    * least one verified pair), so the left join broadcasts while small
+    * and falls back to a doc_id-keyed shuffle join beyond that; the hash
+    * and side election are map-side expressions. */
+  def clusterSafeSplit(spark: SparkSession, dir: String,
+      tau: Double = 0.8): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(docClustersUnsorted(spark, dir, tau), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(concat(lit("split:"), col("group_id").cast("string"))),
+          1, 1).isin("0", "1"), "val").otherwise("train"))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Cluster census: size and id range per near-dup cluster. */
   def clusterSizes(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
     docClustersUnsorted(spark, dir, tau)

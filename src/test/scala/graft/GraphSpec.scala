@@ -142,6 +142,24 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("clusterSafeSplit: clusters never straddle the split, singletons keyed by own id") {
+    val split = Graph.clusterSafeSplit(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(split.nonEmpty)
+    // every near-dup group is entirely train or entirely val
+    split.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length === 1)
+    }
+    // docs outside any cluster are their own group
+    val clustered = Graph.docClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    split.foreach { case (doc, group, _) =>
+      assert(group === clustered.getOrElse(doc, doc))
+    }
+    // both sides are populated and the split is the group-hash election
+    assert(split.map(_._3).distinct.sorted.toSeq === Seq("train", "val"))
+  }
+
   test("degreeDistribution: node-weighted degree total equals 2|E|") {
     val dist = Graph.degreeDistribution(spark, sf)
       .as[(Long, Long)].collect()
