@@ -133,6 +133,7 @@ object SparkEntry {
     "q_zorder" -> (Analytics.zorderCodes _),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
+    "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifier _),
@@ -1096,6 +1097,40 @@ object SparkEntry {
         |    AS avg_logprob
         |FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1)
         |GROUP BY db.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_perplexity" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |             FROM documents),
+        |idx AS (SELECT doc_id, lang, unnest(range(1, len(w))) AS i, w FROM tok),
+        |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+        |db AS (SELECT doc_id, lang, w1, w2, count(*) AS cnt
+        |       FROM bg GROUP BY 1, 2, 3, 4),
+        |train AS (SELECT * FROM db WHERE doc_id % 10 < 8),
+        |corpus AS (SELECT lang, w1, w2, CAST(sum(cnt) AS BIGINT) AS c_bg
+        |           FROM train GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+        |        FROM corpus GROUP BY 1, 2),
+        |voc AS (SELECT lang, CAST(count(DISTINCT w2) AS BIGINT) AS v_sz
+        |        FROM corpus GROUP BY 1),
+        |scored AS (SELECT db.doc_id, db.lang,
+        |    CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+        |    round(-sum(db.cnt * ln(CAST(COALESCE(c_bg, 0) + 1 AS DOUBLE)
+        |                           / CAST(COALESCE(c_ctx, 0) + v_sz AS DOUBLE)))
+        |          / sum(db.cnt), 6) AS avg_nll
+        |  FROM db LEFT JOIN corpus USING (lang, w1, w2)
+        |       LEFT JOIN ctx USING (lang, w1)
+        |       JOIN voc USING (lang)
+        |  GROUP BY 1, 2),
+        |hist AS (SELECT lang, avg_nll, count(*) AS nd FROM scored GROUP BY 1, 2),
+        |cum AS (SELECT lang, avg_nll,
+        |    CAST(COALESCE(sum(nd) OVER (PARTITION BY lang ORDER BY avg_nll
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r,
+        |    CAST(sum(nd) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+        |  FROM hist)
+        |SELECT scored.doc_id, scored.lang, scored.n_bigrams, scored.avg_nll,
+        |  CAST(1 + (3 * r) // n_lang AS INT) AS ppl_bucket
+        |FROM scored JOIN cum USING (lang, avg_nll)
         |ORDER BY doc_id""".stripMargin,
 
     "q_shard_census" ->

@@ -405,6 +405,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity filter: train an add-one-smoothed bigram LM
+    * per LANGUAGE on a deterministic train split (doc_id % 10 < 8), score
+    * EVERY document's negative log-likelihood under its language's model
+    * (held-out docs genuinely exercise the unseen-bigram smoothing path:
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), V = trained bigram-completion
+    * vocabulary), then bucket docs head/middle/tail by per-language
+    * perplexity terciles — the CCNet recipe for keeping the head of a
+    * web crawl and dropping the incoherent tail.
+    *
+    * Scale shape: bigram extraction and counting are the [[bigramLmScore]]
+    * pipeline keyed by (lang, bigram) — no per-token windows, one shuffle
+    * per aggregate. The tercile assignment deliberately avoids a doc-level
+    * per-lang rank window (that's corpus-in-one-partition at 100 TB):
+    * per-doc scores are first compressed to a (lang, rounded-score)
+    * HISTOGRAM, the cumulative rank runs over that histogram's distinct
+    * values (bounded by the 6-decimal score space, ≪ docs on any real
+    * corpus), and docs join back on (lang, avg_nll) equality to pick up
+    * their strict rank. Tied scores share a bucket, so the assignment is
+    * total-order-free and engine-portable; `bucket = 1 + (3·r) div n`.
+    * Docs with no bigrams (single-token) score nothing and drop out, same
+    * as the oracle. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val train = docBigrams.filter(col("doc_id") % 10 < 8)
+    val corpus = train.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c_bg"))
+    val ctx = corpus.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    // per-lang completion vocabulary |{w2}| — #langs rows, broadcast back
+    val voc = corpus.select(col("lang"), col("w2")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("v_sz"))
+    val p = (coalesce(col("c_bg"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c_ctx"), lit(0L)) + col("v_sz")).cast("double")
+    val scored = docBigrams
+      .join(corpus, Seq("lang", "w1", "w2"), "left")
+      .join(ctx, Seq("lang", "w1"), "left")
+      .join(broadcast(voc), Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(-sum(col("cnt") * log(p)) / sum(col("cnt")), 6).as("avg_nll"))
+    val hist = scored.groupBy(col("lang"), col("avg_nll"))
+      .agg(count(lit(1)).as("nd"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("avg_nll"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("lang"), col("avg_nll"),
+      coalesce(sum(col("nd")).over(wCum), lit(0L)).as("r"),
+      sum(col("nd")).over(Window.partitionBy(col("lang"))).as("n_lang"))
+    scored.join(cum, Seq("lang", "avg_nll"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
+        (lit(1) + expr("(3 * r) div n_lang")).cast("int").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heavy hitters over the token stream via the frequent-items sketch
     * (`approx_top_k`, Apache DataSketches under the hood): the top-k
     * terms WITHOUT shuffling per-term counts — executors keep a bounded

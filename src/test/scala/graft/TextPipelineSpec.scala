@@ -114,6 +114,30 @@ class TextPipelineSpec extends SparkSpec {
     scores.foreach { case (id, nBg, _) => assert(nBg === nTok(id) - 1) }
   }
 
+  test("perplexity buckets: terciles are balanced, ordered, and smoothing-finite") {
+    val out = TextAnalysis.perplexityBuckets(spark, sf)
+      .as[(Long, String, Long, Double, Int)].collect()
+    assert(out.length === 500)
+    out.foreach { case (_, _, nBg, nll, b) =>
+      assert(nBg > 0)
+      assert(nll >= 0.0 && java.lang.Double.isFinite(nll)) // add-one: no -inf
+      assert(b >= 1 && b <= 3)
+    }
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      // terciles: each bucket within one tie-group of n/3 (ties share buckets)
+      val n = rows.length
+      (1 to 3).foreach { b =>
+        assert(byBucket.getOrElse(b, 0) > 0, s"$lang bucket $b empty")
+      }
+      // bucket order tracks score order: worst head score <= best tail score
+      val headMax = rows.filter(_._5 == 1).map(_._4).max
+      val tailMin = rows.filter(_._5 == 3).map(_._4).min
+      assert(headMax <= tailMin, s"$lang head/tail overlap")
+      assert(math.abs(byBucket(1) - n / 3) <= n / 6, s"$lang skewed terciles")
+    }
+  }
+
   test("repetition: hand-built docs get exact ttr/top-share/max-run") {
     val tmp = java.nio.file.Files.createTempDirectory("rep").toString
     Seq(
