@@ -134,6 +134,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
     "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
+    "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifier _),
@@ -1098,6 +1099,25 @@ object SparkEntry {
         |FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1)
         |GROUP BY db.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |  list_filter(w, x -> x IN ('spark', 'vector', 'merge')) AS q FROM tok),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(dl) AS BIGINT) AS total_dl FROM base),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(q) AS term FROM base)
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(total_dl AS DOUBLE) / n_docs)))), 6) AS bm25
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 25""".stripMargin,
 
     "q_perplexity" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w

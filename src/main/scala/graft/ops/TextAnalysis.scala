@@ -405,6 +405,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 top-k retrieval for a fixed query-term set — the classic IR
+    * ranking (Robertson k1=1.2, b=0.75, Lucene-shaped idf
+    * ln((N−df+0.5)/(df+0.5)+1) which stays positive at any df).
+    *
+    * Scale shape: query terms are plucked from each document's token
+    * array by a map-side `functions.filter` lambda BEFORE any Generate —
+    * the explode fans out only MATCHED terms (a handful per doc), never
+    * the full token stream, so the per-(doc, term) tf aggregate's input
+    * is query-selectivity-sized. Document-frequency (#query-terms rows)
+    * and corpus stats (1 row) broadcast back; the only corpus-wide
+    * shuffle is the tf groupBy, keyed on (doc, term). Final top-k is
+    * orderBy+limit = TakeOrderedAndProject: per-partition heaps, k rows
+    * to the driver. Scores round to 6dp with a doc_id tie-break so the
+    * ranking is total-ordered and engine-portable. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val query = Seq("spark", "vector", "merge")
+    val toks = tokens(col("text"))
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), size(toks).cast("long").as("dl"),
+      filter(toks, t => t.isin(query: _*)).as("qtoks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    // literal 2.2/0.25 rather than computed k1+1/1−b: a computed 1.2+1
+    // is 2.2000000000000002 in binary and would diverge from the
+    // oracle's literal
+    val score = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(score), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** CCNet-style perplexity filter: train an add-one-smoothed bigram LM
     * per LANGUAGE on a deterministic train split (doc_id % 10 < 8), score
     * EVERY document's negative log-likelihood under its language's model

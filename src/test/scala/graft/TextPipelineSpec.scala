@@ -114,6 +114,33 @@ class TextPipelineSpec extends SparkSpec {
     scores.foreach { case (id, nBg, _) => assert(nBg === nTok(id) - 1) }
   }
 
+  test("bm25: hand-built corpus scores match the formula exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    Seq(
+      (0L, "spark spark vector", "en", "s0", 18L),
+      (1L, "spark merge x y", "en", "s0", 15L),
+      (2L, "x y z w", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.bm25TopK(spark, tmp)
+      .as[(Long, Long, Double)].collect()
+    // doc 2 has no query term and must be absent
+    assert(got.map(_._1).toSet === Set(0L, 1L))
+    val avgdl = (3.0 + 4.0 + 4.0) / 3
+    def idf(df: Long) = math.log((3L - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Long, dl: Long, df: Long) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp0 = BigDecimal(w(2, 3, 2) + w(1, 3, 1)) // spark df=2, vector df=1
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = BigDecimal(w(1, 4, 2) + w(1, 4, 1)) // spark, merge
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(0L) === ((2L, exp0)))
+    assert(byId(1L) === ((2L, exp1)))
+    // ranking is score-desc
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("perplexity buckets: terciles are balanced, ordered, and smoothing-finite") {
     val out = TextAnalysis.perplexityBuckets(spark, sf)
       .as[(Long, String, Long, Double, Int)].collect()
