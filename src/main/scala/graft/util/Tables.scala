@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
   *
@@ -27,17 +27,23 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's µs-precision TimestampType rejects outright. We read nanos as
-    * raw Long (legacy conf) and convert with exact integer division — the
-    * driver data carries no sub-µs component (checked: 0 rows at sf0.01),
-    * so this is lossless. */
+  /** The `events` table's `ts` physical encoding has changed across driver
+    * regenerations: TIMESTAMP(NANOS) (read as raw Long via the legacy conf,
+    * converted with exact integer division — no sub-µs component in the
+    * data), plain TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ by Spark 4), or UTC-adjusted micros (read as TIMESTAMP).
+    * All three normalize to session-TZ TimestampType here; the session TZ
+    * is pinned to UTC in every entry point, so the NTZ→TZ cast is
+    * instant-preserving. Every downstream query goes through this loader,
+    * making it the single choke point for physical-schema drift. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   /** Time-range slice of `events` with the range predicate applied to the
@@ -58,12 +64,22 @@ object Tables {
       val i = java.time.Instant.parse(iso)
       i.getEpochSecond * 1000000000L + i.getNano
     }
-    if (raw.schema("ts").dataType == LongType)
-      raw.filter(col("ts") >= ns(fromIso) && col("ts") < ns(untilIso))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      raw.filter(col("ts") >= lit(java.sql.Timestamp.from(java.time.Instant.parse(fromIso))) &&
-                 col("ts") < lit(java.sql.Timestamp.from(java.time.Instant.parse(untilIso))))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= ns(fromIso) && col("ts") < ns(untilIso))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Filter on the raw NTZ column with NTZ literals (LocalDateTime ↦
+        // TimestampNTZType) so the range predicate stays a plain column
+        // comparison and pushes into the parquet scan; cast AFTER filtering.
+        def ntz(iso: String) = lit(
+          java.time.LocalDateTime.ofInstant(java.time.Instant.parse(iso), java.time.ZoneOffset.UTC))
+        raw.filter(col("ts") >= ntz(fromIso) && col("ts") < ntz(untilIso))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw.filter(col("ts") >= lit(java.sql.Timestamp.from(java.time.Instant.parse(fromIso))) &&
+                   col("ts") < lit(java.sql.Timestamp.from(java.time.Instant.parse(untilIso))))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

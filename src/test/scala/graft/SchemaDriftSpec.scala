@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.functions._
+
+/** Guard against physical-schema drift in the driver-generated testdata.
+  *
+  * The harness has regenerated `events.parquet` twice with different
+  * physical `ts` encodings (TIMESTAMP(NANOS) → read as Long under the
+  * legacy conf, then plain TIMESTAMP(MICROS) → read as TIMESTAMP_NTZ by
+  * Spark 4), and the second change broke 11 queries at analysis time.
+  * This spec rebuilds a byte-identical `events` table under all three
+  * encodings the loader claims to handle and asserts EVERY declared query
+  * analyzes against each — so the next regeneration fails here first, not
+  * in the round gate.
+  */
+class SchemaDriftSpec extends SparkSpec {
+
+  /** Write `df` as a single parquet FILE at `dir/events.parquet`
+    * (the testdata layout is one file per table, not a directory). */
+  private def writeSingleFile(df: org.apache.spark.sql.DataFrame, dir: Path): Unit = {
+    val staging = Files.createTempDirectory("graft-drift-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.resolve("ev").toString)
+    val ls = Files.list(staging.resolve("ev"))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+    } finally ls.close()
+    Files.copy(part.getOrElse(fail("no part file written")), dir.resolve("events.parquet"))
+  }
+
+  /** Temp table dir: symlinks to every sf0.001 table except events,
+    * plus events re-encoded per `enc`. */
+  private def tableDir(enc: String): Path = {
+    val src = Paths.get(sf)
+    val dir = Files.createTempDirectory(s"graft-drift-$enc")
+    val ls = Files.list(src)
+    try ls.forEach { p =>
+      if (p.getFileName.toString != "events.parquet")
+        Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+    } finally ls.close()
+    val ev = graft.util.Tables.events(spark, sf) // normalized TimestampType
+    val recoded = enc match {
+      // UTC-adjusted micros → reads back as TIMESTAMP
+      case "tz" => ev
+      // un-adjusted micros → Spark 4 reads TIMESTAMP_NTZ (the round-5 breaker)
+      case "ntz" => ev.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      // INT64 nanoseconds → reads as LongType under the legacy nanos conf
+      case "long" => ev.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
+    writeSingleFile(recoded, dir)
+    dir
+  }
+
+  for (enc <- Seq("tz", "ntz", "long")) {
+    test(s"every query analyzes with events.ts encoded as $enc") {
+      val dir = tableDir(enc).toString
+      // DataFrames are analyzed eagerly at construction, so building each
+      // query is exactly the failure mode the round-5 regression hit.
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val df = try fn(spark, dir)
+        catch { case e: Exception =>
+          fail(s"$name failed analysis under ts=$enc: ${e.getMessage.linesIterator.next()}")
+        }
+        assert(df.schema.nonEmpty, s"$name produced an empty schema under ts=$enc")
+      }
+    }
+  }
+
+  test("loader normalizes all three encodings to the same instants") {
+    val base = graft.util.Tables.events(spark, sf)
+      .select("event_id", "ts").orderBy("event_id").limit(50).collect().toSeq
+    for (enc <- Seq("ntz", "long")) {
+      val alt = graft.util.Tables.events(spark, tableDir(enc).toString)
+        .select("event_id", "ts").orderBy("event_id").limit(50).collect().toSeq
+      assert(alt === base, s"ts=$enc decodes to different instants")
+    }
+  }
+}
