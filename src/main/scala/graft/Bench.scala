@@ -61,7 +61,12 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           if (!errors.contains(name)) { errors += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+            // exactly ONE stderr line per failure: analysis errors carry
+            // multi-line messages (plan fragments) that would eat the
+            // driver's 2000-char tail capture and push the JSON line out
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.mkString(" | ").take(300)
+            System.err.println(s"[bench] $name failed: $msg") }
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values

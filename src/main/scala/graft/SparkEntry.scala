@@ -1448,7 +1448,7 @@ object SparkEntry {
         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_subtokens,
+        |  len(regexp_extract_all(text, '\p{L}+|[0-9]|[^\p{L}0-9 ]')) AS n_subtokens,
         |  round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_word_len,
         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
         |  round(CAST(n_punct AS DOUBLE) / length(text), 6) AS punct_ratio,

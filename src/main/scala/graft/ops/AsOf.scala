@@ -22,14 +22,16 @@ import org.apache.spark.sql.functions._
   * at-or-before semantics, matching DuckDB's `ASOF JOIN ... ON l.ts >=
   * r.ts` which the oracle uses.
   *
-  * Tie contract: among RIGHT rows sharing (key, ts), the backward join
-  * takes the maximum packed-payload struct and [[joinAsOfForward]] the
-  * minimum — deterministic here (rows identical in (key, ts, payload)
-  * are interchangeable), but DuckDB's ASOF JOIN picks an *unspecified*
-  * row at exact-ts ties, so oracle parity additionally assumes the right
-  * side carries at most one row per (key, ts). The events fixture
-  * satisfies that today (asserted in AsOfSpec); the same note rides the
-  * q_asof_* oracles so a fixture edit that breaks it is traceable.
+  * Tie contract: among RIGHT rows sharing (key, ts), ordering falls
+  * through to the packed struct — `tieBreak` columns first, then the
+  * payload — so with a unique tie-break column (e.g. `event_id`) the
+  * backward join deterministically takes the row with the MAXIMUM
+  * tie-break value and [[joinAsOfForward]] the MINIMUM, for ANY fixture.
+  * DuckDB's ASOF JOIN still picks an *unspecified* row at exact-ts ties,
+  * so oracle parity additionally assumes the right side carries at most
+  * one row per (key, ts). The events fixture satisfies that today
+  * (asserted in AsOfSpec); the same note rides the q_asof_* oracles so a
+  * fixture edit that breaks it is traceable.
   */
 object AsOf {
 
@@ -39,6 +41,10 @@ object AsOf {
     * @param leftTs   left timestamp column name
     * @param rightTs  right timestamp column name
     * @param payload  right-side value columns carried onto left rows
+    * @param tieBreak right-side columns ordering ties among right rows
+    *                 sharing (key, ts) — ride FIRST in the packed struct,
+    *                 are not emitted; pass a unique column (event_id) for
+    *                 fixture-independent determinism
     */
   def joinAsOf(
       left: DataFrame,
@@ -46,14 +52,16 @@ object AsOf {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
     // the payload rides as ONE struct column: right rows carry a non-null
     // struct even when individual payload FIELDS are null (so genuinely
     // null values survive, unlike per-column last-ignoreNulls which would
     // skip back to a stale row), all payload fields are taken atomically
     // from the same right row, and the struct doubles as a deterministic
-    // tie-breaker among right rows sharing (key, ts)
-    val packed = struct(payload.map(col): _*)
+    // tie-breaker among right rows sharing (key, ts) — tieBreak fields
+    // first, so a unique id dominates the ordering when provided
+    val packed = struct((tieBreak ++ payload).distinct.map(col): _*)
     val packedType = right.select(packed.as("__p")).schema("__p").dataType
     val l = left
       .withColumn("__tag", lit(1))
@@ -90,9 +98,10 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      tolUs: Long): DataFrame = {
+      tolUs: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val aug = right.withColumn("__rts_us", unix_micros(col(rightTs)))
-    val joined = joinAsOf(left, aug, keys, leftTs, rightTs, payload :+ "__rts_us")
+    val joined = joinAsOf(left, aug, keys, leftTs, rightTs, payload :+ "__rts_us", tieBreak)
       .withColumn("__age_us", unix_micros(col(leftTs)) - col("__rts_us"))
     val gated = payload.foldLeft(joined) { (d, c) =>
       d.withColumn(c, when(col("__age_us") <= tolUs, col(c)))
@@ -123,8 +132,9 @@ object AsOf {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      payload: Seq[String]): DataFrame = {
-    val packed = struct(payload.map(col): _*)
+      payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val packed = struct((tieBreak ++ payload).distinct.map(col): _*)
     val packedType = right.select(packed.as("__p")).schema("__p").dataType
     val l = left
       .withColumn("__tag", lit(0))

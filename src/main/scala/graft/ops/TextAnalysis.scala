@@ -24,9 +24,11 @@ object TextAnalysis {
 
   /** BPE-ish subtoken count: alpha runs, single digits, and isolated
     * punctuation each count as one subtoken (a cheap stand-in for a real
-    * tokenizer's token count, good enough for data budgeting). */
+    * tokenizer's token count, good enough for data budgeting).
+    * `\p{L}` keeps accented/multi-byte letters inside alpha runs (Utf8Spec)
+    * — identical to `[a-z]` on the all-lowercase-ASCII gated corpus. */
   def subtokenCount(text: Column): Column =
-    regexp_count(text, lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+    regexp_count(text, lit("\\p{L}+|[0-9]|[^\\p{L}0-9 ]"))
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in")
 

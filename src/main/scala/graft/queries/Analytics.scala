@@ -410,11 +410,14 @@ object Analytics {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value"), 6).as("click_value"))
+    // __tb (the purchase event_id) makes exact-ts tie resolution
+    // deterministic regardless of fixture — see AsOf's tie contract
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), round(col("value"), 6).as("last_purchase"))
+      .select(col("user_id"), col("ts"), col("event_id").as("__tb"),
+        round(col("value"), 6).as("last_purchase"))
     graft.ops.AsOf.joinAsOf(clicks, purchases,
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        payload = Seq("last_purchase"))
+        payload = Seq("last_purchase"), tieBreak = Seq("__tb"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
@@ -427,10 +430,11 @@ object Analytics {
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value"), 6).as("click_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), round(col("value"), 6).as("next_purchase"))
+      .select(col("user_id"), col("ts"), col("event_id").as("__tb"),
+        round(col("value"), 6).as("next_purchase"))
     graft.ops.AsOf.joinAsOfForward(clicks, purchases,
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        payload = Seq("next_purchase"))
+        payload = Seq("next_purchase"), tieBreak = Seq("__tb"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
@@ -444,10 +448,12 @@ object Analytics {
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value"), 6).as("click_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), round(col("value"), 6).as("last_purchase"))
+      .select(col("user_id"), col("ts"), col("event_id").as("__tb"),
+        round(col("value"), 6).as("last_purchase"))
     graft.ops.AsOf.joinAsOfTolerance(clicks, purchases,
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        payload = Seq("last_purchase"), tolUs = 3600L * 1000000L)
+        payload = Seq("last_purchase"), tolUs = 3600L * 1000000L,
+        tieBreak = Seq("__tb"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 

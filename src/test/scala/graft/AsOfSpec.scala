@@ -84,6 +84,29 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() === clicks)
   }
 
+  test("manufactured (key, ts) tie resolves by the tie-break column, both directions") {
+    val left = Seq(("u1", ts(10), 1L)).toDF("user_id", "ts", "event_id")
+    // two right rows at the SAME (user_id, ts) with DIFFERENT payloads:
+    // without a tie-break the winner would depend on payload ordering;
+    // with rid as tieBreak, backward takes max(rid), forward min(rid)
+    val right = Seq(
+      ("u1", ts(10), 100L, 5.0), ("u1", ts(10), 200L, 2.0),
+      ("u1", ts(10), 150L, 9.0))
+      .toDF("user_id", "ts", "rid", "p")
+    val back = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("p"), tieBreak = Seq("rid"))
+      .select("p").as[Option[Double]].head()
+    assert(back.contains(2.0)) // rid=200 wins backward, NOT max payload 9.0
+    val fwd = AsOf.joinAsOfForward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("p"), tieBreak = Seq("rid"))
+      .select("p").as[Option[Double]].head()
+    assert(fwd.contains(5.0)) // rid=100 wins forward, NOT min payload 2.0
+    val tol = AsOf.joinAsOfTolerance(left, right, Seq("user_id"), "ts", "ts",
+        Seq("p"), tolUs = 1000000L, tieBreak = Seq("rid"))
+      .select("p").as[Option[Double]].head()
+    assert(tol.contains(2.0)) // same backward pick, age 0 within tolerance
+  }
+
   test("oracle tie precondition: right side unique per (user_id, ts)") {
     // DuckDB's ASOF JOIN picks an unspecified row at exact-ts ties, so
     // the q_asof_* hash gates assume no (user_id, ts) collisions among
