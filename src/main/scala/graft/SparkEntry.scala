@@ -120,6 +120,8 @@ object SparkEntry {
     // round 5 (cont.): tokenizer induction, exact-span dedup, link prediction
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "q_dup_spans" -> ((s, d) => TextAnalysis.duplicatedSpans(s, d)),
+    // round 6: exact longest-duplicated-span via suffix-array doubling
+    "q_longest_dup_span" -> ((s, d) => graft.ops.DupSpans.longestDupSpan(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -1900,6 +1902,37 @@ object SparkEntry {
         |       THEN round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / tot.n_grams, 6)
         |       ELSE 0.0 END AS dup_frac
         |FROM tot LEFT JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact longest duplicated token span per doc (mirrors
+    // DupSpans.longestDupSpan): the oracle uses the same suffix-array
+    // property — sort all suffixes, a suffix's max LCP with any other is
+    // attained at an adjacent suffix; max over a doc's positions. The
+    // engine's prefix-doubling ranks produce the same lexicographic
+    // order, so values agree exactly (pure-ASCII corpus, binary collation
+    // both sides).
+    "q_longest_dup_span" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t[i:] AS suf
+        |        FROM d CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) AS g(i)),
+        |ord AS (SELECT doc_id, suf,
+        |          lag(suf)  OVER (ORDER BY suf) AS prv,
+        |          lead(suf) OVER (ORDER BY suf) AS nxt
+        |        FROM pos),
+        |lcps AS (SELECT doc_id, greatest(
+        |    CASE WHEN prv IS NULL THEN 0 ELSE coalesce(
+        |      (SELECT min(k) - 1
+        |       FROM unnest(range(1, least(len(suf), len(prv)) + 1)) AS s(k)
+        |       WHERE suf[k] <> prv[k]), least(len(suf), len(prv))) END,
+        |    CASE WHEN nxt IS NULL THEN 0 ELSE coalesce(
+        |      (SELECT min(k) - 1
+        |       FROM unnest(range(1, least(len(suf), len(nxt)) + 1)) AS s(k)
+        |       WHERE suf[k] <> nxt[k]), least(len(suf), len(nxt))) END) AS lcp
+        |  FROM ord)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(max(l.lcp), 0) AS BIGINT) AS max_dup_span
+        |FROM d LEFT JOIN lcps l USING (doc_id)
+        |GROUP BY d.doc_id, len(d.t)
         |ORDER BY doc_id""".stripMargin,
 
     // common-neighbor / Jaccard link prediction over the co-purchase
