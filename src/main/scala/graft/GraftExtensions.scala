@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("str_hamming"),
+      new ExpressionInfo(classOf[graft.functions.StrHamming].getName, "str_hamming"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.StrHamming(exprs(0), exprs(1))))
     // logical rewrite: banded levenshtein for threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }

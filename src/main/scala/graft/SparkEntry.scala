@@ -122,6 +122,10 @@ object SparkEntry {
     "q_dup_spans" -> ((s, d) => TextAnalysis.duplicatedSpans(s, d)),
     // round 6: exact longest-duplicated-span via suffix-array doubling
     "q_longest_dup_span" -> ((s, d) => graft.ops.DupSpans.longestDupSpan(s, d)),
+    // round 6: product-quantization ANN (integer-exact train/encode/ADC)
+    "q_ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
+    // round 6: DSIR hashed-bigram importance weights for data selection
+    "q_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -1336,6 +1340,61 @@ object SparkEntry {
         |SELECT query_id, rnk, vec_id, cos FROM r WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // product-quantization ANN (mirrors Similarity.pqTopK): one integer-
+    // exact Lloyd round per subspace from first-16 seeds, per-vector
+    // codes, query ADC lookup-table scoring, integer-ranked top-10 with
+    // exact-cosine annotation
+    "q_ann_pq" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST((pos - 1) // 2 AS INT) AS sub,
+        |         CAST((pos - 1) % 2 AS INT) AS spos,
+        |         CAST(round(x / nrm * 1000) AS BIGINT) AS qx
+        |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |               generate_subscripts(embedding, 1) AS pos,
+        |               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        |        FROM embeddings)),
+        |c0 AS (SELECT vec_id AS centroid_id, sub, spos, qx AS cx
+        |       FROM ev WHERE vec_id < 16),
+        |a0 AS (SELECT vec_id, sub, centroid_id FROM (
+        |  SELECT ev.vec_id, ev.sub, c.centroid_id,
+        |    row_number() OVER (PARTITION BY ev.vec_id, ev.sub
+        |      ORDER BY sum((ev.qx - c.cx) * (ev.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev JOIN c0 c ON ev.sub = c.sub AND ev.spos = c.spos
+        |  GROUP BY ev.vec_id, ev.sub, c.centroid_id) WHERE rnk = 1),
+        |u1 AS (SELECT a.centroid_id, ev.sub, ev.spos,
+        |         CAST(round(avg(ev.qx)) AS BIGINT) AS ux
+        |       FROM a0 a JOIN ev ON a.vec_id = ev.vec_id AND a.sub = ev.sub
+        |       GROUP BY a.centroid_id, ev.sub, ev.spos),
+        |c1 AS (SELECT c.centroid_id, c.sub, c.spos, COALESCE(u.ux, c.cx) AS cx
+        |       FROM c0 c LEFT JOIN u1 u
+        |         ON c.centroid_id = u.centroid_id AND c.sub = u.sub
+        |        AND c.spos = u.spos),
+        |codes AS (SELECT vec_id, sub, centroid_id FROM (
+        |  SELECT ev.vec_id, ev.sub, c.centroid_id,
+        |    row_number() OVER (PARTITION BY ev.vec_id, ev.sub
+        |      ORDER BY sum((ev.qx - c.cx) * (ev.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev JOIN c1 c ON ev.sub = c.sub AND ev.spos = c.spos
+        |  GROUP BY ev.vec_id, ev.sub, c.centroid_id) WHERE rnk = 1),
+        |lut AS (SELECT c.sub, c.centroid_id,
+        |    sum((q.qx - c.cx) * (q.qx - c.cx)) AS pd2
+        |  FROM ev q JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
+        |  WHERE q.vec_id = 0
+        |  GROUP BY c.sub, c.centroid_id),
+        |scored AS (SELECT cd.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_dist2
+        |  FROM codes cd JOIN lut l
+        |    ON cd.sub = l.sub AND cd.centroid_id = l.centroid_id
+        |  WHERE cd.vec_id <> 0
+        |  GROUP BY cd.vec_id ORDER BY adc_dist2, cd.vec_id LIMIT 10),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |      WHERE vec_id = 0)
+        |SELECT CAST(row_number() OVER (ORDER BY s.adc_dist2, s.vec_id)
+        |         AS INTEGER) AS rnk,
+        |  s.vec_id, s.adc_dist2,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |FROM scored s JOIN embeddings e ON s.vec_id = e.vec_id CROSS JOIN q
+        |ORDER BY rnk""".stripMargin,
+
     "q_ann_quantized" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,
@@ -1883,6 +1942,39 @@ object SparkEntry {
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
         |FROM p GROUP BY pair
         |ORDER BY freq DESC, pair LIMIT 40""".stripMargin,
+
+    // DSIR importance weights (mirrors TextAnalysis.dsirWeights):
+    // hashed-bigram bag models (256 md5-nibble buckets), Laplace-
+    // smoothed target-vs-raw log-likelihood ratio per document
+    "q_dsir" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(16 * (strpos('0123456789abcdef',
+        |                 substr(md5(w1 || ' ' || w2), 1, 1)) - 1)
+        |       + strpos('0123456789abcdef',
+        |                 substr(md5(w1 || ' ' || w2), 2, 1)) - 1 AS INT) AS bucket
+        |  FROM (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |              FROM documents)
+        |        CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i))),
+        |dc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |m AS (SELECT bucket, count(*) AS c_r,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |      FROM bg GROUP BY 1),
+        |t AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM m),
+        |sm AS (SELECT bucket,
+        |         ln(CAST(c_t + 1 AS DOUBLE) / (n_t + 256)) -
+        |         ln(CAST(c_r + 1 AS DOUBLE) / (n_r + 256)) AS lr
+        |       FROM m CROSS JOIN t),
+        |pd AS (SELECT dc.doc_id, CAST(sum(dc.cnt) AS BIGINT) AS n_bigrams,
+        |         round(sum(dc.cnt * sm.lr), 6) AS dsir_logw
+        |       FROM dc JOIN sm USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.dsir_logw, 0.0) AS dsir_logw,
+        |  COALESCE(pd.dsir_logw, 0.0) > 0 AS selected
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // per-doc duplicated 8-token-window coverage (mirrors
     // TextAnalysis.duplicatedSpans, k=8)

@@ -298,6 +298,100 @@ object Similarity {
     assign(cents).orderBy(col("vec_id"))
   }
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * (Jégou et al. 2011, the FAISS `PQ` index), integer-exact end to end
+    * so training, codes, and search are all oracle-checkable:
+    *
+    *  1. components quantize once to `round(x*1000)` BIGINT and each
+    *     vector splits into `m` contiguous subvectors;
+    *  2. per-subspace codebooks (`ksub` centroids each) train with one
+    *     integer-exact Lloyd round from the first-`ksub` seeds — ALL
+    *     subspaces in one dataflow, keyed by (sub, centroid, spos), the
+    *     same per-round shape as [[kmeansQuantized]] (corpus never
+    *     shuffles by cluster; codebooks are m×ksub×dsub rows → broadcast);
+    *  3. every vector encodes to `m` 4-bit codes (nearest centroid
+    *     per subspace, integer squared-L2, ties to the lower id) — the
+    *     16x memory compression that makes billion-vector search fit;
+    *  4. a query builds its ADC lookup table (m×ksub partial distances,
+    *     broadcast) and scores the WHOLE corpus by code lookup + sum —
+    *     one map-side-combinable aggregate over the codes table, never
+    *     touching the original vectors;
+    *  5. the ADC top-k is reranked-annotated with exact cosine (ordering
+    *     stays by the integer ADC distance, so the row set and order are
+    *     engine-exact).
+    *
+    * Returns (rnk, vec_id, adc_dist2, cos). Recall vs brute force is
+    * asserted in SimilaritySpec. */
+  def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, m: Int = 32, ksub: Int = 16): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    // bounded driver lookup: the (fixed) embedding dimensionality
+    val dim = raw.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // vectors NORMALIZE before quantization: on the unit sphere,
+    // squared-L2 order equals cosine order (L2^2 = 2 - 2cos), so the ADC
+    // ranking approximates the cosine ranking the exact queries use —
+    // unnormalized PQ would rank by magnitude as much as by direction
+    val ev = vecs(spark, dir)
+      .select(col("vec_id"), col("nrm"), posexplode(col("v")).as(Seq("p0", "x")))
+      .select(col("vec_id"),
+        (col("p0") / dsub).cast("int").as("sub"),
+        (col("p0") % dsub).as("spos"),
+        expr("CAST(round(x / nrm * 1000) AS BIGINT)").as("qx"))
+      .localCheckpoint() // feeds train, encode, and the query LUT
+    // nearest codebook entry per (vector, subspace): broadcast codebook
+    // join + map-side-combinable partial-distance sum + per-key top-1
+    def encode(cents: DataFrame): DataFrame =
+      ev.join(broadcast(cents), Seq("sub", "spos"))
+        .groupBy(col("vec_id"), col("sub"), col("centroid_id"))
+        .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("d2"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("d2"), col("centroid_id"))))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("sub"), col("centroid_id"))
+    val c0 = ev.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("centroid_id"), col("sub"), col("spos"),
+        col("qx").as("cx"))
+    val upd = encode(c0)
+      .join(ev, Seq("vec_id", "sub"))
+      .groupBy(col("centroid_id"), col("sub"), col("spos"))
+      .agg(expr("CAST(round(avg(qx)) AS BIGINT)").as("ux"))
+    // empty codebook entries keep their seed, so ids stay stable
+    val c1 = c0.join(upd, Seq("centroid_id", "sub", "spos"), "left")
+      .select(col("centroid_id"), col("sub"), col("spos"),
+        coalesce(col("ux"), col("cx")).as("cx"))
+      .localCheckpoint() // read by encode AND the LUT below
+    val codes = encode(c1)
+    // ADC lookup table: the query's partial distance to every codebook
+    // entry — m*ksub rows, broadcast to score the corpus by lookup only
+    val lut = ev.filter(col("vec_id") === queryId)
+      .join(c1, Seq("sub", "spos"))
+      .groupBy(col("sub"), col("centroid_id"))
+      .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("pd2"))
+    val scored = codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_dist2"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(k)
+    // exact-cosine annotation of the k winners (k rows; ordering and
+    // membership remain the integer ADC ranking)
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    scored
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(q))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy().orderBy(col("adc_dist2"), col("vec_id"))))
+      .select(col("rnk"), col("vec_id"), col("adc_dist2"), col("cos"))
+      .orderBy(col("rnk"))
+  }
+
   /** Deterministic IVF index: centroids are the embeddings of the first
     * `nlist` vec_ids (a stand-in for k-means at this scale); every vector
     * is assigned to its max-cosine centroid. Returns (vec_id, label, v,

@@ -407,6 +407,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every document by how much more likely its hashed-bigram bag is
+    * under a TARGET domain's n-gram model than under the raw corpus's —
+    * the data-selection signal behind domain-matched pretraining subsets.
+    *
+    * Features are word bigrams hashed into `B`=256 buckets (two md5
+    * nibbles, the same engine-portable hash family as the shard census);
+    * both bucket models are Laplace-smoothed, and a document's log
+    * importance weight is `sum_b c_doc[b] * (ln p_target[b] - ln
+    * p_raw[b])`, rounded to 6dp with `selected = rounded > 0`.
+    *
+    * Scale shape: the bigram stream collapses straight to the 256-row
+    * bucket models (one map-side-combinable aggregate computing raw and
+    * target counts together — the target indicator is a column, not a
+    * second scan); per-doc scoring is one (doc, bucket) aggregate joined
+    * against the BROADCAST model table, then one doc_id aggregate. The
+    * corpus is read once; nothing quadratic, nothing driver-side. */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en", B: Int = 256): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bucketed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("gm"))
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("gm")), 1, 2), 16, 10).cast("int").as("bucket"))
+    val docCounts = bucketed.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val model = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+    val totals = model.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val scoredModel = model.crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("c_t") + 1).cast("double") / (col("n_t") + B)) -
+        log((col("c_r") + 1).cast("double") / (col("n_r") + B)))
+    val perDoc = docCounts
+      .join(broadcast(scoredModel.select(col("bucket"), col("lr"))), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt") * col("lr")), 6).as("dsir_logw"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+      .withColumn("selected", col("dsir_logw") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 top-k retrieval for a fixed query-term set — the classic IR
     * ranking (Robertson k1=1.2, b=0.75, Lucene-shaped idf
     * ln((N−df+0.5)/(df+0.5)+1) which stays positive at any df).

@@ -52,4 +52,34 @@ class FunctionsSpec extends SparkSpec {
         s"user $u exact=$v float=${ref(u)}")
     }
   }
+
+  test("str_hamming: equals the unrolled substring form; null on length mismatch; codegen'd") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      ((1 to 16).map(_ => if (rnd.nextBoolean()) "1" else "0").mkString,
+       (1 to 16).map(_ => if (rnd.nextBoolean()) "1" else "0").mkString)
+    }
+    // repartition defeats ConvertToLocalRelation, so the projection runs
+    // as a real codegen stage instead of folding at optimization time
+    val df = rows.toDF("a", "b").repartition(2)
+    val unrolled = (1 to 16).map(i =>
+      when(substring($"a", i, 1) =!= substring($"b", i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val cmp = df.select(
+      graft.functions.StrHamming(spark, $"a", $"b").as("fast"),
+      unrolled.as("slow"))
+    assert(cmp.filter($"fast" =!= $"slow").count() === 0)
+    // null contract: length mismatch and null inputs
+    val edge = Seq(("abc", "ab"), ("abc", null), (null, null))
+      .toDF("a", "b")
+      .select(graft.functions.StrHamming(spark, $"a", $"b"))
+      .collect().map(r => r.isNullAt(0))
+    assert(edge.forall(identity))
+    // the expression must stay inside whole-stage codegen (no fallback);
+    // AQE finalizes the plan only after execution, so act first
+    cmp.collect()
+    val plan = cmp.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") , s"no codegen stage in:\n$plan")
+  }
 }

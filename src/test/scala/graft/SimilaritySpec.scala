@@ -43,6 +43,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("PQ ANN: positive recall@10 vs brute force; m codes per vector; ADC distances ranked") {
+    val exact = Similarity.bruteForceTopK(spark, sf, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = Similarity.pqTopK(spark, sf, 0L, 10).collect()
+    assert(pq.length === 10)
+    // rnk follows the integer ADC distance exactly
+    val dists = pq.map(_.getLong(2))
+    assert(dists.sorted.toSeq === dists.toSeq)
+    // 32x16 codebooks over 2-d subspaces are lossy but must still find a
+    // meaningful share of the true neighbors (10x a random 10-subset)
+    val recall = exact.intersect(pq.map(_.getLong(1)).toSet).size / 10.0
+    assert(recall >= 0.3, s"recall@10 = $recall")
+  }
+
   test("quantized ANN: high recall vs exact top-k; codes stay in int8 range") {
     import org.apache.spark.sql.functions._
     val exact = Similarity.bruteForceTopK(spark, sf)

@@ -264,4 +264,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"classifier plan shuffles:\n$plan")
   }
+
+  test("DSIR: one row per doc; selected == logw>0; target lang scores higher on average") {
+    val out = TextAnalysis.dsirWeights(spark, sf)
+      .select("doc_id", "lang", "n_bigrams", "dsir_logw", "selected")
+      .as[(Long, String, Long, Double, Boolean)].collect()
+    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    assert(out.forall { case (_, _, _, w, sel) => sel == (w > 0) })
+    // the signal must actually separate the target domain: docs of the
+    // target language carry the bigrams the target model upweights
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val en = out.filter(_._2 == "en").map(_._4).toSeq
+    val rest = out.filter(_._2 != "en").map(_._4).toSeq
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(avg(en) > avg(rest),
+      s"target avg ${avg(en)} not above non-target ${avg(rest)}")
+    // weights are per-bigram log-ratios: docs with no bigrams score 0
+    assert(out.filter(_._3 == 0L).forall(_._4 == 0.0))
+  }
 }
