@@ -126,6 +126,8 @@ object SparkEntry {
     "q_ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     // round 6: DSIR hashed-bigram importance weights for data selection
     "q_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    // round 6: BM25 + embedding-cosine reciprocal-rank fusion
+    "q_hybrid_rrf" -> ((s, d) => TextAnalysis.hybridTopK(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -1124,6 +1126,48 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 25""".stripMargin,
+
+    // hybrid retrieval by reciprocal-rank fusion (mirrors
+    // TextAnalysis.hybridTopK): BM25 top-50 and cosine top-50 lists
+    // full-outer-joined, rrf = 1/(60+lex_rank) + 1/(60+sem_rank)
+    "q_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |  list_filter(w, x -> x IN ('spark', 'vector', 'merge')) AS q FROM tok),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(dl) AS BIGINT) AS total_dl FROM base),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(q) AS term FROM base)
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(total_dl AS DOUBLE) / n_docs)))), 6) AS bm25
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |    AS lex_rank FROM bm),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |       WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS doc_id,
+        |        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+        |          AS cos
+        |      FROM embeddings, qv WHERE vec_id <> 0
+        |      ORDER BY cos DESC, doc_id LIMIT 50),
+        |sem AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+        |    AS sem_rank FROM cs),
+        |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex_rank, sem_rank,
+        |    round(COALESCE(1.0 / (lex_rank + 60), 0.0)
+        |        + COALESCE(1.0 / (sem_rank + 60), 0.0), 6) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        |  ORDER BY rrf DESC, doc_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+        |    AS rnk, doc_id, lex_rank, sem_rank, rrf
+        |FROM fused ORDER BY rnk""".stripMargin,
 
     "q_perplexity" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w

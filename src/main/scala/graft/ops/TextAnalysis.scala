@@ -501,6 +501,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse the lexical [[bm25TopK]] ranking with the semantic
+    * embedding-cosine ranking of [[Similarity.bruteForceTopK]] via
+    * `rrf = 1/(60+rank_lex) + 1/(60+rank_sem)` over the two top-`nList`
+    * lists — the standard BM25+dense-retriever fusion, rank-based so no
+    * score calibration between the two systems is needed.
+    *
+    * Scale shape: both input rankings are top-N-bounded (each produced
+    * by its own scale-shaped retrieval: BM25's map-side term pluck,
+    * cosine's TakeOrderedAndProject), so the fusion itself is a
+    * full-outer join of two <=N-row lists — driver-trivial at any corpus
+    * size; the corpus-scale work lives entirely in the retrievers.
+    * Ranks are integers and the fused score is a two-term sum of exact
+    * reciprocals, so the ordering is engine-portable. */
+  def hybridTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nList: Int = 50, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(spark, dir, nList)
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy().orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val sem = Similarity.bruteForceTopK(spark, dir, queryId, nList)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("lex_rank") + rrfK), lit(0.0)) +
+        coalesce(lit(1.0) / (col("sem_rank") + rrfK), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy().orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf"))
+      .orderBy(col("rnk"))
+  }
+
   /** CCNet-style perplexity filter: train an add-one-smoothed bigram LM
     * per LANGUAGE on a deterministic train split (doc_id % 10 < 8), score
     * EVERY document's negative log-likelihood under its language's model

@@ -39,7 +39,9 @@ class PlanSpec extends SparkSpec {
   test("q_price_chart: time range AND suffix predicate reach the parquet reader") {
     val p = plan(Analytics.priceChart(spark, sf))
     assert(p.contains("EndsWith(event_type"), p)
-    assert(p.contains("GreaterThanOrEqual(ts,"), p) // on the RAW int64 column
+    // on the RAW stored column (int64 or ntz, per encoding) — never on
+    // the cast; SchemaDriftSpec asserts this for every physical encoding
+    assert(p.contains("GreaterThanOrEqual(ts,"), p)
     assert(p.contains("LessThan(ts,"), p)
     // only the projected columns are read
     assert(p.contains("ReadSchema"), p)

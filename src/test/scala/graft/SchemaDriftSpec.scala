@@ -67,6 +67,22 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("eventsBetween pushes the range predicate into the scan under every encoding") {
+    for (enc <- Seq("tz", "ntz", "long")) {
+      val dir = tableDir(enc).toString
+      val df = graft.util.Tables.eventsBetween(spark, dir,
+        "2024-01-02T00:00:00Z", "2024-01-05T00:00:00Z")
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // the filter must sit on the RAW stored column (pre-cast), where
+      // parquet row-group min/max pruning can use it
+      assert(p.contains("GreaterThanOrEqual(ts,"),
+        s"ts lower bound not pushed under $enc:\n$p")
+      assert(p.contains("LessThan(ts,"),
+        s"ts upper bound not pushed under $enc:\n$p")
+    }
+  }
+
   test("loader normalizes all three encodings to the same instants") {
     val base = graft.util.Tables.events(spark, sf)
       .select("event_id", "ts").orderBy("event_id").limit(50).collect().toSeq

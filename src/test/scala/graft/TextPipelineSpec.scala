@@ -282,4 +282,20 @@ class TextPipelineSpec extends SparkSpec {
     // weights are per-bigram log-ratios: docs with no bigrams score 0
     assert(out.filter(_._3 == 0L).forall(_._4 == 0.0))
   }
+
+  test("hybrid RRF: fused score is exactly the reciprocal-rank sum, both retrievers contribute") {
+    val out = TextAnalysis.hybridTopK(spark, sf)
+      .as[(Int, Long, Option[Int], Option[Int], Double)].collect().toSeq
+    assert(out.map(_._1) === (1 to out.length))
+    out.foreach { case (_, id, lex, sem, rrf) =>
+      assert(lex.isDefined || sem.isDefined, s"doc $id in neither list")
+      val expect = lex.map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+        sem.map(r => 1.0 / (r + 60)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"doc $id rrf $rrf != $expect")
+    }
+    // fusion is only meaningful if both systems place docs in the top-k
+    assert(out.exists(_._3.isDefined) && out.exists(_._4.isDefined))
+    // descending fused order
+    assert(out.map(_._5).sliding(2).forall(p => p.head >= p.last))
+  }
 }
