@@ -106,6 +106,13 @@ class Utf8Spec extends SparkSpec {
     assert(r === t)
   }
 
+  test("longest-dup-span structure identical for the accented twin") {
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.DupSpans.longestDupSpanFromDocs(df)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(spans(ascii) === spans(utf8))
+  }
+
   test("fingerprints: equal for identical UTF-8 text, distinct across an accent change") {
     val fp = utf8.select($"doc_id", TextAnalysis.fingerprint($"text"))
       .as[(Long, String)].collect().toMap
