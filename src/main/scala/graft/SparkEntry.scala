@@ -128,6 +128,9 @@ object SparkEntry {
     "q_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     // round 6: BM25 + embedding-cosine reciprocal-rank fusion
     "q_hybrid_rrf" -> ((s, d) => TextAnalysis.hybridTopK(s, d)),
+    // round 6: the iterative BPE trainer itself, oracle-gated at 4 merges
+    // (BpeSpec covers deeper runs; the oracle replays each round in SQL)
+    "q_bpe_learn" -> ((s, d) => TextAnalysis.bpeLearn(s, d, merges = 4)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -2019,6 +2022,56 @@ object SparkEntry {
         |  COALESCE(pd.dsir_logw, 0.0) > 0 AS selected
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // iterative BPE training, 4 merge rounds (mirrors
+    // TextAnalysis.bpeLearn): each round re-aggregates adjacent-pair
+    // frequencies over the current symbol strings, takes the single best
+    // pair, and rewrites by the same literal non-overlapping
+    // ' a b ' -> ' ab ' replace as the engine's regexp_replace
+    "q_bpe_learn" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM tok WHERE len(w) >= 2 GROUP BY w),
+        |w0 AS (SELECT ' ' || array_to_string(
+        |         list_transform(range(1, len(w) + 1), i -> w[i:i]), ' ')
+        |         || ' ' AS sym, wc FROM wc),
+        |p0 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w0)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t0 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p0
+        |       GROUP BY pair ORDER BY freq DESC, pair LIMIT 1),
+        |w1 AS (SELECT replace(sym, ' ' || t0.pair || ' ',
+        |         ' ' || replace(t0.pair, ' ', '') || ' ') AS sym, wc
+        |       FROM w0 CROSS JOIN t0),
+        |p1 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w1)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p1
+        |       GROUP BY pair ORDER BY freq DESC, pair LIMIT 1),
+        |w2 AS (SELECT replace(sym, ' ' || t1.pair || ' ',
+        |         ' ' || replace(t1.pair, ' ', '') || ' ') AS sym, wc
+        |       FROM w1 CROSS JOIN t1),
+        |p2 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w2)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p2
+        |       GROUP BY pair ORDER BY freq DESC, pair LIMIT 1),
+        |w3 AS (SELECT replace(sym, ' ' || t2.pair || ' ',
+        |         ' ' || replace(t2.pair, ' ', '') || ' ') AS sym, wc
+        |       FROM w2 CROSS JOIN t2),
+        |p3 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w3)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p3
+        |       GROUP BY pair ORDER BY freq DESC, pair LIMIT 1)
+        |SELECT CAST(0 AS INT) AS rank, pair, freq FROM t0
+        |UNION ALL SELECT CAST(1 AS INT), pair, freq FROM t1
+        |UNION ALL SELECT CAST(2 AS INT), pair, freq FROM t2
+        |UNION ALL SELECT CAST(3 AS INT), pair, freq FROM t3
+        |ORDER BY rank""".stripMargin,
 
     // per-doc duplicated 8-token-window coverage (mirrors
     // TextAnalysis.duplicatedSpans, k=8)

@@ -828,9 +828,11 @@ object TextAnalysis {
     * delimiters make multi-character symbols unambiguous. Lineage is
     * truncated every round so the plan stays O(1) across merges.
     *
-    * Iterative by nature (each merge depends on the last), so this is
-    * spec-gated rather than oracle-gated; the one-round statistics pass
-    * [[bpePairStats]] carries the DuckDB oracle. */
+    * Iterative by nature (each merge depends on the last); oracle-gated
+    * at 4 merges (q_bpe_learn — the DuckDB oracle replays every round:
+    * pair aggregate, top-1, literal rewrite), with deeper runs and the
+    * Sennrich worked example covered in BpeSpec, and the one-round
+    * statistics pass [[bpePairStats]] separately gated as q_bpe_pairs. */
   def bpeLearn(spark: SparkSession, dir: String, merges: Int = 8): DataFrame =
     bpeLearnFromWords(spark, wordFreq(Tables.documents(spark, dir)), merges)
 
