@@ -243,4 +243,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastExchange"), p)
     assert(p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q_dsir: the bucket model rides a broadcast; the corpus is never sort-merge joined") {
+    // the model is 256 rows by construction — if it ever arrives at the
+    // doc-scoring join via a shuffle instead of a broadcast, every corpus
+    // row pays an exchange for a table that fits in a cache line. (The
+    // final doc_id fold-back joins two corpus-sized sides and may
+    // legitimately sort-merge.)
+    val p = plan(graft.ops.TextAnalysis.dsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+  }
+
+  test("q_ann_pq: codebooks and ADC table broadcast; corpus never builds a join hash side") {
+    // PQ's whole point is that the corpus is touched only by scan +
+    // map-side lookup: codebooks (m*ksub rows) and the query's ADC table
+    // must broadcast, and no corpus-sized relation may be a build side
+    val p = plan(graft.ops.Similarity.pqTopK(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_hybrid_rrf: both retrieval arms are per-partition top-k, not global sorts") {
+    // each arm's top-50 must compile to TakeOrderedAndProject (partition-
+    // local heaps, k rows to the driver) — a global Sort+Limit would
+    // range-shuffle the full scored corpus twice before fusing 100 rows
+    val p = plan(graft.ops.TextAnalysis.hybridTopK(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+  }
 }
