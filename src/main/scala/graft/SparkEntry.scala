@@ -131,6 +131,14 @@ object SparkEntry {
     // round 6: the iterative BPE trainer itself, oracle-gated at 4 merges
     // (BpeSpec covers deeper runs; the oracle replays each round in SQL)
     "q_bpe_learn" -> ((s, d) => TextAnalysis.bpeLearn(s, d, merges = 4)),
+    // round 6: apply the learned tokenizer corpus-wide (piece fertility)
+    "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    // round 6: duplicated-span EXCISION (the rewrite form of q_dup_spans)
+    "q_span_scrub" -> ((s, d) => TextAnalysis.spanScrub(s, d)),
+    // round 6: cross-source shared-gram contamination matrix
+    "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    // round 6: Gopher rule filter with exact cross-multiplied thresholds
+    "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -2072,6 +2080,126 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INT), pair, freq FROM t2
         |UNION ALL SELECT CAST(3 AS INT), pair, freq FROM t3
         |ORDER BY rank""".stripMargin,
+
+    // corpus-wide BPE application (mirrors TextAnalysis.bpeEncode): the
+    // oracle replays the same 4 trainer rounds keeping each word's symbol
+    // state, then tokenizes every document against the final segmentation
+    // (words absent from the frequency table — single chars — are 1 piece)
+    "q_bpe_encode" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM tok WHERE len(w) >= 2 GROUP BY w),
+        |w0 AS (SELECT w, ' ' || array_to_string(
+        |         list_transform(range(1, len(w) + 1), i -> w[i:i]), ' ')
+        |         || ' ' AS sym, wc FROM wc),
+        |p0 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w0)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t0 AS (SELECT pair FROM p0 GROUP BY pair
+        |       ORDER BY sum(wc) DESC, pair LIMIT 1),
+        |w1 AS (SELECT w, replace(sym, ' ' || t0.pair || ' ',
+        |         ' ' || replace(t0.pair, ' ', '') || ' ') AS sym, wc
+        |       FROM w0 CROSS JOIN t0),
+        |p1 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w1)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t1 AS (SELECT pair FROM p1 GROUP BY pair
+        |       ORDER BY sum(wc) DESC, pair LIMIT 1),
+        |w2 AS (SELECT w, replace(sym, ' ' || t1.pair || ' ',
+        |         ' ' || replace(t1.pair, ' ', '') || ' ') AS sym, wc
+        |       FROM w1 CROSS JOIN t1),
+        |p2 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w2)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t2 AS (SELECT pair FROM p2 GROUP BY pair
+        |       ORDER BY sum(wc) DESC, pair LIMIT 1),
+        |w3 AS (SELECT w, replace(sym, ' ' || t2.pair || ' ',
+        |         ' ' || replace(t2.pair, ' ', '') || ' ') AS sym, wc
+        |       FROM w2 CROSS JOIN t2),
+        |p3 AS (SELECT s[i] || ' ' || s[i+1] AS pair, wc
+        |       FROM (SELECT wc, string_split(trim(sym), ' ') AS s FROM w3)
+        |       CROSS JOIN LATERAL unnest(range(1, len(s))) AS g(i)
+        |       WHERE len(s) >= 2),
+        |t3 AS (SELECT pair FROM p3 GROUP BY pair
+        |       ORDER BY sum(wc) DESC, pair LIMIT 1),
+        |w4 AS (SELECT w, replace(sym, ' ' || t3.pair || ' ',
+        |         ' ' || replace(t3.pair, ' ', '') || ' ') AS sym, wc
+        |       FROM w3 CROSS JOIN t3),
+        |pieces AS (SELECT w, len(string_split(trim(sym), ' ')) AS np FROM w4),
+        |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |         FROM documents),
+        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |               CAST(sum(coalesce(np, 1)) AS BIGINT) AS n_pieces
+        |        FROM dtok LEFT JOIN pieces USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_pieces,
+        |  CAST(n_pieces AS DOUBLE) / n_words AS pieces_per_word
+        |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // duplicated-span excision (mirrors TextAnalysis.spanScrub, k=8):
+    // keeper = first occurrence by (doc_id, pos); a token is cut iff a
+    // non-keeper occurrence of a duplicated window covers it
+    "q_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS p
+        |        FROM d WHERE len(t) >= 8),
+        |o2 AS (SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS gm FROM occ),
+        |mk AS (SELECT doc_id, p,
+        |         count(*) OVER (PARTITION BY gm) AS nocc,
+        |         row_number() OVER (PARTITION BY gm ORDER BY doc_id, p) AS rn
+        |       FROM o2),
+        |rm AS (SELECT DISTINCT doc_id, j FROM
+        |        (SELECT doc_id, p + unnest(range(0, 8)) AS j FROM mk
+        |         WHERE nocc >= 2 AND rn >= 2)),
+        |tk AS (SELECT doc_id, j, t[j] AS tok FROM
+        |        (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM d)),
+        |kept AS (SELECT tk.doc_id, tk.j, tk.tok FROM tk
+        |         ANTI JOIN rm USING (doc_id, j)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY j) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // cross-source shared-5-gram matrix (mirrors TextAnalysis.sourceOverlap)
+    "q_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g0 AS (SELECT source, array_to_string(t[i:i+4], ' ') AS gm FROM
+        |        (SELECT source, t, unnest(range(1, len(t) - 3)) AS i
+        |         FROM d WHERE len(t) >= 5)),
+        |g AS (SELECT DISTINCT source, gm FROM g0),
+        |tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |             CAST(count(*) AS BIGINT) AS shared_grams
+        |      FROM g a JOIN g b ON a.gm = b.gm AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_grams,
+        |  CAST(shared_grams AS DOUBLE) / (ta.n + tb.n - shared_grams) AS jaccard
+        |FROM p JOIN tot ta ON ta.source = src_a
+        |       JOIN tot tb ON tb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // Gopher rule filter (mirrors TextAnalysis.gopherRules): every ratio
+    // threshold cross-multiplied into exact integer comparisons
+    "q_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |  len(t) BETWEEN 50 AND 100000 AS rule_word_count,
+        |  (length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)
+        |    AS rule_word_len,
+        |  len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2
+        |    AS rule_stopwords,
+        |  5 * len(list_distinct(t)) >= len(t) AS rule_ttr,
+        |  (len(t) BETWEEN 50 AND 100000) AND
+        |  ((length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)) AND
+        |  (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
+        |  (5 * len(list_distinct(t)) >= len(t)) AS keep_doc
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // per-doc duplicated 8-token-window coverage (mirrors
     // TextAnalysis.duplicatedSpans, k=8)

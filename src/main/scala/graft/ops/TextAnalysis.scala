@@ -838,10 +838,17 @@ object TextAnalysis {
 
   /** [[bpeLearn]] over an explicit `(w, wc)` word-frequency table. */
   def bpeLearnFromWords(spark: SparkSession, base: DataFrame,
-      merges: Int): DataFrame = {
+      merges: Int): DataFrame =
+    bpeTrainState(spark, base, merges)._1
+
+  /** The trainer loop of [[bpeLearnFromWords]], additionally returning the
+    * final per-word symbol state `(w, sym, wc)` — the segmentation the
+    * learned merges induce, which [[bpeEncode]] applies corpus-wide. */
+  private def bpeTrainState(spark: SparkSession, base: DataFrame,
+      merges: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     // " c h a r s " — every symbol space-delimited, sentinel-padded
-    var words = base.select(
+    var words = base.select(col("w"),
       concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("sym"),
       col("wc"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -872,7 +879,41 @@ object TextAnalysis {
         rank += 1
       }
     }
-    learned.toSeq.toDF("rank", "pair", "freq")
+    (learned.toSeq.toDF("rank", "pair", "freq"), words)
+  }
+
+  /** Apply a learned BPE tokenizer to the whole corpus: per-doc
+    * whitespace-word count, BPE piece count under the `merges` learned
+    * rules, and the resulting pieces-per-word fertility — the number a
+    * data pipeline budgets training tokens with (Sennrich et al. 2016's
+    * apply step, downstream of the q_bpe_learn trainer).
+    *
+    * The corpus tokenizes once against the final per-word segmentation
+    * state the trainer already materialized — encode is a join, not a
+    * re-derivation: the |vocab|-bounded `(word → piece count)` map
+    * (vocabulary plateaus by Heaps' law) broadcasts against the exploded
+    * token stream, and the per-doc aggregate is map-side combinable, so
+    * the corpus itself never shuffles by anything but `doc_id`. Words the
+    * frequency table excludes (single characters) are one piece by
+    * definition — the join is left, coalescing to 1. One IEEE division at
+    * the end; every sum is an exact BIGINT. */
+  def bpeEncode(spark: SparkSession, dir: String, merges: Int = 4): DataFrame =
+    bpeEncodeFromDocs(spark, Tables.documents(spark, dir), merges)
+
+  /** [[bpeEncode]] over an explicit `(doc_id, text)` table. */
+  def bpeEncodeFromDocs(spark: SparkSession, docs: DataFrame,
+      merges: Int): DataFrame = {
+    val words = bpeTrainState(spark, wordFreq(docs), merges)._2
+    val pieces = words.select(col("w"),
+      size(split(trim(col("sym")), " ")).as("np"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(pieces), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("np"), lit(1))).cast("long").as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words")).as("pieces_per_word"))
+      .orderBy(col("doc_id"))
   }
 
   // --------------------------------------------------------------------
@@ -919,6 +960,135 @@ object TextAnalysis {
         when(col("n_grams") > 0,
           round(col("n_dup").cast("double") / col("n_grams"), 6))
           .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact duplicated-span EXCISION — the rewrite form of
+    * [[duplicatedSpans]]' coverage metric (Lee et al. 2022, arXiv:2107.06499:
+    * "remove all but one occurrence of any duplicated span"): every
+    * occurrence of a corpus-duplicated k-token window except its first
+    * (minimal `(doc_id, position)`) is cut from the text; a token survives
+    * iff no removed occurrence covers it. Emits the cleaned text plus
+    * exact removal accounting per document.
+    *
+    * Plan: the exploded windows pass ONE gm-keyed exchange where a single
+    * Window operator computes both the occurrence count and the keeper
+    * (min struct — no sort-based rank needed); removed occurrences —
+    * bounded by the corpus's duplicated mass, not its size — fan out to
+    * covered positions and collapse to one per-doc position set; the
+    * rebuild is an in-row filter after a doc_id-keyed left join, so clean
+    * docs pass through untouched. At 100 TB the only corpus-scale shuffle
+    * is the gm aggregate, hash-sharded by window text. */
+  def spanScrub(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    spanScrubFromDocs(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism), k)
+
+  /** [[spanScrub]] over an explicit `(doc_id, text)` table. */
+  def spanScrubFromDocs(docsRaw: DataFrame, k: Int): DataFrame = {
+    val docs = docsRaw.select(col("doc_id"), tokens(col("text")).as("t"))
+    val occ = docs
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => struct(i.as("p"),
+            concat_ws(" ", slice(col("t"), i, lit(k))).as("gm")))).as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.gm").as("gm"))
+    val w = Window.partitionBy(col("gm"))
+    val removedOcc = occ
+      .withColumn("nocc", count(lit(1)).over(w))
+      .withColumn("keeper", min(struct(col("doc_id"), col("p"))).over(w))
+      .filter(col("nocc") >= 2 && !(col("doc_id") === col("keeper.doc_id") &&
+        col("p") === col("keeper.p")))
+    val removedPos = removedOcc
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1))).as("j"))
+      .groupBy(col("doc_id")).agg(collect_set(col("j")).as("rm"))
+    docs.join(removedPos, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("rm")).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              transform(sequence(lit(1), size(col("t"))),
+                i => struct(i.as("i"), element_at(col("t"), i).as("tok"))),
+              s => !array_contains(col("rm"), s("i"))),
+            s => s("tok")),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct k-token windows they share, plus the gram-set Jaccard —
+    * the pairwise overlap census run before mixing crawl dumps (the
+    * corpus-level twin of the train-vs-benchmark contamination sweep).
+    *
+    * Plan: distinct `(source, gram)` membership comes from one gm-keyed
+    * aggregate that ALSO collects the per-gram source set in the same
+    * pass (`collect_set` — no self-join on the gram stream); pair fan-out
+    * is in-row over the sorted source list, bounded by C(|sources|, 2)
+    * per gram (sources are a handful; never corpus-scale). The result
+    * aggregate has at most C(|sources|, 2) keys, and per-source totals
+    * ride a tiny broadcast join. At 100 TB: one corpus-scale shuffle on
+    * gram, everything after is bounded by the source count. */
+  def sourceOverlap(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("gm"))
+    val byGram = grams.groupBy(col("gm"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+    val totals = byGram
+      .select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = byGram
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("ss")) - 1),
+          i => transform(sequence(i + 1, size(col("ss"))),
+            j => struct(element_at(col("ss"), i).as("src_a"),
+              element_at(col("ss"), j).as("src_b")))))).as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n").as("nb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams"))).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Gopher-style rule filter (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+    * per-document boolean quality rules with EXACT integer arithmetic —
+    * every threshold that is a ratio in the paper is cross-multiplied
+    * (`3n ≤ chars ≤ 10n`, `5·distinct ≥ n`) so no float ever sits on the
+    * keep/drop boundary; a doc a hair past a threshold gets the same
+    * verdict on any engine or partitioning. Rules: word count in
+    * [50, 100k], mean word length in [3, 10], ≥2 distinct stop words,
+    * type-token ratio ≥ 0.2 (the symbol/bullet/ellipsis rules are
+    * vacuous on this punctuation-free corpus and carry no signal).
+    * Zero-shuffle projection pass; `ReadSchema` is `doc_id`+`text`. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val n = size(t)
+    val charsNoSep = length(col("text")) - (n - 1)
+    val ruleWc = n.between(50, 100000)
+    val ruleWl = charsNoSep >= n * 3 && charsNoSep <= n * 10
+    val ruleStop = size(array_intersect(t, array(stopwords.map(lit): _*))) >= 2
+    val ruleTtr = size(array_distinct(t)) * 5 >= n
+    docs.select(col("doc_id"), n.cast("long").as("n_words"),
+        ruleWc.as("rule_word_count"), ruleWl.as("rule_word_len"),
+        ruleStop.as("rule_stopwords"), ruleTtr.as("rule_ttr"))
+      .withColumn("keep_doc",
+        col("rule_word_count") && col("rule_word_len") &&
+          col("rule_stopwords") && col("rule_ttr"))
       .orderBy(col("doc_id"))
   }
 }

@@ -298,4 +298,48 @@ class TextPipelineSpec extends SparkSpec {
     // descending fused order
     assert(out.map(_._5).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("gopher rules: every rule replays row-by-row; active rules split the corpus") {
+    val out = TextAnalysis.gopherRules(spark, sf)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.length === docs.size)
+    val stops = Set("the", "a", "and", "of", "to", "in")
+    out.foreach { case (id, n, wc, wl, st, ttr, keep) =>
+      val toks = docs(id).split(" ").toSeq
+      val chars = toks.map(_.length).sum
+      assert(n === toks.length.toLong)
+      assert(wc === (toks.length >= 50 && toks.length <= 100000))
+      assert(wl === (chars >= 3 * toks.length && chars <= 10 * toks.length))
+      assert(st === (toks.toSet.count(stops) >= 2))
+      assert(ttr === (5 * toks.distinct.length >= toks.length))
+      assert(keep === (wc && wl && st && ttr))
+    }
+    // the filter must do work on this corpus: both verdicts occur
+    assert(out.exists(_._7))
+    assert(out.exists(!_._7))
+  }
+
+  test("source overlap: pairwise shared-gram counts equal brute-force set intersection") {
+    val k = 5
+    val out = TextAnalysis.sourceOverlap(spark, sf, k)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val bySource = Tables.documents(spark, sf).select("source", "text")
+      .as[(String, String)].collect().toSeq
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.flatMap(_._2.split(" ").sliding(k).filter(_.length == k)
+          .map(_.mkString(" "))).toSet
+      }
+    val expected = (for {
+      a <- bySource.keys.toSeq; b <- bySource.keys.toSeq if a < b
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield (a, b, shared.toLong,
+      shared.toDouble / (bySource(a).size + bySource(b).size - shared)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === expected)
+    assert(out.nonEmpty) // sources genuinely share grams on this corpus
+  }
 }
