@@ -995,9 +995,12 @@ object TextAnalysis {
             concat_ws(" ", slice(col("t"), i, lit(k))).as("gm")))).as("o"))
       .select(col("doc_id"), col("o.p").as("p"), col("o.gm").as("gm"))
     val w = Window.partitionBy(col("gm"))
+    // both window expressions in one select → a single Window operator
+    // over one gm exchange+sort (chained withColumn left two)
     val removedOcc = occ
-      .withColumn("nocc", count(lit(1)).over(w))
-      .withColumn("keeper", min(struct(col("doc_id"), col("p"))).over(w))
+      .select(col("doc_id"), col("p"),
+        count(lit(1)).over(w).as("nocc"),
+        min(struct(col("doc_id"), col("p"))).over(w).as("keeper"))
       .filter(col("nocc") >= 2 && !(col("doc_id") === col("keeper.doc_id") &&
         col("p") === col("keeper.p")))
     val removedPos = removedOcc
