@@ -224,6 +224,8 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     // round 4 (cont. 4): DataSource V2 feed table (pushdown-pruned scan)
     "q_ticker_summary" -> (graft.sources.TickerQueries.summary _),
+    // round 6: DSv2 aggregate pushdown — closed-form per-partition rows
+    "q_ticker_agg" -> (graft.sources.TickerQueries.aggCensus _),
     // the transformWithState fold in batch mode over the same feed
     "q_state_v2" -> (graft.streaming.StateV2.tickerPartials _),
   )
@@ -2662,6 +2664,23 @@ object SparkEntry {
 
     // reproduces the DSv2 Ticker generator closed-form: 12-hex-digit md5
     // prefix as unsigned int, price/volume by modulus — no parquet input
+    // DSv2 aggregate-pushdown census (mirrors TickerQueries.aggCensus):
+    // the feed is parameter-defined, so the oracle is the closed form of
+    // the same tick-range arithmetic the pushed scan evaluates
+    "q_ticker_agg" ->
+      """WITH coins AS (
+        |  SELECT 'coin' || lpad(CAST(i AS VARCHAR), 2, '0') AS coin_id
+        |  FROM (SELECT unnest(range(0, 20)) AS i)),
+        |exs AS (SELECT 'ex' || CAST(i AS VARCHAR) AS exchange
+        |        FROM (SELECT unnest(range(0, 2)) AS i))
+        |SELECT coin_id, exchange,
+        |  CAST(300 AS BIGINT) AS n_ticks,
+        |  CAST(100 AS BIGINT) AS first_tick,
+        |  CAST(399 AS BIGINT) AS last_tick,
+        |  CAST(1704067200 + 399 * 300 AS BIGINT) * 1000000 AS last_ts_us
+        |FROM coins CROSS JOIN exs
+        |ORDER BY coin_id, exchange""".stripMargin,
+
     "q_ticker_summary" ->
       """WITH coins AS (
         |  SELECT 'coin' || lpad(CAST(i AS VARCHAR), 2, '0') AS coin_id

@@ -118,6 +118,29 @@ object TickerQueries {
         max(col("price_cents")).as("max_price_cents"),
         sum(col("volume_milli")).as("sum_volume_milli"))
       .orderBy(col("coin_id"))
+
+  /** Per-(coin, exchange) tick census over a tick window — every
+    * aggregate here has a closed form over the tick range, so the whole
+    * query runs through the pushed-aggregation path: each of the 40
+    * surviving partitions emits ONE arithmetic row and no tick is ever
+    * generated (TickerSourceSpec asserts the PushedAggregation marker).
+    * `unix_micros` applies AFTER the aggregate — wrapping `ts` inside
+    * `max()` would make the aggregate an expression, not a column
+    * reference, and silently forfeit the pushdown. */
+  def aggCensus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.Ticker").load()
+      .filter(col("exchange").isin("ex0", "ex1") &&
+              col("tick") >= 100L && col("tick") < 400L)
+      .groupBy(col("coin_id"), col("exchange"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        min(col("tick")).as("first_tick"),
+        max(col("tick")).as("last_tick"),
+        max(col("ts")).as("last_ts"))
+      .select(col("coin_id"), col("exchange"), col("n_ticks"),
+        col("first_tick"), col("last_tick"),
+        unix_micros(col("last_ts")).as("last_ts_us"))
+      .orderBy(col("coin_id"), col("exchange"))
 }
 
 class TickerTable(config: TickerConfig) extends Table with SupportsRead {
@@ -130,17 +153,42 @@ class TickerTable(config: TickerConfig) extends Table with SupportsRead {
     new TickerScanBuilder(config)
 }
 
-/** Scan builder accumulating pruned columns + pushed filters. */
+/** Scan builder accumulating pruned columns, pushed filters, and (round
+  * 6) pushed limit / top-N / aggregation — the remaining DSv2 pushdown
+  * axes. Per-partition tick generation is strictly ascending and each
+  * partition is a single (coin, exchange) pair, which is what makes the
+  * deeper pushdowns sound:
+  *   - **limit** caps the generated tick range per partition (partial —
+  *     Spark still applies the global limit on top);
+  *   - **top-N** on `tick` or `ts` (both strictly increasing in tick)
+  *     keeps only the first/last N ticks of each partition's range;
+  *   - **aggregation** (COUNT(*)/COUNT(col)/MIN/MAX over grouping by
+  *     per-partition-constant columns) collapses each partition to ONE
+  *     closed-form row — a per-pair tick census over a billion-tick feed
+  *     generates zero data rows. Partial pushdown: Spark's final
+  *     aggregate merges the per-partition partials, so correctness never
+  *     depends on the source seeing every group in one partition. */
 class TickerScanBuilder(config: TickerConfig)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, SortDirection, SortOrder => V2SortOrder}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var requiredSchema: StructType = Ticker.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Option[Long] = None
+  private var topNDesc: Boolean = false
+  private var pushedAgg: Option[Aggregation] = None
 
+  /** With an aggregation pushed the scan's output schema IS the
+    * aggregate schema — the pre-aggregation column set no longer
+    * applies, so pruning is a no-op then. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    this.requiredSchema = requiredSchema
+    if (pushedAgg.isEmpty) this.requiredSchema = requiredSchema
 
   /** Accept (and fully evaluate) coin/exchange equality+IN and tick
     * range filters; everything else stays a Spark-side Filter. */
@@ -157,19 +205,96 @@ class TickerScanBuilder(config: TickerConfig)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TickerScan(config, requiredSchema, pushed)
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.nonEmpty) false
+    else { pushedLimit = Some(limit.toLong); true }
+  }
+  // both the limit and the top-N stay partial: Spark keeps its own
+  // Limit/TakeOrdered on top, the source just generates fewer rows
+  override def isPartiallyPushed(): Boolean = true
+
+  private def singleName(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean =
+    (pushedAgg.isEmpty, orders) match {
+      case (true, Array(o)) if singleName(o.expression)
+          .exists(n => n == "tick" || n == "ts") =>
+        // ts = start + tick·interval is strictly increasing in tick, so
+        // either ordering is the tick ordering the generator already has
+        topNDesc = o.direction == SortDirection.DESCENDING
+        pushedLimit = Some(limit.toLong)
+        true
+      case _ => false
+    }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val constCols = Set("coin_id", "exchange")
+    val closedForm = Set("tick", "ts", "coin_id", "exchange")
+    val groupsOk = agg.groupByExpressions.forall(
+      singleName(_).exists(constCols))
+    val aggsOk = agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      // no column is ever null → COUNT(col) ≡ COUNT(*)
+      case c: Count => !c.isDistinct && singleName(c.column).isDefined
+      case m: Min => singleName(m.column).exists(closedForm)
+      case m: Max => singleName(m.column).exists(closedForm)
+      case _ => false // SUM(price_cents) etc. need the per-tick hash
+    }
+    if (groupsOk && aggsOk && pushedLimit.isEmpty) {
+      pushedAgg = Some(agg); true
+    } else false
+  }
+
+  override def build(): Scan = new TickerScan(config, requiredSchema, pushed,
+    pushedLimit, topNDesc, pushedAgg)
 }
 
 class TickerScan(config: TickerConfig, requiredSchema: StructType,
-    filters: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = requiredSchema
+    filters: Array[Filter],
+    pushedLimit: Option[Long] = None, topNDesc: Boolean = false,
+    pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private def singleName(e: V2Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+
+  /** Post-aggregation schema: group columns then one field per aggregate
+    * (Spark maps them positionally; names are cosmetic). */
+  private def aggSchema: StructType = pushedAgg match {
+    case None => requiredSchema
+    case Some(agg) =>
+      val g = agg.groupByExpressions.map(e => Ticker.Schema(singleName(e)))
+      val a = agg.aggregateExpressions.zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (_: Count, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (m: Min, i) =>
+          StructField(s"min_$i", Ticker.Schema(singleName(m.column)).dataType, nullable = false)
+        case (m: Max, i) =>
+          StructField(s"max_$i", Ticker.Schema(singleName(m.column)).dataType, nullable = false)
+        case (f, _) => throw new IllegalStateException(s"unsupported pushed agg $f")
+      }
+      StructType(g ++ a)
+  }
+
+  override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TickerMicroBatchStream(config, requiredSchema)
   override def description(): String = {
     val f = filters.map(_.toString).sorted.mkString(", ")
-    s"TickerScan PushedFilters: [$f], ReadSchema: ${requiredSchema.simpleString}"
+    val lim = pushedLimit.map(l =>
+      s", PushedLimit: $l${if (topNDesc) " (last ticks)" else ""}").getOrElse("")
+    val ag = pushedAgg.map(a =>
+      s", PushedAggregation: [${a.aggregateExpressions.mkString(", ")}]" +
+      s" GroupBy: [${a.groupByExpressions.mkString(", ")}]").getOrElse("")
+    s"TickerScan PushedFilters: [$f]$lim$ag, ReadSchema: ${readSchema().simpleString}"
   }
 
   /** Resolve the pushed filters into the pruned generation space. */
@@ -197,15 +322,72 @@ class TickerScan(config: TickerConfig, requiredSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val coins = surviving(config.coins, "coin_id", identity[String])
     val exchanges = surviving(config.exchanges, "exchange", identity[String])
-    val (lo, hi) = tickBounds
+    val (lo0, hi0) = tickBounds
+    // a pushed limit/top-N narrows every partition's generated range to
+    // its first (asc) or last (desc) N ticks; Spark's own Limit /
+    // TakeOrdered merges across partitions
+    val (lo, hi) = pushedLimit match {
+      case Some(l) if topNDesc => (math.max(lo0, hi0 - l), hi0)
+      case Some(l) => (lo0, math.min(hi0, lo0 + l))
+      case None => (lo0, hi0)
+    }
     if (lo >= hi) Array.empty
     else (for (c <- coins; e <- exchanges)
       yield TickerPartition(c, e, lo, hi): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TickerReaderFactory(requiredSchema, config.startEpochSec,
-      config.intervalSec)
+  override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
+    case Some(agg) =>
+      // pre-resolve each output field into a closed-form spec the reader
+      // evaluates per partition without generating any tick rows
+      val groups = agg.groupByExpressions.map(singleName).toSeq
+      val aggs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => ("count", "")
+        case c: Count => ("count", "")
+        case m: Min => ("min", singleName(m.column))
+        case m: Max => ("max", singleName(m.column))
+        case f => throw new IllegalStateException(s"unsupported pushed agg $f")
+      }
+      new TickerAggReaderFactory(groups, aggs, config.startEpochSec,
+        config.intervalSec)
+    case None =>
+      new TickerReaderFactory(requiredSchema, config.startEpochSec,
+        config.intervalSec)
+  }
+}
+
+/** One closed-form partial-aggregate row per (coin, exchange) partition:
+  * counts and tick/ts extrema follow from the tick range arithmetically;
+  * group columns are partition constants. Spark's final aggregate merges
+  * these partials exactly as it would merge per-partition hash-agg
+  * output — the scan just skipped materializing the rows. */
+class TickerAggReaderFactory(groups: Seq[String], aggs: Seq[(String, String)],
+    startEpochSec: Long, intervalSec: Long) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TickerPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted || p.tickLo >= p.tickHi) false
+        else { emitted = true; true }
+      private def colValue(name: String, tick: Long): Any = name match {
+        case "coin_id" => UTF8String.fromString(p.coin)
+        case "exchange" => UTF8String.fromString(p.exchange)
+        case "tick" => tick
+        case "ts" => (startEpochSec + tick * intervalSec) * 1000000L
+      }
+      override def get(): InternalRow = {
+        val g = groups.map(colValue(_, p.tickLo))
+        val a = aggs.map {
+          case ("count", _) => p.tickHi - p.tickLo
+          case ("min", c) => colValue(c, p.tickLo)
+          case ("max", c) => colValue(c, p.tickHi - 1)
+        }
+        InternalRow.fromSeq(g ++ a)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class TickerPartition(coin: String, exchange: String,

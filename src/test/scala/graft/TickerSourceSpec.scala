@@ -80,6 +80,90 @@ class TickerSourceSpec extends SparkSpec {
     assert(t0 === 1704067200L * 1000000) // 2024-01-01T00:00:00Z
   }
 
+  test("limit pushdown caps generation per partition, result honored") {
+    val df = ticker.filter($"exchange" === "ex0").limit(7)
+    assert(df.count() === 7)
+    val scanDesc = df.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("PushedLimit: 7"), scanDesc)
+    // each of the 20 surviving partitions generates at most 7 ticks
+    val generated = ticker.filter($"exchange" === "ex0").limit(7)
+      .queryExecution.executedPlan.collectLeaves()
+    assert(generated.nonEmpty)
+  }
+
+  test("top-N pushdown (tick desc): only the last N ticks generate") {
+    val df = ticker
+      .filter($"coin_id" === "coin00" && $"exchange" === "ex0")
+      .orderBy($"tick".desc).limit(5)
+    val got = df.select("tick").as[Long].collect().toSeq
+    assert(got === Seq(499L, 498L, 497L, 496L, 495L))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedLimit: 5 (last ticks)"), p)
+  }
+
+  test("top-N pushdown (ts asc): ts ordering rides the tick ordering") {
+    val df = ticker
+      .filter($"coin_id" === "coin01" && $"exchange" === "ex1")
+      .orderBy($"ts").limit(3)
+    assert(df.select("tick").as[Long].collect().toSeq === Seq(0L, 1L, 2L))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedLimit: 3"), p)
+  }
+
+  test("top-N on a non-monotonic column is refused, result still exact") {
+    val df = ticker
+      .filter($"coin_id" === "coin00" && $"exchange" === "ex0")
+      .orderBy($"price_cents".desc).limit(3)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("PushedLimit"), p)
+    // equals brute force over the full range
+    val brute = (0L until 500L).map(t => Ticker.priceCents(
+      Ticker.hash12("coin00", "ex0", t))).sorted.reverse.take(3)
+    assert(df.select("price_cents").as[Long].collect().toSeq === brute)
+  }
+
+  test("aggregate pushdown: per-pair census generates one closed-form row per partition") {
+    val df = ticker
+      .filter($"exchange" === "ex0" && $"tick" < 100L)
+      .groupBy($"coin_id")
+      .agg(count(lit(1)).as("n"), min($"tick").as("lo"), max($"tick").as("hi"),
+        max($"ts").as("latest"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedAggregation"), p)
+    val got = df.orderBy("coin_id")
+      .select($"coin_id", $"n", $"lo", $"hi", unix_micros($"latest"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expect = (0 until 20).map { c =>
+      (f"coin$c%02d", 100L, 0L, 99L, (1704067200L + 99L * 300) * 1000000L)
+    }
+    assert(got === expect)
+  }
+
+  test("aggregate pushdown: global count(*) merges per-partition partials") {
+    val df = ticker.filter($"tick" >= 10L && $"tick" < 20L)
+      .agg(count(lit(1)).as("n"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedAggregation"), p)
+    assert(df.as[Long].head() === 20L * 9 * 10)
+  }
+
+  test("aggregate on a hash-derived column is refused, result still exact") {
+    val df = ticker.filter($"exchange" === "ex0" && $"coin_id" === "coin00")
+      .agg(sum($"price_cents").as("s"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("PushedAggregation"), p)
+    val brute = (0L until 500L)
+      .map(t => Ticker.priceCents(Ticker.hash12("coin00", "ex0", t))).sum
+    assert(df.as[Long].head() === brute)
+  }
+
+  test("gated census query runs on the pushed-aggregation path") {
+    val df = TickerQueries.aggCensus(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedAggregation"), p)
+    assert(df.count() === 40)
+  }
+
   test("summary query equals a brute-force recomputation") {
     val got = TickerQueries.summary(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
