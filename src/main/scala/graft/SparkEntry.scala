@@ -160,11 +160,15 @@ object SparkEntry {
     "q_weighted_sample" -> (TextAnalysis.weightedSample _),
     "q_inverted_index" -> (TextAnalysis.invertedIndex _),
     "q_lang_quota" -> ((s, d) => TextAnalysis.langQuota(s, d)),
+    // round 6: UniMax waterfilled language budget + deterministic sample
+    "q_unimax" -> ((s, d) => TextAnalysis.unimaxSample(s, d)),
     "q_compaction_plan" -> ((s, d) => graft.sink.Layout.compactionPlan(s, d)),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
+    // round 6: longest-doc canonical election per near-dup cluster
+    "q_dedup_best" -> ((s, d) => graft.ops.Graph.canonicalSurvivors(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     "q_profile" -> (Analytics.profileTable _),
     "q_rsi_wilder" -> (Analytics.rsiWilder _),
@@ -892,6 +896,39 @@ object SparkEntry {
          |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
          |FROM reach GROUP BY node
          |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    // longest-doc canonical election per near-dup cluster (mirrors
+    // Graph.canonicalSurvivors): same transitive-closure clusters, keep
+    // the max-n_chars member, ties to the lowest doc_id
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN card ca ON ca.doc_id = id_a
+         |          JOIN card cb ON cb.doc_id = id_b
+         |          WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8),
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT src AS node, dst AS r FROM bi
+         |          UNION
+         |          SELECT w.node, b.dst FROM reach w JOIN bi b ON w.r = b.src),
+         |clusters AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+         |             FROM reach GROUP BY node),
+         |cd AS (SELECT d.doc_id, c.cluster_id, d.n_chars
+         |       FROM documents d LEFT JOIN clusters c USING (doc_id)),
+         |mx AS (SELECT cluster_id, max(n_chars) AS bc FROM cd
+         |       WHERE cluster_id IS NOT NULL GROUP BY cluster_id),
+         |win AS (SELECT cd.cluster_id, min(cd.doc_id) AS best_id
+         |        FROM cd JOIN mx USING (cluster_id) WHERE cd.n_chars = mx.bc
+         |        GROUP BY cd.cluster_id)
+         |SELECT cd.doc_id, coalesce(cd.cluster_id, cd.doc_id) AS group_id,
+         |  cd.n_chars,
+         |  (cd.cluster_id IS NULL OR cd.doc_id = win.best_id) AS keep
+         |FROM cd LEFT JOIN win USING (cluster_id)
+         |ORDER BY cd.doc_id""".stripMargin,
 
     "q_cluster_sizes" ->
       s"""WITH RECURSIVE $shingleCte,
@@ -1651,6 +1688,35 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rk <= 30
         |ORDER BY lang, rk""".stripMargin,
+
+    // UniMax waterfill (mirrors TextAnalysis.unimaxSample): the recursive
+    // CTE replays the same ascending-capacity integer waterfill —
+    // positive floor division on both sides, so allocations are exact
+    "q_unimax" ->
+      """WITH RECURSIVE
+        |caps AS (SELECT lang, count(*) AS cap FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total, count(*) AS k
+        |        FROM caps),
+        |ranked AS (SELECT lang, cap,
+        |             row_number() OVER (ORDER BY cap, lang) AS rn FROM caps),
+        |fill AS (
+        |  SELECT 0 AS rn, (SELECT total * 4 // 5 FROM tot) AS remaining
+        |  UNION ALL
+        |  SELECT f.rn + 1,
+        |    f.remaining - least(r.cap, f.remaining // (t.k - f.rn))
+        |  FROM fill f JOIN ranked r ON r.rn = f.rn + 1 CROSS JOIN tot t),
+        |alloc AS (
+        |  SELECT r.lang, least(r.cap, f.remaining // (t.k - f.rn)) AS alloc
+        |  FROM ranked r JOIN fill f ON f.rn = r.rn - 1 CROSS JOIN tot t),
+        |sel AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('ux|' || doc_id), doc_id) AS rk
+        |  FROM documents)
+        |SELECT s.doc_id, s.lang, CAST(s.rk AS BIGINT) AS rk, a.alloc
+        |FROM sel s JOIN alloc a USING (lang)
+        |WHERE s.rk <= a.alloc
+        |ORDER BY s.lang, s.rk""".stripMargin,
 
     "q_compaction_plan" ->
       """WITH s AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes

@@ -111,6 +111,35 @@ object Graph {
       .select(col("doc_id"), col("group_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Canonical-document election: within each near-dup cluster keep the
+    * BEST representative — longest document (`n_chars`, an exact
+    * integer, so the argmax is engine-portable; published pipelines use
+    * quality scores here, whose float ties would not be), ties to the
+    * lowest doc_id. The min-id election (q_dedup_survivors) keeps an
+    * arbitrary member; this keeps the one a curator would.
+    *
+    * Scale shape: the cluster table is dup-rate-bounded, so its join
+    * onto the corpus broadcasts while small (AQE decides); the winner
+    * table is one max-struct aggregate over clustered docs only —
+    * singleton docs never enter a shuffle wider than that join. */
+  def canonicalSurvivors(spark: SparkSession, dir: String,
+      tau: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val clusters = docClustersUnsorted(spark, dir, tau)
+    val withC = docs.join(clusters, Seq("doc_id"), "left")
+    // lexicographic max of (n_chars, -doc_id) = longest doc, ties → min id
+    val weight = struct(col("n_chars"), (-col("doc_id")).as("neg_id"))
+    val best = withC.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(max(weight).as("best_w"))
+    withC.join(best, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"),
+        col("n_chars"),
+        (col("cluster_id").isNull || weight === col("best_w")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster census: size and id range per near-dup cluster. */
   def clusterSizes(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
     docClustersUnsorted(spark, dir, tau)

@@ -229,6 +229,55 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** UniMax-style language budget allocation + sample (Chung et al. 2023,
+    * arXiv:2304.09151): waterfill a corpus-wide document budget
+    * (`budgetNum/budgetDen` of the corpus) across languages in ascending
+    * capacity order — each language takes `min(capacity, fair share of
+    * the remaining budget)`, so low-resource languages are fully included
+    * and the head language absorbs exactly the slack, instead of the
+    * temperature mixer's (q_weighted_sample) fixed power-law thinning.
+    * One-epoch caps (a doc samples at most once).
+    *
+    * All arithmetic is integer (floor division on positive longs — the
+    * SQL oracle's `//` computes the same), so the allocation is
+    * engine-exact. The per-language count table is |languages|-bounded —
+    * collecting it for the ≤|languages|-round driver loop is the same
+    * bounded-driver-state discipline as the BPE trainer's top-1. The
+    * sample itself is the two-stage deterministic-hash top-k of
+    * [[langQuota]], with the quota a JOINED COLUMN instead of a constant:
+    * per-(lang, shard) local pruning first, so no partition ever holds a
+    * whole language. */
+  def unimaxSample(spark: SparkSession, dir: String,
+      budgetNum: Long = 4, budgetDen: Long = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val caps = docs.groupBy(col("lang")).agg(count(lit(1)).as("cap"))
+      .as[(String, Long)].collect().sortBy { case (l, c) => (c, l) }
+    var remaining = caps.map(_._2).sum * budgetNum / budgetDen
+    var k = caps.length
+    val alloc = caps.map { case (l, c) =>
+      val b = math.min(c, remaining / k)
+      remaining -= b; k -= 1
+      (l, c, b)
+    }.toSeq.toDF("lang", "cap", "alloc")
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        md5(concat(lit("ux|"), col("doc_id"))).as("okey"))
+      .withColumn("shard", substring(col("okey"), 1, 1))
+      .join(broadcast(alloc), Seq("lang"))
+    keyed
+      .withColumn("lrk", row_number().over(Window
+        .partitionBy(col("lang"), col("shard"))
+        .orderBy(col("okey"), col("doc_id"))))
+      .filter(col("lrk") <= col("alloc"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("lang")).orderBy(col("okey"), col("doc_id"))))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"),
+        col("alloc"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Per-document split assignment + normalized-content fingerprint. */
   def splitAssignments(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -167,4 +167,27 @@ class GraphSpec extends SparkSpec {
     val nEdges = Graph.copurchaseEdges(spark, sf).count()
     assert(dist.map(d => d._1 * d._2).sum === 2 * nEdges)
   }
+
+  test("canonicalSurvivors: longest doc wins its cluster, exactly one keeper per group") {
+    val out = Graph.canonicalSurvivors(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val clusters = Graph.docClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap // doc -> cluster
+    val chars = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(out.length === chars.size)
+    out.foreach { case (id, g, n, keep) =>
+      assert(g === clusters.getOrElse(id, id))
+      assert(n === chars(id))
+    }
+    // per group: exactly one keeper, and it is the longest (ties: min id)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val keepers = rows.filter(_._4)
+      assert(keepers.length === 1)
+      val expect = rows.minBy(r => (-r._3, r._1))
+      assert(keepers.head._1 === expect._1)
+    }
+    // the election is non-trivial on this corpus: some doc loses
+    assert(out.exists(!_._4))
+  }
 }

@@ -322,6 +322,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.exists(!_._7))
   }
 
+  test("unimax: waterfill spends the budget, respects caps, fills low-resource langs") {
+    val out = TextAnalysis.unimaxSample(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val counts = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val budget = counts.values.sum * 4 / 5
+    val perLang = out.groupBy(_._2)
+    // sample size per lang equals its allocation; ranks are 1..alloc
+    perLang.foreach { case (lang, rows) =>
+      val alloc = rows.head._4
+      assert(rows.length.toLong === alloc)
+      assert(rows.map(_._3).sorted.toSeq === (1L to alloc))
+      assert(alloc <= counts(lang)) // cap respected
+    }
+    // the whole budget is spent (budget < total, so nothing is stranded)
+    assert(out.length.toLong === budget)
+    // waterfill property: every lang not fully included gets at least as
+    // many docs as any fully-included lang (the head absorbs slack)
+    val (full, partial) = perLang.values.partition(r => r.length.toLong == counts(r.head._2))
+    partial.foreach { p =>
+      full.foreach(f => assert(p.length >= f.length))
+    }
+    assert(partial.nonEmpty && full.nonEmpty) // non-degenerate on this corpus
+    // deterministic replay
+    val again = TextAnalysis.unimaxSample(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === again)
+  }
+
   test("source overlap: pairwise shared-gram counts equal brute-force set intersection") {
     val k = 5
     val out = TextAnalysis.sourceOverlap(spark, sf, k)
