@@ -139,6 +139,8 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     // round 6: Gopher rule filter with exact cross-multiplied thresholds
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    // round 6: Gopher repetition metrics (top-bigram / dup-3-gram mass)
+    "q_gopher_rep" -> ((s, d) => TextAnalysis.gopherRepetition(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -2250,6 +2252,33 @@ object SparkEntry {
         |FROM p JOIN tot ta ON ta.source = src_a
         |       JOIN tot tb ON tb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // Gopher repetition metrics (mirrors TextAnalysis.gopherRepetition):
+    // exact integer char-mass numerators, one IEEE division per share
+    "q_gopher_rep" ->
+      """WITH d AS (SELECT doc_id, length(text) AS total_chars,
+        |                  string_split(text, ' ') AS t FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gm FROM
+        |        (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |         FROM d WHERE len(t) >= 2)),
+        |c2 AS (SELECT doc_id, gm, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, max(c * length(gm)) AS top2_chars
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gm FROM
+        |        (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |         FROM d WHERE len(t) >= 3)),
+        |c3 AS (SELECT doc_id, gm, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |t3 AS (SELECT doc_id, sum((c - 1) * length(gm)) AS dup3_chars
+        |       FROM c3 WHERE c >= 2 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.total_chars AS BIGINT) AS total_chars,
+        |  CAST(coalesce(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+        |  CAST(coalesce(t3.dup3_chars, 0) AS BIGINT) AS dup3_chars,
+        |  CAST(coalesce(t2.top2_chars, 0) AS DOUBLE) / d.total_chars
+        |    AS top2_share,
+        |  CAST(coalesce(t3.dup3_chars, 0) AS DOUBLE) / d.total_chars
+        |    AS dup3_share
+        |FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Gopher rule filter (mirrors TextAnalysis.gopherRules): every ratio
     // threshold cross-multiplied into exact integer comparisons

@@ -1116,6 +1116,57 @@ object TextAnalysis {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, the other
+    * half of [[gopherRules]]): per document, the character mass of its
+    * most frequent bigram (`max(count·len)` over bigrams — the max-form
+    * sidesteps the paper's ambiguous most-frequent tie-break while
+    * ranking the same degenerate docs) and the character mass of all
+    * duplicated 3-gram occurrences beyond each one's first
+    * (`Σ (count−1)·len` over 3-grams with count ≥ 2 — the paper uses
+    * 5..10-grams, but within-doc 5-gram repeats are vacuous on the gated
+    * corpus while 3-grams genuinely fire), both as exact
+    * BIGINT numerators plus one IEEE division by the doc's length.
+    * Complements [[repetition]]'s TTR / top-token / longest-run trio
+    * with the n-gram-mass form published pipelines filter on.
+    *
+    * Plan: both gram sizes explode in one pass (tagged structs, empty
+    * arrays guard short docs — `sequence(1, 0)` would generate a
+    * DESCENDING range), one (doc, n, gram) aggregate is the only
+    * corpus-scale shuffle, and the per-doc fold reuses rows already
+    * collapsed to distinct grams. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("total_chars"),
+        tokens(col("text")).as("t"))
+    def tagged(n: Int): Column =
+      when(size(col("t")) >= n,
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("t"), i, lit(n))).as("gm"))))
+        .otherwise(array().cast("array<struct<n:int,gm:string>>"))
+    val counts = docs
+      .select(col("doc_id"),
+        explode(concat(tagged(2), tagged(3))).as("x"))
+      .groupBy(col("doc_id"), col("x.n").as("n"), col("x.gm").as("gm"))
+      .agg(count(lit(1)).as("c"))
+    val folded = counts.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("c") * length(col("gm")))
+          .otherwise(0L)).as("top2_chars"),
+        sum(when(col("n") === 3 && col("c") >= 2,
+            (col("c") - 1) * length(col("gm")))
+          .otherwise(0L)).as("dup3_chars"))
+    docs.join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_chars").cast("long").as("total_chars"),
+        coalesce(col("top2_chars"), lit(0L)).cast("long").as("top2_chars"),
+        coalesce(col("dup3_chars"), lit(0L)).cast("long").as("dup3_chars"))
+      .withColumn("top2_share",
+        col("top2_chars").cast("double") / col("total_chars"))
+      .withColumn("dup3_share",
+        col("dup3_chars").cast("double") / col("total_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021, arXiv:2112.11446 §A1.1):
     * per-document boolean quality rules with EXACT integer arithmetic —
     * every threshold that is a ratio in the paper is cross-multiplied

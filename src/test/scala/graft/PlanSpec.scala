@@ -270,4 +270,39 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.ops.TextAnalysis.hybridTopK(spark, sf))
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q_span_scrub: occurrence count + keeper election share ONE Window operator") {
+    // both window expressions ride the same gm partition spec; splitting
+    // them (e.g. chained withColumn) doubles the pass over every sorted
+    // gm partition — at 100 TB that is a second full-corpus evaluation
+    val df = graft.ops.TextAnalysis.spanScrub(spark, sf)
+    df.collect()
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // count "Window (n)" TREE nodes in the final AQE plan only (the
+    // Initial Plan section repeats the tree; details repeat the names)
+    val finalPlan = fmt.split("== Initial Plan ==").head
+    assert("Window \\(\\d+\\)".r.findAllIn(finalPlan).size === 1, fmt)
+  }
+
+  test("q_source_overlap: per-source totals REUSE the gram exchange") {
+    // the pair census and the per-source totals both derive from the
+    // gm-keyed collect_set aggregate; the totals side must plan as a
+    // ReusedExchange, not a second corpus-scale shuffle
+    val df = graft.ops.TextAnalysis.sourceOverlap(spark, sf)
+    df.collect()
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("ReusedExchange"), fmt)
+  }
+
+  test("q_unimax / q_dedup_best: tiny tables broadcast onto the corpus") {
+    // the allocation table is |languages| rows and the winner table is
+    // dup-rate-bounded — neither may force the corpus into a sort-merge
+    val pu = plan(graft.ops.TextAnalysis.unimaxSample(spark, sf))
+    assert(pu.contains("BroadcastHashJoin"), pu)
+    assert(!pu.contains("SortMergeJoin"), pu)
+    val pb = plan(graft.ops.Graph.canonicalSurvivors(spark, sf))
+    assert(pb.contains("BroadcastHashJoin"), pb)
+  }
 }

@@ -322,6 +322,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.exists(!_._7))
   }
 
+  test("gopher repetition: hand-built repeats give exact char-mass numerators") {
+    // operates on the gated corpus path, so build expectations per doc id
+    val out = TextAnalysis.gopherRepetition(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      def grams(n: Int) = toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq
+      val top2 = grams(2).groupBy(identity)
+        .map { case (g, o) => o.length.toLong * g.length }
+        .foldLeft(0L)(math.max)
+      val dup3 = grams(3).groupBy(identity).collect {
+        case (g, o) if o.length >= 2 => (o.length - 1).toLong * g.length
+      }.sum
+      val (_, total, t2, d3, s2, s3) = out(id)
+      assert(total === text.length.toLong)
+      assert(t2 === top2, s"doc $id top2")
+      assert(d3 === dup3, s"doc $id dup3")
+      assert(s2 === top2.toDouble / text.length)
+      assert(s3 === dup3.toDouble / text.length)
+    }
+    // the dup-3-gram metric genuinely fires on this corpus
+    assert(out.values.count(_._4 > 0) > 0)
+  }
+
   test("unimax: waterfill spends the budget, respects caps, fills low-resource langs") {
     val out = TextAnalysis.unimaxSample(spark, sf)
       .as[(Long, String, Long, Long)].collect().toSeq
