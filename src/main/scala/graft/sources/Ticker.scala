@@ -257,9 +257,26 @@ class TickerScan(config: TickerConfig, requiredSchema: StructType,
     filters: Array[Filter],
     pushedLimit: Option[Long] = None, topNDesc: Boolean = false,
     pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None)
-    extends Scan with Batch {
-  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  /** Runtime (DPP-style) filtering: joining the feed against a selective
+    * dimension on coin_id/exchange lets Spark execute the dimension
+    * first and hand the surviving join keys back here BEFORE partitions
+    * materialize — the DSv2 twin of dynamic partition pruning. The
+    * runtime IN-lists land in the same `surviving` pruning as the static
+    * pushdown, so a 2-coin dimension prunes 18 of 180 pairs at
+    * EXECUTION time with zero tick generation for the rest. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  // only columns present in the scan OUTPUT qualify — naming a pruned
+  // column fails attribute resolution against the scan relation
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema().fieldNames
+      .filter(n => n == "coin_id" || n == "exchange")
+      .map(Expressions.column)
+  override def filter(runtime: Array[Filter]): Unit =
+    runtimeFilters = runtime
 
   private def singleName(e: V2Expression): String =
     e.asInstanceOf[NamedReference].fieldNames()(0)
@@ -297,9 +314,10 @@ class TickerScan(config: TickerConfig, requiredSchema: StructType,
     s"TickerScan PushedFilters: [$f]$lim$ag, ReadSchema: ${readSchema().simpleString}"
   }
 
-  /** Resolve the pushed filters into the pruned generation space. */
+  /** Resolve the pushed + runtime filters into the pruned generation
+    * space. */
   private def surviving[A](all: Seq[A], col: String, show: A => String): Seq[A] =
-    filters.foldLeft(all) {
+    (filters ++ runtimeFilters).foldLeft(all) {
       case (acc, EqualTo(`col`, v: String)) => acc.filter(show(_) == v)
       case (acc, In(`col`, vs)) =>
         val set = vs.collect { case s: String => s }.toSet

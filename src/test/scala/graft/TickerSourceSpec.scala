@@ -157,6 +157,38 @@ class TickerSourceSpec extends SparkSpec {
     assert(df.as[Long].head() === brute)
   }
 
+  test("runtime filtering: a selective dim join prunes pair partitions at execution time") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // AQE wraps stages in leaf QueryStageExec nodes, hiding the scan from
+    // plan traversal — turn it off for this one observability check (the
+    // pruning itself is AQE-independent)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the filter makes the build side SELECTIVE — the partition-pruning
+      // rule only injects runtime filters when the dim carries a predicate.
+      // (A filtered LocalRelation constant-folds the Filter away and DPP
+      // sees no selectivity — build from Range so the Filter survives.)
+      val dim = spark.range(0, 20)
+        .select(format_string("coin%02d", $"id").as("coin_id"), $"id".as("w"))
+        .filter($"w".isin(3L, 7L))
+      val joined = ticker.join(dim, "coin_id")
+        .agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+      val got = joined.collect() // executes THIS plan (derived Datasets re-plan)
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((2L * 9 * 500, 9L * 500 * (3 + 7)))) // both coins, all pairs
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"), plan)
+      // the feed scan must have generated rows for ONLY the two surviving
+      // coins — runtime pruning, not post-scan filtering
+      val scans = joined.queryExecution.executedPlan
+        .collectWithSubqueries { case b: BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.TickerScan] => b }
+      assert(scans.nonEmpty)
+      val generated = scans.map(_.metrics("numOutputRows").value).sum
+      assert(generated === 2L * 9 * 500, s"scan generated $generated rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("gated census query runs on the pushed-aggregation path") {
     val df = TickerQueries.aggCensus(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
