@@ -101,4 +101,67 @@ object StateV2 {
     attach(ticks).toDF()
       .orderBy(org.apache.spark.sql.functions.col("coin_id"))
   }
+
+  // --------------------------------------------------------------------
+  // MapState: streaming heavy hitters (space-saving)
+  // --------------------------------------------------------------------
+
+  /** One tracked counter (Metwally et al.'s space-saving entry): `cnt`
+    * overestimates the true count by at most `err` (the evicted
+    * minimum inherited on admission). */
+  final case class CounterEntry(cnt: Long, err: Long)
+
+  final case class HitterRow(key: String, token: String, cnt: Long, err: Long)
+
+  /** Streaming heavy hitters per key over an unbounded token stream with
+    * `cap` counters of state — the `MapState` face of the v2 state API
+    * (ValueState = [[TickStatsProcessor]]): space-saving (Metwally et
+    * al. 2005), the algorithm behind every streaming top-k with bounded
+    * memory. A seen token increments its counter; an unseen token under
+    * capacity opens one; at capacity it REPLACES the minimum counter,
+    * inheriting its count as the new entry's error bound. Guarantees:
+    * every token with true count > n/cap is tracked, and for every
+    * tracked token `cnt − err ≤ true ≤ cnt`.
+    *
+    * Eviction ties break by (cnt, token) so a replay of the same
+    * per-batch input produces the same state. Each batch emits the
+    * key's full counter snapshot (update-mode semantics: downstream
+    * keeps the latest). State is cap-bounded per key — the 100 TB
+    * contract — and lives in RocksDB like every v2-state processor. */
+  class HeavyHittersProcessor(cap: Int)
+      extends StatefulProcessor[String, (String, String), HitterRow] {
+    @transient private var m: org.apache.spark.sql.streaming.MapState[String, CounterEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, CounterEntry]("counters",
+        Encoders.STRING, Encoders.product[CounterEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timerValues: TimerValues): Iterator[HitterRow] = {
+      rows.foreach { case (_, tok) =>
+        if (m.containsKey(tok)) {
+          val e = m.getValue(tok)
+          m.updateValue(tok, CounterEntry(e.cnt + 1, e.err))
+        } else {
+          val entries = m.iterator().toSeq
+          if (entries.size < cap) m.updateValue(tok, CounterEntry(1L, 0L))
+          else {
+            val (minTok, minE) = entries.minBy { case (t, e) => (e.cnt, t) }
+            m.removeKey(minTok)
+            m.updateValue(tok, CounterEntry(minE.cnt + 1, minE.cnt))
+          }
+        }
+      }
+      m.iterator().map { case (t, e) => HitterRow(key, t, e.cnt, e.err) }
+    }
+  }
+
+  /** Attach to a (streaming or batch) `(key, token)` Dataset. */
+  def attachHitters(tokens: Dataset[(String, String)],
+      cap: Int = 8): Dataset[HitterRow] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(cap),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
