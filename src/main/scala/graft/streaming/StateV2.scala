@@ -164,4 +164,85 @@ object StateV2 {
       .transformWithState(new HeavyHittersProcessor(cap),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // --------------------------------------------------------------------
+  // ListState + event-time timers: session assembly
+  // --------------------------------------------------------------------
+
+  final case class SessionEvent(user_id: String, ts: java.sql.Timestamp,
+      event_type: String)
+  final case class SessionOut(user_id: String, start_ms: Long, end_ms: Long,
+      n_events: Long, path: String)
+
+  /** Gap-based session assembly on the remaining v2-state axes:
+    * `ListState` buffers the open session's events and an EVENT-TIME
+    * TIMER closes it — the session emits when the watermark passes
+    * `last event + gap`, not when a batch happens to see the user again
+    * (the failure mode of purely batch-driven state: an idle user's last
+    * session never closes). The streaming face of q_sessionize's
+    * gaps-and-islands semantics.
+    *
+    * Each batch merges buffered + incoming events in event order;
+    * in-batch gaps close their sessions immediately (input feeds are
+    * in-order per user by contract — a bridge-late event bounded by the
+    * watermark would reopen nothing), the trailing open session goes
+    * back to the ListState, and the one registered timer per key moves
+    * to `maxTs + gap` (previous timer deleted — timers do not
+    * overwrite). State per key is one open session + one timer, however
+    * long the stream runs. */
+  class SessionAssembler(gapMs: Long)
+      extends StatefulProcessor[String, SessionEvent, SessionOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[SessionEvent] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[SessionEvent]("open_session",
+        Encoders.product[SessionEvent], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def emit(key: String, es: Seq[SessionEvent]): SessionOut =
+      SessionOut(key, es.head.ts.getTime, es.last.ts.getTime,
+        es.length.toLong, es.map(_.event_type).mkString(">"))
+
+    override def handleInputRows(key: String, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val all = (buf.get().toSeq ++ rows.toSeq)
+        .sortBy(e => (e.ts.getTime, e.event_type))
+      // split on gaps: all segments but the last are closed in-batch
+      val segments = all.foldLeft(Vector.empty[Vector[SessionEvent]]) {
+        case (acc, e) =>
+          if (acc.nonEmpty && e.ts.getTime - acc.last.last.ts.getTime <= gapMs)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+      }
+      val (closed, open) = (segments.init, segments.last)
+      buf.clear()
+      buf.put(open.toArray)
+      if (Option(deadline.get()).exists(_ != 0L))
+        getHandle.deleteTimer(deadline.get())
+      val t = open.last.ts.getTime + gapMs
+      getHandle.registerTimer(t)
+      deadline.update(t)
+      closed.map(emit(key, _)).iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      val es = buf.get().toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+      buf.clear(); deadline.clear()
+      if (es.isEmpty) Iterator.empty else Iterator.single(emit(key, es))
+    }
+  }
+
+  /** Attach to a watermarked streaming `SessionEvent` Dataset. */
+  def attachSessions(events: Dataset[SessionEvent],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionAssembler(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

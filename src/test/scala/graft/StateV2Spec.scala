@@ -131,4 +131,49 @@ class StateV2Spec extends SparkSpec {
       }
     }
   }
+
+  test("ListState + event-time timer: idle sessions close on watermark, not on new data") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ev(u: String, min: Long, t: String) =
+      StateV2.SessionEvent(u, new Timestamp(min * 60000L), t)
+    val mem = MemoryStream[StateV2.SessionEvent]
+    val events = mem.toDS().withWatermark("ts", "0 seconds")
+    val q = StateV2.attachSessions(events, gapMs = 30L * 60000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 opens a session; u2 has TWO in-batch sessions (gap
+      // inside the batch) — the first closes immediately. Events start
+      // at minute 1: a row at the INITIAL watermark (0) is dropped late.
+      mem.addData(Seq(ev("u1", 1, "view"), ev("u1", 6, "cart"),
+        ev("u2", 1, "view"), ev("u2", 91, "view")))
+      q.processAllAvailable()
+      // batch 2: only u2 speaks, but the advanced watermark fires u1's
+      // TIMER — u1's session closes with no u1 data in the batch (the
+      // no-data micro-batch after watermark advance runs the timers).
+      // u2's open session extends.
+      mem.addData(Seq(ev("u2", 101, "cart")))
+      q.processAllAvailable()
+      // batch 3: far-future u3 event pushes the watermark past u2's
+      // open session, firing its timer
+      mem.addData(Seq(ev("u3", 1000, "view")))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[StateV2.SessionOut].collect()
+        .sortBy(s => (s.user_id, s.start_ms)).toSeq
+      assert(got === Seq(
+        StateV2.SessionOut("u1", 60000L, 6 * 60000L, 2L, "view>cart"),
+        StateV2.SessionOut("u2", 60000L, 60000L, 1L, "view"),
+        StateV2.SessionOut("u2", 91 * 60000L, 101 * 60000L, 2L, "view>cart")))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
