@@ -46,6 +46,9 @@ object SparkEntry {
     "q_lag_diff" -> (Analytics.lagDiff _),
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
     "q_salted_agg" -> (Analytics.saltedAgg _),
+    "q_skew_join" -> (Analytics.skewJoin _),
+    "q_cdc_merge" -> ((s, d) => graft.ops.Cdc.cdcMerge(s, d)),
+    "q_time_travel" -> ((s, d) => graft.ops.Cdc.timeTravel(s, d)),
     "q_sessionize" -> (Analytics.sessionize _),
     "q_scd2" -> (Analytics.scd2 _),
     "q_funnel" -> (Analytics.funnel _),
@@ -139,6 +142,9 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     // round 6: Gopher rule filter with exact cross-multiplied thresholds
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "q_pmi" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
+    "q_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    "q_mix_temperature" -> ((s, d) => TextAnalysis.mixTemperature(s, d)),
     // round 6: Gopher repetition metrics (top-bigram / dup-3-gram mass)
     "q_gopher_rep" -> ((s, d) => TextAnalysis.gopherRepetition(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
@@ -534,6 +540,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_cdc_merge" -> graft.ops.Cdc.cdcMergeSql,
+
+    "q_time_travel" -> graft.ops.Cdc.timeTravelSql,
 
     "q_sessionize" ->
       """WITH g AS (
@@ -2297,6 +2315,58 @@ object SparkEntry {
         |  (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
         |  (5 * len(list_distinct(t)) >= len(t)) AS keep_doc
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // top-30-vocab PMI pairs (mirrors TextAnalysis.pmiPairs): distinct
+    // terms per doc, df-desc/term top-30 cut, within-doc pairs a<b
+    "q_pmi" ->
+      """WITH terms AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        |vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 30),
+        |iv AS (SELECT t.doc_id, t.term, v.df FROM terms t JOIN vocab v USING (term)),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |pairs AS (
+        |  SELECT x.term AS a, y.term AS b, x.df AS df_a, y.df AS df_b,
+        |    count(*) AS n_ab
+        |  FROM iv x JOIN iv y ON x.doc_id = y.doc_id AND x.term < y.term
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, n_ab, df_a, df_b,
+        |  round(ln(n_ab * n_total / (df_a * df_b)), 6) AS pmi
+        |FROM pairs, n WHERE n_ab >= 5
+        |ORDER BY a, b""".stripMargin,
+
+    // Flesch readability (mirrors TextAnalysis.readability): whitespace
+    // words, [.!?] sentence marks (min 1), vowel-run syllables
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+        |      AS n_sents,
+        |    CAST(greatest(len(regexp_extract_all(text, '[aeiouy]+')), 1) AS BIGINT)
+        |      AS n_sylls
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_sylls,
+        |  round(206.835 - 1.015 * n_words / n_sents
+        |        - 84.6 * n_sylls / n_words, 4) AS flesch,
+        |  round(0.39 * n_words / n_sents
+        |        + 11.8 * n_sylls / n_words - 15.59, 4) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // sqrt-temperature language mixing (mirrors TextAnalysis.mixTemperature)
+    "q_mix_temperature" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |        sum(sqrt(n_docs)) OVER (ORDER BY lang ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS z,
+        |        sum(n_docs) OVER (ORDER BY lang ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n_total
+        |      FROM l)
+        |SELECT lang, n_docs,
+        |  round(sqrt(n_docs) / z, 6) AS weight,
+        |  round(sqrt(n_docs) / z / (CAST(n_docs AS DOUBLE) / n_total), 6) AS boost
+        |FROM w ORDER BY lang""".stripMargin,
 
     // per-doc duplicated 8-token-window coverage (mirrors
     // TextAnalysis.duplicatedSpans, k=8)

@@ -36,6 +36,27 @@ object Skew {
     * float summation-order caveat — use on integral/exact types when
     * bit-parity matters).
     */
+  /** Salt-replicated skew join: `fact ⋈ dim` on `key`, with the dim side
+    * replicated across `buckets` salts and the fact side salted by a
+    * deterministic row hash. A hot fact key (one user producing 1% of a
+    * 100 TB log) lands on `buckets` tasks instead of one.
+    *
+    * Semantically identical to the plain equi-join: every fact row meets
+    * exactly one replica of its dim row (the one carrying its salt).
+    * Dim-side cost is `|dim| × buckets` rows — use only when dim is small
+    * enough to replicate but too large or too hot to broadcast outright;
+    * AQE's `skewJoin` covers the sort-merge case without plan changes,
+    * this form also pre-spreads the *post-join* groupBy when it reuses
+    * the (key, salt) partitioning. */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col).toSeq: _*), lit(buckets)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],

@@ -1194,4 +1194,85 @@ object TextAnalysis {
           col("rule_stopwords") && col("rule_ttr"))
       .orderBy(col("doc_id"))
   }
+
+  /** Pointwise mutual information between co-occurring vocabulary terms.
+    *
+    * The term universe is cut to the top-`vocabSize` terms by document
+    * frequency FIRST (deterministic df-desc/term tie-break) — at web
+    * scale the raw vocabulary is unbounded, and the vocab cut is what
+    * keeps the per-document pair fan-out at ≤ V·(V−1)/2 instead of
+    * quadratic in document length. The vocab (and the df map) is a few
+    * hundred rows → broadcast to both sides of the pair join; the only
+    * shuffle is the doc_id-keyed self-join and the final (a,b) count,
+    * both map-side combined.
+    *
+    * PMI = ln(n_ab · N / (df_a · df_b)), computed from exact BIGINT
+    * counts, rounded to 6 for cross-engine float parity. */
+  def pmiPairs(spark: SparkSession, dir: String,
+      vocabSize: Int = 30, minPairs: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+    val df_ = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = df_.orderBy(col("df").desc, col("term")).limit(vocabSize)
+    val inVocab = terms.join(broadcast(vocab), Seq("term"))
+    // N as a broadcast 1-row aggregate: keeps the whole computation one
+    // lazy plan (no separate driver-side count action)
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val pairs = inVocab.select(col("doc_id"), col("term").as("a"), col("df").as("df_a"))
+      .join(inVocab.select(col("doc_id"), col("term").as("b"), col("df").as("df_b")),
+        Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.filter(col("n_ab") >= minPairs)
+      .crossJoin(broadcast(nDocs))
+      .select(col("a"), col("b"), col("n_ab"), col("df_a"), col("df_b"),
+        round(log(col("n_ab") * col("n_total") / (col("df_a") * col("df_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Flesch-style readability per document, from three exact counts:
+    * whitespace words, sentence-ending punctuation (min 1), and vowel-run
+    * "syllables". One codegen'd projection pass — the same single-scan
+    * shape as [[docFeatures]]; no shuffle at all. Scores rounded to 4. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = tokenCount(col("text")).cast("long")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]")), lit(1))
+      .cast("long")
+    val sylls = greatest(regexp_count(col("text"), lit("[aeiouy]+")), lit(1))
+      .cast("long")
+    docs.select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+        sylls.as("n_sylls"))
+      .withColumn("flesch",
+        round(lit(206.835) - lit(1.015) * col("n_words") / col("n_sents")
+          - lit(84.6) * col("n_sylls") / col("n_words"), 4))
+      .withColumn("fk_grade",
+        round(lit(0.39) * col("n_words") / col("n_sents")
+          + lit(11.8) * col("n_sylls") / col("n_words") - lit(15.59), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-scaled multilingual sampling weights (the α=1/2 point of
+    * the p_l ∝ c_l^α family; UniMax's waterfill is the α→0 end, natural
+    * sampling the α=1 end). sqrt is correctly rounded in IEEE-754, and
+    * the normalizing sum runs over the per-language frame in lang order
+    * on both engines, so the weights agree bit-for-bit before the
+    * round(6). One tiny aggregate — the scan does the heavy lifting. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val all = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byLang
+      .withColumn("z", sum(sqrt(col("n_docs"))).over(all))
+      .withColumn("n_total", sum(col("n_docs")).over(all))
+      .select(col("lang"), col("n_docs"),
+        round(sqrt(col("n_docs")) / col("z"), 6).as("weight"),
+        round(sqrt(col("n_docs")) / col("z")
+          / (col("n_docs").cast("double") / col("n_total")), 6).as("boost"))
+      .orderBy(col("lang"))
+  }
 }

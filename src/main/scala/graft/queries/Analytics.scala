@@ -819,6 +819,24 @@ object Analytics {
           "hi" -> (("value", graft.ops.Skew.MaxAgg))))
       .orderBy(col("event_type"))
 
+  /** Salt-replicated fact⋈dim join (Skew.saltedJoin), aggregated per
+    * market segment. Exact-equality twin of the plain equi-join oracle:
+    * the salt spreads any hot user over 8 tasks and the post-join groupBy
+    * starts from the already-spread (key, salt) partitioning. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.ops.Skew.saltedJoin(fact, dim, "user_id", buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** P1-P8 exercised end-to-end: pack the event stream into JSON
     * envelopes (one per day, the ingestion side's `json.dumps`), then
     * parse + explode them back out — the result must be the identity
