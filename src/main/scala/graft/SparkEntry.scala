@@ -107,6 +107,8 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
+    "q_array_funcs" -> (Similarity.arrayFuncs _),
+    "q_silhouette" -> (Similarity.silhouette _),
     "q_ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "q_histogram" -> (Analytics.histogram _),
     "q_outliers" -> (Analytics.outliers _),
@@ -148,6 +150,7 @@ object SparkEntry {
     // round 6: Gopher repetition metrics (top-bigram / dup-3-gram mass)
     "q_gopher_rep" -> ((s, d) => TextAnalysis.gopherRepetition(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
+    "q_kcore" -> ((s, d) => graft.ops.Graph.copurchaseKCore(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
@@ -261,7 +264,39 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (column names/aliases must match the
     * Spark result exactly — the driver sorts columns by name and hashes). */
+  /** Unrolled 8-round 3-core peel (mirrors Graph.copurchaseKCore). The
+    * peel fixpoint is idempotent, so unrolling MORE rounds than the data
+    * needs is still exact — the co-purchase graph converges in ≤4 rounds
+    * (GraphSpec asserts it), 8 gives margin against data regeneration. */
+  private def kCoreSql(k: Int = 3, rounds: Int = 8): String = {
+    val base =
+      """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |            WHERE ord.o_orderdate >= TIMESTAMP '1995-01-01'
+        |              AND ord.o_orderdate < TIMESTAMP '1995-07-01'),
+        |ok AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 10),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       JOIN ok ON x.o = ok.o)""".stripMargin
+    // every stage is MATERIALIZED: each e_i is referenced ~3x by round
+    // i+1, and inlining would re-expand the whole chain exponentially
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY v),
+         |s$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |        JOIN s$i x ON e${i - 1}.a = x.v JOIN s$i y ON e${i - 1}.b = y.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$peels
+       |SELECT v, count(*) AS core_deg FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY v
+       |ORDER BY v""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_kcore" -> kCoreSql(),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
@@ -1571,6 +1606,42 @@ object SparkEntry {
         |SELECT sig, count(*) AS n_vecs, min(vec_id) AS min_vec
         |FROM sig GROUP BY sig
         |ORDER BY sig""".stripMargin,
+
+    // higher-order array functions (mirrors Similarity.arrayFuncs):
+    // per-vector transform/filter/fold/zip_with feature pack
+    "q_array_funcs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS dim,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(list_sum(list_transform(v, x -> x * x)), 6) AS sum_sq,
+        |  round(list_sum(list_transform(v,
+        |    x -> least(greatest(x, -0.5), 0.5))) / len(v), 6) AS clipped_mean,
+        |  len(list_filter(v, x -> abs(x) > 2.0)) > 0 AS has_big,
+        |  round(list_dot_product(v, list_reverse(v)), 6) AS self_conv,
+        |  round(list_max(v) - list_min(v), 6) AS rng
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    // centroid-form silhouette (mirrors Similarity.silhouette): flat
+    // (vec,label,pos) distances to every label centroid
+    "q_silhouette" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label, CAST(i AS INTEGER) AS pos, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)),
+        |cents AS (SELECT label AS clabel, pos, avg(x) AS c
+        |          FROM flat GROUP BY label, pos),
+        |d AS (SELECT vec_id, label, clabel, sum((x - c) * (x - c)) AS d2
+        |      FROM flat JOIN cents USING (pos) GROUP BY vec_id, label, clabel),
+        |ab AS (SELECT vec_id, label,
+        |         sqrt(max(CASE WHEN clabel = label THEN d2 END)) AS a,
+        |         sqrt(min(CASE WHEN clabel <> label THEN d2 END)) AS b
+        |       FROM d GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n,
+        |  round(avg((b - a) / greatest(a, b)), 6) AS mean_sil
+        |FROM ab GROUP BY label ORDER BY label""".stripMargin,
 
     "q_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,

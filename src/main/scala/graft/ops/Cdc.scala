@@ -19,10 +19,11 @@ import graft.util.Tables
   * Scale notes:
   *   - [[cdcMerge]] joins a *small* change window against a *large* base
   *     snapshot. The changes side is reduced to one row per key BEFORE the
-  *     join (latest-op-wins window over just the CDC slice), and is then
-  *     broadcast — the base never shuffles. At 100 TB the base would be a
-  *     stored snapshot (no window); here it is derived from the same log,
-  *     and that derivation is the only base-side shuffle.
+  *     join (latest-op-wins window over just the CDC slice). Spark cannot
+  *     broadcast a full-outer join, so the merge is a key-partitioned
+  *     sort-merge — at 100 TB the base snapshot would be stored bucketed
+  *     by key, making its side of the merge exchange-free; the reduced
+  *     changes side is tiny by construction (a few-hour CDC window).
   *   - [[timeTravel]] reconstructs the as-of-T state by pruning the scan
   *     to `ts < T` FIRST (row-group min/max pruning via the raw int64
   *     range path in [[Tables.eventsBetween]]) and taking the latest row
@@ -75,7 +76,7 @@ object Cdc {
       .select(col("user_id"), col("op"), col("cents").as("chg_cents"),
         col("n_ops").as("n_changes"))
     base
-      .join(broadcast(changes), Seq("user_id"), "full_outer")
+      .join(changes, Seq("user_id"), "full_outer")
       // delete wins; insert/update takes the change value; no change keeps base
       .filter(col("op").isNull || col("op") =!= "D")
       .select(

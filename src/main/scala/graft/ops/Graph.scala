@@ -382,4 +382,55 @@ object Graph {
     * together that the neighborhood structure says should be". */
   def copurchaseLinks(spark: SparkSession, dir: String): DataFrame =
     linkPrediction(copurchaseEdges(spark, dir))
+
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose degree in the surviving induced subgraph is < k, until a
+    * fixpoint. Returns (node, core_deg) — the members of the k-core and
+    * their degree inside it.
+    *
+    * Each round prunes the EDGE set too (semi-join on both endpoints)
+    * and checkpoints it, so later rounds run on the shrinking subgraph
+    * rather than re-filtering the original edges — on a power-law graph
+    * the frontier collapses after the first couple of peels and rounds
+    * get cheaper geometrically. Convergence rides the checkpoint job as
+    * an `Observation` (survivor count unchanged), one job per round, no
+    * driver-side graph. Peel rounds are O(degeneracy) worst-case but
+    * single-digit in practice; the fixpoint is idempotent, so running
+    * extra rounds never changes the result (the property the unrolled
+    * SQL oracle relies on). */
+  def kCore(edgesRaw: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    var edges = edgesRaw.localCheckpoint()
+    var prevN = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"kcore_round_$iter")
+      val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val surv = deg.filter(col("deg") >= k).select(col("v"))
+      // induced subgraph of the survivors. The convergence metric rides
+      // the checkpoint job, observed on the OUTPUT node (always executed
+      // — an inner-node observe can be skipped when AQE collapses an
+      // empty join). Edge-count-unchanged ⟺ node-set-unchanged: every
+      // peeled node had deg ≥ 1, so peeling always removes edges.
+      edges = edges
+        .join(surv.select(col("v").as("sa")), col("a") === col("sa"))
+        .join(surv.select(col("v").as("sb")), col("b") === col("sb"))
+        .select(col("a"), col("b"))
+        .observe(obs, count(lit(1)).as("n_edges"))
+        .localCheckpoint()
+      val n = obs.get("n_edges").asInstanceOf[Long]
+      converged = n == prevN
+      prevN = n
+      iter += 1
+    }
+    edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+      .orderBy(col("v"))
+  }
+
+  /** The 3-core of the co-purchase graph. */
+  def copurchaseKCore(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    kCore(copurchaseEdges(spark, dir), k)
 }

@@ -432,4 +432,64 @@ object Similarity {
         cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
     rankTopK(scored, k)
   }
+
+  /** Higher-order array-function surface over the embedding column:
+    * transform / filter / exists / aggregate (fold) / zip_with /
+    * array_max-min, all codegen'd Catalyst expressions evaluated inline
+    * per row — a single projection pass over the scan, zero shuffle,
+    * no UDFs. This is the vector feature-engineering shape (clipping,
+    * energy, range checks) that at 100 TB must NOT leave the scan stage. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        size(filter(col("v"), _ > 0)).cast("long").as("n_pos"),
+        round(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x), 6)
+          .as("sum_sq"),
+        round(aggregate(
+            transform(col("v"), x => least(greatest(x, lit(-0.5)), lit(0.5))),
+            lit(0.0), _ + _) / size(col("v")), 6)
+          .as("clipped_mean"),
+        exists(col("v"), x => abs(x) > lit(2.0)).as("has_big"),
+        round(aggregate(zip_with(col("v"), reverse(col("v")), _ * _),
+            lit(0.0), _ + _), 6)
+          .as("self_conv"),
+        round(array_max(col("v")) - array_min(col("v")), 6).as("rng"))
+      .orderBy(col("vec_id"))
+
+  /** Per-label mean silhouette score (centroid form): a = distance to
+    * the own-label centroid, b = min distance to any other centroid,
+    * s = (b−a)/max(a,b), averaged per label.
+    *
+    * Everything runs FLAT on (vec_id, label, pos) rows — centroids are
+    * computed and joined as (label, pos, c) rows, never materialized as
+    * array columns, so the shuffle carries scalars and the per-point ×
+    * per-centroid distance matrix is one pos-keyed join + one grouped
+    * sum. With L labels this is an L-fold expansion of the flat vectors
+    * (L is tens, not millions) — the exact-pairwise silhouette's O(n²)
+    * never appears. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("xf").cast("double").as("x"))
+    val cents = flat.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(avg(col("x")).as("c"))
+    val d = flat.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val ab = d.groupBy(col("vec_id"), col("label"))
+      .agg(
+        sqrt(max(when(col("clabel") === col("label"), col("d2")))).as("a"),
+        sqrt(min(when(col("clabel") =!= col("label"), col("d2")))).as("b"))
+    ab.select(col("label"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("mean_sil"))
+      .orderBy(col("label"))
+  }
 }

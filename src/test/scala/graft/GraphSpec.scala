@@ -190,4 +190,34 @@ class GraphSpec extends SparkSpec {
     // the election is non-trivial on this corpus: some doc loses
     assert(out.exists(!_._4))
   }
+
+  test("kCore: cascading peel — K4 survives, tail chain dissolves") {
+    // K4 on {1,2,3,4} plus a chain 4-5-6. For k=2 a single-pass degree
+    // filter would keep node 5 (initial degree 2), but peeling 6 drops
+    // 5's degree to 1 and it must cascade out — iteration is the point.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core3 = Graph.kCore(edges, k = 3).as[(Long, Long)].collect().toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: the chain still dissolves (6 peels, then 5), K4 keeps deg 3
+    val core2 = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: empty result when k exceeds the densest subgraph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.kCore(edges, k = 4).count() === 0L)
+  }
+
+  test("copurchase 3-core converges within the oracle's unroll margin") {
+    // The DuckDB oracle unrolls 8 peel rounds; the peel is idempotent at
+    // the fixpoint, so the unroll is exact iff the data converges in ≤8.
+    // Assert convergence in ≤4 on the fixture — half the margin.
+    val out = Graph.kCore(graft.ops.Graph.copurchaseEdges(spark, sf), 3, maxIter = 4)
+      .as[(Long, Long)].collect()
+    val again = Graph.kCore(graft.ops.Graph.copurchaseEdges(spark, sf), 3, maxIter = 8)
+      .as[(Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    assert(out.forall(_._2 >= 3))
+  }
 }

@@ -305,4 +305,38 @@ class PlanSpec extends SparkSpec {
     val pb = plan(graft.ops.Graph.canonicalSurvivors(spark, sf))
     assert(pb.contains("BroadcastHashJoin"), pb)
   }
+
+  test("q_array_funcs / q_readability: single projection pass, no shuffle") {
+    // higher-order array exprs and the readability counts must evaluate
+    // inline in the scan stage — a shuffle here means the plan fell off
+    // the 100 TB path
+    val pa = plan(graft.ops.Similarity.arrayFuncs(spark, sf))
+    assert(!pa.contains("Exchange hashpartitioning"), pa)
+    val pr = plan(graft.ops.TextAnalysis.readability(spark, sf))
+    assert(!pr.contains("Exchange hashpartitioning"), pr)
+  }
+
+  test("q_pmi: vocab and N ride broadcasts; only doc-keyed shuffles remain") {
+    val p = plan(graft.ops.TextAnalysis.pmiPairs(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row N cross join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_cdc_merge: both slice predicates reach the scans; merge is a key SMJ") {
+    // Spark has no broadcast full-outer — the merge is a sort-merge on
+    // the key (base side would be bucketed in storage at scale). What
+    // must hold here: the base/change time slices prune their scans.
+    val p = plan(graft.ops.Cdc.cdcMerge(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(ts,"), p)
+    assert(p.contains("LessThan(ts,"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_skew_join: salted join stays a hash join over the replicated dim") {
+    val p = plan(Analytics.skewJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -147,4 +147,25 @@ class SimilaritySpec extends SparkSpec {
       .as[Option[Double]].collect()
     assert(got.toSeq === Seq(Some(11.0), None))
   }
+
+  test("arrayFuncs matches a driver-side recomputation of the first vector") {
+    val row = Similarity.arrayFuncs(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Boolean, Double, Double)]
+      .collect().minBy(_._1)
+    val v = graft.util.Tables.embeddings(spark, sf).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].head().map(_.toDouble)
+    assert(row._2 === v.length.toLong)
+    assert(row._3 === v.count(_ > 0).toLong)
+    assert(math.abs(row._4 - v.map(x => x * x).sum) < 1e-4)
+    assert(math.abs(row._7 - v.zip(v.reverse).map { case (a, b) => a * b }.sum) < 1e-4)
+    assert(math.abs(row._8 - (v.max - v.min)) < 1e-4)
+  }
+
+  test("silhouette: per-label counts partition the corpus; scores in [-1, 1]") {
+    val out = Similarity.silhouette(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    val total = graft.util.Tables.embeddings(spark, sf).count()
+    assert(out.map(_._2).sum === total)
+    assert(out.forall { case (_, _, s) => s >= -1.0 && s <= 1.0 })
+  }
 }
