@@ -151,6 +151,9 @@ object SparkEntry {
     "q_gopher_rep" -> ((s, d) => TextAnalysis.gopherRepetition(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.Graph.copurchaseLinks(s, d)),
     "q_kcore" -> ((s, d) => graft.ops.Graph.copurchaseKCore(s, d)),
+    "q_neg_sample" -> ((s, d) => graft.ops.Graph.copurchaseNegatives(s, d)),
+    "q_ks_drift" -> ((s, d) => graft.ops.Monitor.ksDrift(s, d)),
+    "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
     "q_doc_features" -> (TextAnalysis.docFeatures _),
@@ -297,6 +300,56 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_kcore" -> kCoreSql(),
+
+    "q_ks_drift" -> graft.ops.Monitor.ksDriftSql,
+
+    // deterministic md5-probe negative sampling over the co-purchase
+    // graph (mirrors Graph.copurchaseNegatives, k=4, seed neg1)
+    "q_neg_sample" ->
+      """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |            WHERE ord.o_orderdate >= TIMESTAMP '1995-01-01'
+        |              AND ord.o_orderdate < TIMESTAMP '1995-07-01'),
+        |ok AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 10),
+        |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        |     FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |     JOIN ok ON x.o = ok.o),
+        |nodes AS (SELECT DISTINCT v FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |idx AS MATERIALIZED (
+        |  SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx FROM nodes),
+        |n AS (SELECT count(*) AS n_nodes FROM idx),
+        |probes AS (
+        |  SELECT x.v AS a, i.i AS i,
+        |    ('0x' || substr(md5('neg1|' || x.v || '|' || i.i), 1, 8))::BIGINT
+        |      % n.n_nodes AS idx
+        |  FROM idx x CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(range(1, 5)) AS i) i),
+        |cand AS (SELECT p.a, CAST(p.i AS BIGINT) AS i, t.v AS b
+        |         FROM probes p JOIN idx t USING (idx) WHERE p.a <> t.v)
+        |SELECT a, i, b FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.a = least(cand.a, cand.b) AND e.b = greatest(cand.a, cand.b))
+        |ORDER BY a, i""".stripMargin,
+
+    // per-doc unigram entropy (mirrors TextAnalysis.tokenEntropy):
+    // H = log2(n) - sum(c*log2 c)/n
+    "q_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        sum(c * log2(c)) AS s
+        |      FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(log2(n_tokens) - s / n_tokens, 6) AS entropy,
+        |  CASE WHEN n_distinct > 1
+        |       THEN round((log2(n_tokens) - s / n_tokens) / log2(n_distinct), 6)
+        |       ELSE 0.0 END AS norm_entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

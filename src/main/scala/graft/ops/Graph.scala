@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -433,4 +434,44 @@ object Graph {
   /** The 3-core of the co-purchase graph. */
   def copurchaseKCore(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     kCore(copurchaseEdges(spark, dir), k)
+
+  /** Deterministic negative sampling for link-prediction training: for
+    * every node `a`, `k` pseudo-random probe partners drawn by md5 hash
+    * from the node universe, minus self-pairs and true edges. Replayable
+    * across engines and epochs (seeded hash, no RNG), the property that
+    * makes contrastive training resumable.
+    *
+    * The node index is a global rank — at scale that is a range-
+    * partitioned two-phase sort (Spark's orderBy), built once per
+    * universe and reused across epochs/seeds; probes then hash-join the
+    * index and anti-join the edge list, all key-partitioned, nothing
+    * driver-side. Expected output ≈ n·k minus hash self/edge collisions
+    * — exact-count certainty is NOT a goal of negative sampling. */
+  def negativeSample(edgesRaw: DataFrame, k: Int = 4,
+      seed: String = "neg1"): DataFrame = {
+    val edges = edgesRaw.localCheckpoint()
+    val nodes = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+      .distinct()
+    val idx = nodes.withColumn("idx",
+      row_number().over(Window.orderBy(col("v"))).cast("long") - 1)
+    val n = idx.agg(count(lit(1)).as("n_nodes"))
+    val probes = idx.select(col("v").as("a"))
+      .crossJoin(broadcast(n))
+      .withColumn("i", explode(sequence(lit(1), lit(k))))
+      .withColumn("idx",
+        conv(substring(md5(concat(lit(seed + "|"), col("a"), lit("|"), col("i"))),
+          1, 8), 16, 10).cast("long") % col("n_nodes"))
+    val cand = probes.join(idx.select(col("idx"), col("v").as("b")), Seq("idx"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("i"), col("b"),
+        least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+    cand.join(edges,
+        cand("lo") === edges("a") && cand("hi") === edges("b"), "left_anti")
+      .select(col("a"), col("i").cast("long").as("i"), col("b"))
+      .orderBy(col("a"), col("i"))
+  }
+
+  /** Negative samples over the co-purchase graph. */
+  def copurchaseNegatives(spark: SparkSession, dir: String): DataFrame =
+    negativeSample(copurchaseEdges(spark, dir))
 }

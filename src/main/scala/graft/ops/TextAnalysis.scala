@@ -1255,6 +1255,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token (unigram) entropy — the vocabulary-diversity
+    * quality signal: low entropy flags boilerplate/repetition, the
+    * complement of [[gopherRepetition]]'s span metrics.
+    *
+    * Uses H = log2(n) − (Σ c·log2 c)/n, an exact algebraic rewrite of
+    * −Σ p·log2 p that aggregates ONE map-side-combinable sum of
+    * c·log2(c) per document instead of needing p (= c/n) before the
+    * aggregation — so the whole thing is tf-count → one groupBy, no
+    * second pass, no window. norm_entropy divides by log2(#distinct)
+    * (0 when a document is a single repeated token). */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyFromDocs(Tables.documents(spark, dir))
+
+  def tokenEntropyFromDocs(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens")) - col("s") / col("n_tokens"), 6)
+          .as("entropy"),
+        when(col("n_distinct") > 1,
+            round((log2(col("n_tokens")) - col("s") / col("n_tokens"))
+              / log2(col("n_distinct")), 6))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-scaled multilingual sampling weights (the α=1/2 point of
     * the p_l ∝ c_l^α family; UniMax's waterfill is the α→0 end, natural
     * sampling the α=1 end). sqrt is correctly rounded in IEEE-754, and
