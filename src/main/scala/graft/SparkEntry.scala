@@ -153,6 +153,8 @@ object SparkEntry {
     "q_kcore" -> ((s, d) => graft.ops.Graph.copurchaseKCore(s, d)),
     "q_neg_sample" -> ((s, d) => graft.ops.Graph.copurchaseNegatives(s, d)),
     "q_ks_drift" -> ((s, d) => graft.ops.Monitor.ksDrift(s, d)),
+    "q_psi" -> ((s, d) => graft.ops.Monitor.psi(s, d)),
+    "q_stream_cdc" -> ((s, d) => graft.streaming.StreamCdc.snapshotBatch(s, d)),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -302,6 +304,29 @@ object SparkEntry {
     "q_kcore" -> kCoreSql(),
 
     "q_ks_drift" -> graft.ops.Monitor.ksDriftSql,
+
+    "q_psi" -> graft.ops.Monitor.psiSql,
+
+    // streaming CDC snapshot, batch face (mirrors StreamCdc.snapshotBatch):
+    // the stateful fold must equal the relational latest-op-wins replay
+    "q_stream_cdc" ->
+      """WITH log AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+        |  FROM events),
+        |r AS (SELECT user_id, op, cents,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS version
+        |      FROM log)
+        |SELECT user_id,
+        |  CASE WHEN op = 'D' THEN 0 ELSE cents END AS cents,
+        |  op = 'D' AS deleted,
+        |  CAST(version AS BIGINT) AS version
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // deterministic md5-probe negative sampling over the co-purchase
     // graph (mirrors Graph.copurchaseNegatives, k=4, seed neg1)

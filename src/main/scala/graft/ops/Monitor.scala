@@ -51,6 +51,86 @@ object Monitor {
       .orderBy(col("event_type"))
   }
 
+  /** Population stability index per event_type between the pre-/post-
+    * `split` value distributions, over 10 equal-width bins whose range
+    * comes from the REFERENCE slice (the deployed convention: the bin
+    * edges are frozen with the reference, current data clamps into
+    * them). PSI = Σ_b (p_c − p_r)·ln(p_c/p_r) with add-one smoothing so
+    * empty bins are defined; all binning is integer arithmetic on
+    * clamped non-negative cents (truncating vs flooring division can
+    * never disagree), so both engines bin identically and the only
+    * float work is the final 10-term sum.
+    *
+    * Shape: one stats aggregate per type (broadcast), one binned count
+    * aggregate, a 10-row-per-type bin spine from `sequence` — no window
+    * over raw rows, everything map-side combinable. */
+  def psi(spark: SparkSession, dir: String,
+      split: String = "2024-01-15 00:00:00", bins: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      (col("ts") < lit(split).cast("timestamp")).cast("long").as("is_ref"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val refStats = ev.filter(col("is_ref") === 1L)
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        count(lit(1)).as("n_ref"))
+    val curStats = ev.filter(col("is_ref") === 0L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_cur"))
+    val binned = ev.join(broadcast(refStats), Seq("event_type"))
+      .withColumn("bin", least(lit(bins - 1),
+        (least(col("hi"), greatest(col("lo"), col("cents"))) - col("lo"))
+          * bins / (col("hi") - col("lo") + 1)).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("is_ref")).as("nr"), sum(lit(1L) - col("is_ref")).as("nc"))
+    // full bin spine: absent bins still contribute under smoothing
+    val spine = refStats.join(broadcast(curStats), Seq("event_type"))
+      .withColumn("bin", explode(sequence(lit(0L), lit(bins.toLong - 1))))
+    spine.join(binned, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        ((coalesce(col("nr"), lit(0L)) + 1).cast("double")
+          / (col("n_ref") + bins)).as("pr"),
+        ((coalesce(col("nc"), lit(0L)) + 1).cast("double")
+          / (col("n_cur") + bins)).as("pc"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 6)
+          .as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[psi]]. */
+  val psiSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END
+      |      AS is_ref,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |rs AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi,
+      |         count(*) AS n_ref
+      |       FROM ev WHERE is_ref = 1 GROUP BY event_type),
+      |cs AS (SELECT event_type, count(*) AS n_cur
+      |       FROM ev WHERE is_ref = 0 GROUP BY event_type),
+      |b AS (SELECT ev.event_type,
+      |        least(9, (least(hi, greatest(lo, cents)) - lo) * 10
+      |                 // (hi - lo + 1)) AS bin,
+      |        CAST(sum(is_ref) AS BIGINT) AS nr,
+      |        CAST(sum(1 - is_ref) AS BIGINT) AS nc
+      |      FROM ev JOIN rs USING (event_type)
+      |      GROUP BY ev.event_type, bin),
+      |spine AS (SELECT rs.event_type, rs.n_ref, cs.n_cur, g.bin
+      |          FROM rs JOIN cs USING (event_type)
+      |          CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g),
+      |p AS (SELECT s.event_type, s.n_ref, s.n_cur,
+      |        CAST(coalesce(b.nr, 0) + 1 AS DOUBLE) / (s.n_ref + 10) AS pr,
+      |        CAST(coalesce(b.nc, 0) + 1 AS DOUBLE) / (s.n_cur + 10) AS pc
+      |      FROM spine s LEFT JOIN b USING (event_type, bin))
+      |SELECT event_type,
+      |  CAST(max(n_ref) AS BIGINT) AS n_ref,
+      |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+      |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+      |FROM p GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** DuckDB oracle for [[ksDrift]]. */
   val ksDriftSql: String =
     """WITH ev AS (

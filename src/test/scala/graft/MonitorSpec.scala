@@ -37,6 +37,31 @@ class MonitorSpec extends SparkSpec {
     assert(got.forall { case (_, _, _, ks) => ks >= 0.0 && ks <= 1.0 })
   }
 
+  test("psi matches a driver-side recomputation with frozen reference bins") {
+    val got = Monitor.psi(spark, sf).as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val rows = graft.util.Tables.events(spark, sf)
+      .select($"event_type",
+        ($"ts" < lit("2024-01-15 00:00:00").cast("timestamp")).as("ref"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(String, Boolean, Long)].collect()
+    for ((et, nRef, nCur, psi) <- got) {
+      val s = rows.filter(_._1 == et)
+      val ref = s.filter(_._2).map(_._3)
+      val cur = s.filterNot(_._2).map(_._3)
+      assert(ref.length.toLong === nRef && cur.length.toLong === nCur)
+      val (lo, hi) = (ref.min, ref.max)
+      def bin(c: Long): Long = math.min(9L, (math.min(hi, math.max(lo, c)) - lo) * 10 / (hi - lo + 1))
+      val e = (0L until 10L).map { b =>
+        val pr = (ref.count(bin(_) == b) + 1).toDouble / (ref.length + 10)
+        val pc = (cur.count(bin(_) == b) + 1).toDouble / (cur.length + 10)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+      assert(math.abs(psi - e) < 1e-5, s"$et: $psi vs $e")
+      assert(psi >= 0.0) // PSI is a non-negative divergence
+    }
+  }
+
   test("negativeSample: deterministic, excludes self-pairs and true edges") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 6L))
       .toDF("a", "b")
