@@ -47,6 +47,7 @@ object SparkEntry {
     "q_left_join_fill" -> (Analytics.leftJoinFill _),
     "q_salted_agg" -> (Analytics.saltedAgg _),
     "q_skew_join" -> (Analytics.skewJoin _),
+    "q_feature_cross" -> ((s, d) => Analytics.featureCross(s, d)),
     "q_cdc_merge" -> ((s, d) => graft.ops.Cdc.cdcMerge(s, d)),
     "q_time_travel" -> ((s, d) => graft.ops.Cdc.timeTravel(s, d)),
     "q_sessionize" -> (Analytics.sessionize _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_array_funcs" -> (Similarity.arrayFuncs _),
+    "q_lsh_recall" -> ((s, d) => Similarity.lshRecall(s, d)),
     "q_silhouette" -> (Similarity.silhouette _),
     "q_ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "q_histogram" -> (Analytics.histogram _),
@@ -663,6 +665,19 @@ object SparkEntry {
         |ORDER BY c_mktsegment""".stripMargin,
 
     "q_cdc_merge" -> graft.ops.Cdc.cdcMergeSql,
+
+    // hashed (event_type x hour) feature crosses with collision census
+    // (mirrors Analytics.featureCross, 64 buckets)
+    "q_feature_cross" ->
+      """WITH c AS (
+        |  SELECT event_type || '|' || CAST(hour(ts) AS VARCHAR) AS crs
+        |  FROM events)
+        |SELECT ('0x' || substr(md5(crs), 1, 2))::BIGINT % 64 AS bucket,
+        |  count(*) AS n_rows,
+        |  CAST(count(DISTINCT crs) AS BIGINT) AS n_crosses,
+        |  min(crs) AS min_cross
+        |FROM c GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q_time_travel" -> graft.ops.Cdc.timeTravelSql,
 
@@ -1684,6 +1699,49 @@ object SparkEntry {
         |SELECT sig, count(*) AS n_vecs, min(vec_id) AS min_vec
         |FROM sig GROUP BY sig
         |ORDER BY sig""".stripMargin,
+
+    // LSH bucket recall vs exact top-10 (mirrors Similarity.lshRecall):
+    // per query, exact top-k membership of the query's own bucket
+    "q_lsh_recall" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |        s.sig AS qsig
+        |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |      WHERE e.vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, q.qsig, e.vec_id, s.sig,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+        |      AS cos
+        |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |  CROSS JOIN q WHERE e.vec_id >= 8),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id) AS rnk FROM scored),
+        |h AS (SELECT query_id, qsig,
+        |        CAST(sum(CASE WHEN sig = qsig THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS hits
+        |      FROM ranked WHERE rnk <= 10 GROUP BY query_id, qsig),
+        |b AS (SELECT s.sig AS qsig, count(*) AS n_candidates
+        |      FROM sig s WHERE s.vec_id >= 8 GROUP BY s.sig)
+        |SELECT query_id,
+        |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  hits, round(hits / 10.0, 6) AS recall
+        |FROM h LEFT JOIN b USING (qsig)
+        |ORDER BY query_id""".stripMargin,
 
     // higher-order array functions (mirrors Similarity.arrayFuncs):
     // per-vector transform/filter/fold/zip_with feature pack

@@ -433,6 +433,48 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** ANN index evaluation: recall of the hyperplane-LSH bucket index
+    * against the exact cosine top-k, per query — the measurement that
+    * decides whether an index's bucket count / plane count is adequate
+    * BEFORE committing a 100 TB corpus to it. For each of the first
+    * `nQueries` vectors: the exact top-k over the corpus (vec_id ≥
+    * nQueries, the q_ann_batch convention), how many of those k land in
+    * the query's own bucket (= what a 1-probe search would find), and
+    * the bucket's candidate cost.
+    *
+    * Signatures are computed ONCE for corpus and queries in the same
+    * projection; queries are a broadcast k-row side; the exact ranking
+    * reuses the per-partition top-k shape. Evaluation is itself a
+    * dataflow — no collected ranking lists on the driver. */
+  def lshRecall(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val e = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sig", hyperplaneSignature(col("v")))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val hits = corpus
+      .join(broadcast(q))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"), col("qsig"))
+      .agg(sum(when(col("sig") === col("qsig"), 1L).otherwise(0L)).as("hits"))
+    val buckets = corpus.groupBy(col("sig").as("qsig"))
+      .agg(count(lit(1)).as("n_candidates"))
+    hits.join(buckets, Seq("qsig"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Higher-order array-function surface over the embedding column:
     * transform / filter / exists / aggregate (fold) / zip_with /
     * array_max-min, all codegen'd Catalyst expressions evaluated inline

@@ -1442,6 +1442,26 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Hashing-trick feature crosses: (event_type × hour-of-day) crossed
+    * into 64 hash buckets by md5 nibbles — the fixed-width categorical
+    * encoding that never needs a vocabulary pass (vs [[labelEncode]]'s
+    * exact codes), plus the collision census (distinct crosses per
+    * bucket) that tells you whether 64 buckets is enough. One zero-join
+    * projection + one aggregate; the bucket id is deterministic across
+    * engines, epochs, and executors. */
+  def featureCross(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame =
+    Tables.events(spark, dir)
+      .select(concat(col("event_type"), lit("|"), hour(col("ts"))).as("cross"))
+      .withColumn("bucket",
+        conv(substring(md5(col("cross")), 1, 2), 16, 10).cast("long")
+          % buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cross")).as("n_crosses"),
+        min(col("cross")).as("min_cross"))
+      .orderBy(col("bucket"))
+
   /** Quantity-weighted average price per brand (the VWAP shape of the
     * crypto reference, on the harness schema): Σ(price·qty)/Σ(qty) from
     * integer-cents and milli-unit long sums — exact, order-independent

@@ -82,6 +82,14 @@ class MonitorSpec extends SparkSpec {
     assert(s3 !== s1)
   }
 
+  test("featureCross: buckets partition all rows; census bounded by bucket count") {
+    val out = graft.queries.Analytics.featureCross(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val total = graft.util.Tables.events(spark, sf).count()
+    assert(out.map(_._2).sum === total)
+    assert(out.forall { case (b, n, nc, _) => b >= 0 && b < 64 && nc >= 1 && n >= nc })
+  }
+
   test("tokenEntropy: repeated token → 0; all-distinct → log2(n), norm 1") {
     val docs = Seq(
       (1L, "x x x x"),

@@ -161,6 +161,15 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(row._8 - (v.max - v.min)) < 1e-4)
   }
 
+  test("lshRecall: hits bounded by k and by the bucket census") {
+    val out = Similarity.lshRecall(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 8)
+    assert(out.forall { case (_, nCand, hits, recall) =>
+      hits >= 0 && hits <= 10 && hits <= nCand &&
+        math.abs(recall - hits / 10.0) < 1e-9 })
+  }
+
   test("silhouette: per-label counts partition the corpus; scores in [-1, 1]") {
     val out = Similarity.silhouette(spark, sf)
       .as[(Int, Long, Double)].collect()
