@@ -58,6 +58,7 @@ object SparkEntry {
     "q_asof_tolerance" -> (Analytics.asofTolerance _),
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
+    "q_grouping_sets" -> (Analytics.groupingSets _),
     "q_rollup_stats" -> (Analytics.rollupStats _),
     "q_supplier_region" -> (Analytics.supplierByRegion _),
     "q_set_ops" -> (Analytics.setOps _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q_neg_sample" -> ((s, d) => graft.ops.Graph.copurchaseNegatives(s, d)),
     "q_ks_drift" -> ((s, d) => graft.ops.Monitor.ksDrift(s, d)),
     "q_psi" -> ((s, d) => graft.ops.Monitor.psi(s, d)),
+    "q_window_psi" -> ((s, d) => graft.streaming.StreamDrift.windowPsi(s, d)),
     "q_stream_cdc" -> ((s, d) => graft.streaming.StreamCdc.snapshotBatch(s, d)),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
@@ -308,6 +310,8 @@ object SparkEntry {
     "q_ks_drift" -> graft.ops.Monitor.ksDriftSql,
 
     "q_psi" -> graft.ops.Monitor.psiSql,
+
+    "q_window_psi" -> graft.streaming.StreamDrift.windowPsiSql,
 
     // streaming CDC snapshot, batch face (mirrors StreamCdc.snapshotBatch):
     // the stateful fold must equal the relational latest-op-wins replay
@@ -680,6 +684,17 @@ object SparkEntry {
         |ORDER BY bucket""".stripMargin,
 
     "q_time_travel" -> graft.ops.Cdc.timeTravelSql,
+
+    // explicit grouping sets with an engine-neutral grouping id
+    "q_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS cohort,
+        |  CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS INT)
+        |    AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+        |ORDER BY gid, event_type, cohort""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (

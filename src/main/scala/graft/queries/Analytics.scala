@@ -487,6 +487,25 @@ object Analytics {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (the general form behind cube/rollup,
+    * §2.6): per-(type, cohort), per-type, and grand-total aggregates in
+    * ONE Expand+Aggregate pass — the plan reads the input once and
+    * replicates rows per grouping set, vs three scans for a UNION ALL
+    * of separate GROUP BYs. The grouping id is spelled as
+    * grouping(a)·2 + grouping(b) so both engines agree bit-for-bit on
+    * the set labels regardless of their native grouping_id order. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("v_events")
+    spark.sql(
+      """SELECT event_type, user_id % 10 AS cohort,
+        |  grouping(event_type) * 2 + grouping(user_id % 10) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM v_events
+        |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+        |ORDER BY gid, event_type, cohort""".stripMargin)
+  }
+
   /** Correlated scalar subquery + EXISTS, SQL-expressed so Catalyst's
     * decorrelation rules (RewriteCorrelatedScalarSubquery /
     * RewritePredicateSubquery — the rewrites the reference executed by
