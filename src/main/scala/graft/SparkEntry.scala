@@ -59,6 +59,7 @@ object SparkEntry {
     "q_range_join" -> (Analytics.rangeJoin _),
     "q_cube_stats" -> (Analytics.cubeStats _),
     "q_grouping_sets" -> (Analytics.groupingSets _),
+    "q_argmin_supplier" -> ((s, d) => graft.queries.Relational.cheapestSupplier(s, d)),
     "q_rollup_stats" -> (Analytics.rollupStats _),
     "q_supplier_region" -> (Analytics.supplierByRegion _),
     "q_set_ops" -> (Analytics.setOps _),
@@ -684,6 +685,24 @@ object SparkEntry {
         |ORDER BY bucket""".stripMargin,
 
     "q_time_travel" -> graft.ops.Cdc.timeTravelSql,
+
+    // per-part argmin supplier (mirrors Relational.cheapestSupplier)
+    "q_argmin_supplier" ->
+      """WITH obs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |m AS (SELECT l_partkey, min(price_cents) AS min_cents
+        |      FROM obs GROUP BY l_partkey),
+        |a AS (SELECT o.l_partkey, o.price_cents AS min_cents,
+        |        min(o.l_suppkey) AS supp
+        |      FROM obs o JOIN m ON o.l_partkey = m.l_partkey
+        |        AND o.price_cents = m.min_cents
+        |      GROUP BY o.l_partkey, o.price_cents)
+        |SELECT a.l_partkey, a.min_cents, a.supp, s.s_name
+        |FROM a JOIN supplier s ON a.supp = s.s_suppkey
+        |ORDER BY min_cents DESC, l_partkey
+        |LIMIT 100""".stripMargin,
 
     // explicit grouping sets with an engine-neutral grouping id
     "q_grouping_sets" ->

@@ -166,4 +166,34 @@ object Relational {
       .filter(clause)
       .agg(sum(revenueCents).as("revenue_cents"), count(lit(1)).as("n_lines"))
   }
+
+  // --------------------------------------------------------------------
+  // TPC-H Q2 core (argmin join): cheapest supplier per part
+  // --------------------------------------------------------------------
+
+  /** Per-part argmin over suppliers (Q2's correlated min, on the
+    * harness schema: lineitem as the part×supplier price observation).
+    * Two-phase: a map-side-combinable (part → min price) aggregate,
+    * then ONE equi-join back on (part, price) with a deterministic
+    * min-suppkey tie-break — never a correlated per-row subquery, and
+    * never a row_number over the full observation table when only the
+    * argmin row is wanted (the aggregate's shuffle carries two columns,
+    * the window's would carry every column). */
+  def cheapestSupplier(spark: SparkSession, dir: String,
+      topN: Int = 100): DataFrame = {
+    val obs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    val minPrice = obs.groupBy(col("l_partkey"))
+      .agg(min(col("price_cents")).as("min_cents"))
+    obs.join(minPrice, Seq("l_partkey"))
+      .filter(col("price_cents") === col("min_cents"))
+      .groupBy(col("l_partkey"), col("min_cents"))
+      .agg(min(col("l_suppkey")).as("supp"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))), col("supp") === col("s_suppkey"))
+      .select(col("l_partkey"), col("min_cents"), col("supp"), col("s_name"))
+      .orderBy(col("min_cents").desc, col("l_partkey"))
+      .limit(topN)
+  }
 }
