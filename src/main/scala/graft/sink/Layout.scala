@@ -63,6 +63,28 @@ object Layout {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(tableName)
 
+  /** Persist an IVF ANN index as a centroid-partitioned table — the
+    * storage form `Similarity.ivfTopK`'s scaladoc promises: a probe of
+    * `nprobe` centroids becomes a partition-pruned scan that never
+    * touches the other buckets' files. At billion-vector scale the
+    * probe cost is nprobe/nlist of the corpus, enforced by LAYOUT, not
+    * by a filter the reader must trust. */
+  def writeIvf(spark: SparkSession, dir: String, path: String,
+      nlist: Int = 8): Unit =
+    graft.ops.Similarity.ivfAssign(spark, dir, nlist)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("centroid_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("centroid_id")
+      .parquet(path)
+
+  /** Probe the stored IVF index: scan only the given centroids'
+    * partitions. */
+  def probeIvf(spark: SparkSession, path: String,
+      centroids: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("centroid_id").isin(centroids: _*))
+
   /** 2-D Morton (Z-order) code: interleave the low `bits` bits of two
     * already-quantized cell coordinates (x in even positions, y in odd).
     * Pure integer column algebra — codegen'd, no UDF. */

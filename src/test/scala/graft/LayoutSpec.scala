@@ -113,4 +113,30 @@ class LayoutSpec extends SparkSpec {
       assert(shards.map(_._3).sum === cum)
     }
   }
+
+  test("IVF index storage: a 2-centroid probe is a partition-pruned scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivf"); dir.toFile.deleteOnExit()
+    Layout.writeIvf(spark, sf, dir.toString, nlist = 8)
+    val probed = Layout.probeIvf(spark, dir.toString, Seq(0L, 3L))
+    // pruning is visible in the plan — the layout enforces the probe cost
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("centroid_id"), plan)
+    val probedFiles = probed
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    val allFiles = spark.read.parquet(dir.toString)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(probedFiles < allFiles,
+      s"probe touched all $allFiles files")
+    // round trip: exactly the assigned members of the probed buckets
+    val expected = graft.ops.Similarity.ivfAssign(spark, sf, 8)
+      .filter(org.apache.spark.sql.functions.col("centroid_id").isin(0L, 3L))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val got = probed.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
