@@ -185,6 +185,13 @@ object SparkEntry {
     "q_unimax" -> ((s, d) => TextAnalysis.unimaxSample(s, d)),
     "q_compaction_plan" -> ((s, d) => graft.sink.Layout.compactionPlan(s, d)),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    // round 6 (third session): mergeable count-min sketch, fixed-round
+    // majority label propagation, semi/anti existence joins
+    "q_countmin" -> ((s, d) => TextAnalysis.countMin(s, d)),
+    "q_label_prop" -> ((s, d) => graft.ops.Graph.labelPropagation(s, d)),
+    "q_semi_anti" -> ((s, d) => graft.queries.Relational.existenceJoins(s, d)),
+    "q_dq_checks" -> ((s, d) => graft.ops.DataQuality.dqChecks(s, d)),
+    "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -986,6 +993,123 @@ object SparkEntry {
         |ORDER BY cnt DESC, term
         |LIMIT 20""".stripMargin,
 
+    // full replay of the d=4 × w=64 count-min matrix over word bigrams:
+    // same md5 bucket scheme, cell counts, min-over-rows probe
+    "q_countmin" ->
+      """WITH tok AS (
+        |  SELECT w[i] || ' ' || w[i + 1] AS term
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+        |b AS (SELECT term,
+        |        i, ('0x' || substr(md5('cm' || i || '|' || term), 1, 8))::BIGINT % 64 AS bucket
+        |      FROM tok, range(4) r(i)),
+        |cells AS (SELECT i, bucket, count(*) AS cnt FROM b GROUP BY i, bucket),
+        |exact AS (SELECT term, count(*) AS exact_cnt FROM tok GROUP BY term
+        |          ORDER BY exact_cnt DESC, term LIMIT 20),
+        |probe AS (SELECT e.term, e.exact_cnt, i,
+        |            ('0x' || substr(md5('cm' || i || '|' || e.term), 1, 8))::BIGINT % 64 AS bucket
+        |          FROM exact e, range(4) r(i))
+        |SELECT p.term, p.exact_cnt, min(c.cnt) AS cm_est,
+        |       min(c.cnt) - p.exact_cnt AS overcount
+        |FROM probe p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+        |GROUP BY p.term, p.exact_cnt
+        |ORDER BY p.exact_cnt DESC, p.term""".stripMargin,
+
+    // three unrolled synchronous majority-LPA rounds; ties break to the
+    // smallest label (row_number ORDER BY votes DESC, lbl)
+    "q_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bi),
+        |r1 AS (SELECT node, lbl FROM (
+        |  SELECT src AS node, lbl,
+        |         row_number() OVER (PARTITION BY src ORDER BY v DESC, lbl) AS rn
+        |  FROM (SELECT bi.src, l.lbl, count(*) AS v
+        |        FROM bi JOIN l0 l ON bi.dst = l.node GROUP BY bi.src, l.lbl))
+        |  WHERE rn = 1),
+        |r2 AS (SELECT node, lbl FROM (
+        |  SELECT src AS node, lbl,
+        |         row_number() OVER (PARTITION BY src ORDER BY v DESC, lbl) AS rn
+        |  FROM (SELECT bi.src, l.lbl, count(*) AS v
+        |        FROM bi JOIN r1 l ON bi.dst = l.node GROUP BY bi.src, l.lbl))
+        |  WHERE rn = 1),
+        |r3 AS (SELECT node, lbl FROM (
+        |  SELECT src AS node, lbl,
+        |         row_number() OVER (PARTITION BY src ORDER BY v DESC, lbl) AS rn
+        |  FROM (SELECT bi.src, l.lbl, count(*) AS v
+        |        FROM bi JOIN r2 l ON bi.dst = l.node GROUP BY bi.src, l.lbl))
+        |  WHERE rn = 1)
+        |SELECT node, lbl AS community FROM r3 ORDER BY node""".stripMargin,
+
+    // each check row replayed as a scalar-subquery SELECT; "check" is
+    // quoted (DuckDB keyword) but lands as the same column name
+    "q_dq_checks" ->
+      """SELECT * FROM (
+        |SELECT 'orders.o_totalprice.complete' AS "check",
+        |  (SELECT count(*) FROM orders) AS n_checked,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders) AS n_violations
+        |UNION ALL
+        |SELECT 'orders.o_totalprice.positive',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+        |UNION ALL
+        |SELECT 'orders.o_orderdate.complete',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem.l_discount.in_range_0_0.1',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)
+        |UNION ALL
+        |SELECT 'lineitem.l_quantity.positive',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)
+        |UNION ALL
+        |SELECT 'lineitem.l_extendedprice.complete',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)
+        |UNION ALL
+        |SELECT 'orders.o_orderkey.unique',
+        |  (SELECT count(*) FROM (SELECT 1 FROM orders GROUP BY o_orderkey)),
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |     (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1)
+        |UNION ALL
+        |SELECT 'lineitem.(l_orderkey,l_linenumber).unique',
+        |  (SELECT count(*) FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |     (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) WHERE c > 1)
+        |UNION ALL
+        |SELECT 'orders.o_custkey.refers.customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey.refers.orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_shipdate.gte.o_orderdate',
+        |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   WHERE l_shipdate < o_orderdate)
+        |) ORDER BY "check"""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT n_name AS nation, count(*) AS n_cust,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_urgent_cust,
+        |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_urgent
+        |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
     "q_series_collect" ->
       """SELECT event_type,
         |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS series
@@ -1776,6 +1900,51 @@ object SparkEntry {
         |  hits, round(hits / 10.0, 6) AS recall
         |FROM h LEFT JOIN b USING (qsig)
         |ORDER BY query_id""".stripMargin,
+
+    // mutual k-NN graph: LSH-bucket candidates -> per-node top-5 ->
+    // reciprocity check; same signature replay as q_ann_lsh_buckets
+    "q_knn_graph" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |sv AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.sig
+        |       FROM embeddings e JOIN sig s USING (vec_id)
+        |       WHERE len(e.embedding) > 0),
+        |cand AS MATERIALIZED (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |  FROM sv x JOIN sv y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+        |nc AS (SELECT a, count(*) AS n_cand FROM cand GROUP BY a),
+        |rnk AS (SELECT *, row_number() OVER (PARTITION BY a
+        |          ORDER BY cos DESC, b) AS rn FROM cand),
+        |knn AS (SELECT a, b, cos FROM rnk WHERE rn <= 5),
+        |deg AS (SELECT a, count(*) AS knn_deg FROM knn GROUP BY a),
+        |top1 AS (SELECT a, b AS nn_top, cos AS nn_top_cos FROM rnk WHERE rn = 1),
+        |mut AS (SELECT k1.a, count(*) AS mutual_deg
+        |        FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+        |        GROUP BY k1.a)
+        |SELECT s.vec_id,
+        |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(deg.knn_deg, 0) AS BIGINT) AS knn_deg,
+        |  CAST(coalesce(mut.mutual_deg, 0) AS BIGINT) AS mutual_deg,
+        |  t.nn_top, t.nn_top_cos
+        |FROM sv s LEFT JOIN nc ON s.vec_id = nc.a
+        |LEFT JOIN deg ON s.vec_id = deg.a
+        |LEFT JOIN top1 t ON s.vec_id = t.a
+        |LEFT JOIN mut ON s.vec_id = mut.a
+        |ORDER BY s.vec_id""".stripMargin,
 
     // higher-order array functions (mirrors Similarity.arrayFuncs):
     // per-vector transform/filter/fold/zip_with feature pack

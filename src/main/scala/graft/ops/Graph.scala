@@ -212,6 +212,51 @@ object Graph {
     pageRank(bi, iters = 3).orderBy(col("node"))
   }
 
+  /** Synchronous majority label propagation (Raghavan et al. 2007) over
+    * the customer↔supplier trade graph — community detection one level
+    * finer than [[connectedComponents]]: labels start as node ids and
+    * each round every node adopts the label held by the MOST of its
+    * neighbors (ties → smallest label), for a fixed number of rounds.
+    * Fixed rounds + deterministic tie-break make the trajectory
+    * engine-exact (async/random-order LPA is famously run-dependent,
+    * which would be un-oracle-able), and integer labels mean the argmax
+    * is one max-of-struct aggregate — no rank window.
+    *
+    * Scale shape: per round, one join of labels into the dst-partitioned
+    * adjacency (pinned once, like [[pageRank]]'s) and two
+    * map-side-combinable aggregates — (node, label) vote counts, then
+    * per-node argmax via max(struct(votes, -label)). State per round is
+    * one row per node; lineage truncated per round. */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    labelPropRounds(e0, rounds).orderBy(col("node"))
+  }
+
+  /** The LPA core over directed edges (src, dst); symmetrized here.
+    * Returns (node, community) after `rounds` synchronous rounds. */
+  def labelPropRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    // adjacency pinned on the join key (dst) once; only the one-row-per-
+    // node label table moves through each round's join
+    val bi = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst")).localCheckpoint()
+    var labels = bi.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (r <- 1 to rounds) {
+      labels = bi.join(labels, bi("dst") === labels("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("votes"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("votes"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+      if (r < rounds) labels = labels.localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Exact per-node triangle counts of an undirected graph, by
     * degree-ordered orientation — the O(m^1.5) algorithm (each edge is
     * directed from its lower-(degree, id) endpoint to its higher one, so

@@ -160,6 +160,56 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("sig"))
 
+  /** Mutual k-NN graph over the embedding corpus — the graph-based
+    * curation primitive (SemDeDup pruning, cluster balancing, and
+    * graph-dedup all start from a neighbor graph): per-node census of
+    * LSH-bucket candidates, directed top-k neighbors, and MUTUAL edges
+    * (a ∈ knn(b) ∧ b ∈ knn(a) — the reciprocity filter that separates
+    * genuine near-neighbors from hub attraction).
+    *
+    * Scale shape: candidates come from shared hyperplane-LSH buckets
+    * (cost Σ|bucket|², never the n² all-pairs), cosine reuses the
+    * prenormed codegen'd dot, the per-node top-k runs through the
+    * partial-below-the-shuffle [[graft.plans.TopKPerKey]] operator, and
+    * the mutuality check is a self-semi-join of the n·k-bounded edge
+    * list on the reversed key — every stage is keyed, nothing is
+    * driver-side. Nodes in singleton buckets surface with zero degrees
+    * (left joins from the vector spine). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val sv = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sig", hyperplaneSignature(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
+      .localCheckpoint() // one signature pass feeds both join sides
+    val rhs = sv.select(col("sig"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cand = sv.join(rhs, Seq("sig")).filter(col("vec_id") =!= col("b"))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("vb"), col("nrm"), col("nb")), 6))
+      .select(col("vec_id").as("a"), col("b"), col("cos"))
+    val nCand = cand.groupBy(col("a")).agg(count(lit(1)).as("n_cand"))
+    val knn = graft.plans.Graft.topKPerKey(cand, Seq("a"),
+      Seq(("cos", true), ("b", false)), k).localCheckpoint()
+    val mutual = knn.join(
+      knn.select(col("a").as("b2"), col("b").as("a2")),
+      col("a") === col("a2") && col("b") === col("b2"), "left_semi")
+    val deg = knn.groupBy(col("a")).agg(count(lit(1)).as("knn_deg"),
+        max(struct(col("cos"), (-col("b")).as("nb"))).as("m"))
+      .select(col("a"), col("knn_deg"),
+        (-col("m.nb")).as("nn_top"), col("m.cos").as("nn_top_cos"))
+    val mdeg = mutual.groupBy(col("a")).agg(count(lit(1)).as("mutual_deg"))
+    sv.select(col("vec_id"))
+      .join(nCand, col("vec_id") === nCand("a"), "left").drop("a")
+      .join(deg, col("vec_id") === deg("a"), "left").drop("a")
+      .join(mdeg, col("vec_id") === mdeg("a"), "left").drop("a")
+      .select(col("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("knn_deg"), lit(0L)).as("knn_deg"),
+        coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
+        col("nn_top"), col("nn_top_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** True per-label centroid vectors (the k-means "update" step — the
     * upgrade path for [[ivfAssign]]'s first-n seed centroids): elementwise
     * mean via posexplode + one grouped aggregation on (label, position).

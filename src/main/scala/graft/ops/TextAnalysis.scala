@@ -683,6 +683,58 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Count–min sketch (Cormode & Muthukrishnan 2005) term-frequency
+    * estimation, next to [[heavyHitters]]'s exact top-k: the d×w counter
+    * matrix IS the whole summary — d·w cells regardless of corpus size —
+    * which is what you keep per shard at 100 TB and merge by cell-wise
+    * addition (counter sums are associative; merging s shards costs
+    * s·d·w adds, never a re-scan).
+    *
+    * Dataflow: ONE exploded pass fans each token out to its d (row,
+    * bucket) cells; map-side combine collapses repeats before the
+    * (row, bucket) shuffle, so the exchange carries at most d·w rows per
+    * map partition. Probing joins the k exact-top terms (per-partition
+    * top-k reduction, never a global rank window) against the broadcast
+    * sketch; est = min over rows. CM guarantees est ≥ exact, so
+    * `overcount` is the per-term collision penalty — the measurement
+    * that sizes (d, w) before trusting the sketch on a real corpus.
+    * Hashing is md5-derived (same scheme as [[weightedSample]]) so the
+    * trajectory is engine-exact and DuckDB-oracle-able.
+    *
+    * Sketched items are word BIGRAMS at w=64: the gated corpus's unigram
+    * vocabulary (31 terms) fits a 512-cell sketch collision-free, which
+    * would leave the min-over-rows untested — bigrams (~1k distinct) at
+    * w=64 give every probe a real collision to survive. */
+  def countMin(spark: SparkSession, dir: String,
+      d: Int = 4, w: Int = 64, k: Int = 20): DataFrame = {
+    def bucket(i: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"cm$i|"), c)), 1, 8), 16, 10)
+        .cast("long") % w
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val terms = Tables.documents(spark, dir)
+      .select(explode(bigrams).as("term"))
+    val cells = terms
+      .select(posexplode(array((0 until d).map(i => bucket(i, col("term"))): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exact = terms
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(k)
+    val probes = exact.select(col("term"), col("exact_cnt"),
+      posexplode(array((0 until d).map(i => bucket(i, col("term"))): _*))
+        .as(Seq("row", "bucket")))
+    probes.join(broadcast(cells), Seq("row", "bucket"))
+      .groupBy(col("term"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("term"), col("exact_cnt"), col("cm_est"),
+        (col("cm_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
   /** Within-document repetition metrics — the third axis of cheap quality
     * filtering after length/stopwords ([[qualityScore]]) and corpus-level
     * dedup: type-token ratio (distinct/total tokens; low = repetitive),

@@ -196,4 +196,39 @@ object Relational {
       .orderBy(col("min_cents").desc, col("l_partkey"))
       .limit(topN)
   }
+
+  // --------------------------------------------------------------------
+  // Existence joins (TPC-H Q4/Q22 shape): left-semi + left-anti
+  // --------------------------------------------------------------------
+
+  /** Per-nation customer census by URGENT-order existence: LEFT SEMI
+    * (has ≥1 urgent order) and LEFT ANTI (has none) as first-class
+    * plans — the EXISTS / NOT EXISTS duals. Semi/anti is the right
+    * physical shape when only existence matters: the probe side emits
+    * each customer at most once regardless of order fan-out (no
+    * post-join dedup), and the build side carries ONLY o_custkey —
+    * the orderpriority predicate is pushed into the orders scan and
+    * the join's build input is the filtered key column, not the fact
+    * table. The final per-nation rollup is a 25-key broadcast-dim
+    * aggregate. */
+  def existenceJoins(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val semi = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("nation")).agg(count(lit(1)).as("n_urgent_cust"))
+    val anti = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("nation")).agg(count(lit(1)).as("n_no_urgent"))
+    cust.groupBy(col("nation")).agg(count(lit(1)).as("n_cust"))
+      .join(semi, Seq("nation"), "left")
+      .join(anti, Seq("nation"), "left")
+      .select(col("nation"), col("n_cust"),
+        coalesce(col("n_urgent_cust"), lit(0L)).as("n_urgent_cust"),
+        coalesce(col("n_no_urgent"), lit(0L)).as("n_no_urgent"))
+      .orderBy(col("nation"))
+  }
 }

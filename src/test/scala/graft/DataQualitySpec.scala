@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DataQuality
+import graft.util.Tables
+
+/** Deequ-style constraint-suite operator. Values are gated exactly by
+  * the DuckDB oracle at sf0.01; here the structural invariants plus an
+  * independent recount of the one cross-table check. */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dqChecks: one row per check, 0 <= violations <= checked") {
+    val rows = DataQuality.dqChecks(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 11)
+    assert(rows.map(_._1).distinct.length === 11)
+    rows.foreach { case (c, n, v) =>
+      assert(n > 0, s"$c: empty check domain")
+      assert(v >= 0 && v <= n, s"$c: violations $v outside [0, $n]")
+    }
+  }
+
+  test("dqChecks: ship-before-order violations match an independent recount") {
+    val rows = DataQuality.dqChecks(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(rows("lineitem.l_shipdate.gte.o_orderdate")._2 === expected)
+    // RI holds on the synthetic star schema — the clean checks stay clean
+    assert(rows("orders.o_custkey.refers.customer")._2 === 0L)
+    assert(rows("lineitem.l_orderkey.refers.orders")._2 === 0L)
+  }
+}

@@ -220,4 +220,32 @@ class GraphSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
     assert(out.forall(_._2 >= 3))
   }
+
+  test("labelPropagation: labels are node ids, every node labeled, deterministic") {
+    val lp = graft.ops.Graph.labelPropagation(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(lp.nonEmpty)
+    val nodes = lp.map(_._1).toSet
+    assert(lp.map(_._1).distinct.length === lp.length) // one row per node
+    assert(lp.map(_._2).toSet.subsetOf(nodes)) // communities are node ids
+    val again = graft.ops.Graph.labelPropagation(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(lp.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("labelPropagation: majority vote with min-label tie-break on a hand graph") {
+    // Star 1-(2,3,4) plus edge 2-3. One synchronous round: node 1 sees
+    // labels {2,3,4} — a three-way tie → min label 2; nodes 2 and 3 see
+    // {1, each other} — tie {1,3}/{1,2} → min 1; node 4 sees only 1.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.labelPropRounds(e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // Two rounds: labels keep collapsing toward the hub's majority —
+    // node 1 now sees {1,1,1} → 1; everyone else majority-sees node 1's
+    // round-1 label 2 (4: {2}; 2: {2,1}→tie→1... ) hand-checked below
+    val got2 = Graph.labelPropRounds(e, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
 }

@@ -112,4 +112,27 @@ class RelationalSpec extends SparkSpec {
       .shingles(Tables.documents(spark, sf)).select("s").distinct().count()
     assert(rows.map(_._3).sum === distinctShingles)
   }
+
+  test("existenceJoins: semi + anti partition every nation's customers") {
+    val rows = graft.queries.Relational.existenceJoins(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nation, total, semi, anti) =>
+      assert(semi + anti === total,
+        s"$nation: semi($semi) + anti($anti) != total($total)")
+    }
+    // independent recount of the semi side via a distinct-key join
+    val urgentCust = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val expectSemi = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(urgentCust, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("n_name")).count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (nation, _, semi, _) =>
+      assert(expectSemi.getOrElse(nation, 0L) === semi, s"$nation: semi count drifted")
+    }
+  }
 }

@@ -177,4 +177,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).sum === total)
     assert(out.forall { case (_, _, s) => s >= -1.0 && s <= 1.0 })
   }
+
+  test("knnGraph: degree bounds, even mutual mass, candidate census") {
+    val rows = Similarity.knnGraph(spark, sf, k = 5)
+      .select("vec_id", "n_cand", "knn_deg", "mutual_deg")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nCand, deg, mdeg) =>
+      assert(deg === math.min(5L, nCand), s"$id: knn_deg != min(k, n_cand)")
+      assert(mdeg <= deg, s"$id: mutual_deg exceeds knn_deg")
+    }
+    // every mutual pair contributes one unit to each endpoint
+    assert(rows.map(_._4).sum % 2 === 0)
+    // candidate census equals sum over buckets of |b|(|b|-1)
+    val bucketPairs = Similarity.lshBuckets(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, n, _) => n * (n - 1) }.sum
+    assert(rows.map(_._2).sum === bucketPairs)
+  }
 }

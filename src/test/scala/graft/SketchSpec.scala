@@ -41,4 +41,24 @@ class SketchSpec extends SparkSpec {
       assert(vok === 1L, s"$et: rsd=0.02 sketch outside 6%")
     }
   }
+
+  test("count-min: est >= exact for every probe, exact counts verified") {
+    val rows = graft.ops.TextAnalysis.countMin(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (term, exact, est, over) =>
+      assert(est >= exact, s"'$term': CM underestimated ($est < $exact)")
+      assert(over === est - exact, s"'$term': overcount column inconsistent")
+    }
+    // the probed exact counts must match an independent bigram recount
+    val docs = Tables.documents(spark, sf)
+    val recount = docs.select(explode(zip_with(
+        slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 1),
+        slice(split(col("text"), " "), lit(2), size(split(col("text"), " ")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (term, exact, _, _) =>
+      assert(recount(term) === exact, s"'$term': probe exact count drifted")
+    }
+  }
 }
