@@ -192,6 +192,7 @@ object SparkEntry {
     "q_semi_anti" -> ((s, d) => graft.queries.Relational.existenceJoins(s, d)),
     "q_dq_checks" -> ((s, d) => graft.ops.DataQuality.dqChecks(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -1095,6 +1096,17 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE l_shipdate < o_orderdate)
         |) ORDER BY "check"""".stripMargin,
+
+    "q_k_anon" ->
+      """SELECT lang, (n_chars // 200) * 200 AS len_bucket,
+        |  count(*) AS class_size,
+        |  count(DISTINCT source) AS l_diversity,
+        |  round(1.0 / count(*), 6) AS reident_risk,
+        |  CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) AS at_risk_k,
+        |  CAST(CASE WHEN count(DISTINCT source) < 2 THEN 1 ELSE 0 END AS BIGINT) AS at_risk_l
+        |FROM documents
+        |GROUP BY lang, (n_chars // 200) * 200
+        |ORDER BY lang, len_bucket""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT n_name AS nation, count(*) AS n_cust,

@@ -106,4 +106,31 @@ object DataQuality {
       .unionAll(riOrders).unionAll(riLi).unionAll(shipAfter)
       .orderBy(col("check"))
   }
+
+  /** k-anonymity / l-diversity census over the document corpus — the
+    * privacy-governance face of data quality (Sweeney 2002; Machanavajjhala
+    * et al. 2007): rows sharing a quasi-identifier tuple (language,
+    * length bucket) form an equivalence class; a class smaller than k is
+    * re-identifiable, and a class whose sensitive attribute (here:
+    * source) is homogeneous leaks it even at size ≥ k. Emits one row per
+    * class with size, l-diversity, 1/size re-identification risk and
+    * both at-risk flags — the audit a release gate runs before
+    * publishing corpus metadata.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the scan
+    * (count + two-phase distinct on a bounded attribute); output is
+    * |QI-space|-bounded, independent of corpus size. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        (floor(col("n_chars") / 200) * 200).as("len_bucket"), col("source"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("source")).as("l_diversity"))
+      .select(col("lang"), col("len_bucket"), col("class_size"),
+        col("l_diversity"),
+        round(lit(1.0) / col("class_size"), 6).as("reident_risk"),
+        when(col("class_size") < k, 1L).otherwise(0L).as("at_risk_k"),
+        when(col("l_diversity") < 2, 1L).otherwise(0L).as("at_risk_l"))
+      .orderBy(col("lang"), col("len_bucket"))
 }

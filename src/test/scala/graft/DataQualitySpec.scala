@@ -34,4 +34,19 @@ class DataQualitySpec extends SparkSpec {
     assert(rows("orders.o_custkey.refers.customer")._2 === 0L)
     assert(rows("lineitem.l_orderkey.refers.orders")._2 === 0L)
   }
+
+  test("kAnonymity: classes partition the corpus; flags match their definitions") {
+    val rows = DataQuality.kAnonymity(spark, sf, k = 10)
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === total) // equivalence classes partition
+    rows.foreach { case (lang, bucket, size, ldiv, risk, fk, fl) =>
+      assert(size > 0 && ldiv > 0)
+      assert(ldiv <= size, s"($lang,$bucket): l-diversity exceeds class size")
+      assert(math.abs(risk - 1.0 / size) < 1e-6)
+      assert(fk === (if (size < 10) 1L else 0L))
+      assert(fl === (if (ldiv < 2) 1L else 0L))
+    }
+  }
 }

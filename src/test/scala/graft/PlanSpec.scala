@@ -339,4 +339,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_countmin: probe joins the broadcast sketch; exact top-k is a per-partition reduction") {
+    val p = plan(graft.ops.TextAnalysis.countMin(spark, sf))
+    // the 256-cell sketch must broadcast onto the probes, never shuffle them
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exact top-20 = TakeOrderedAndProject (k-row reduction), not a
+    // global rank window pulling every term to one task
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_semi_anti: existence checks compile to semi/anti joins, no post-join dedup") {
+    val p = plan(graft.queries.Relational.existenceJoins(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_knn_graph: per-node top-k runs through the partial TopKPerKey operator") {
+    val p = plan(graft.ops.Similarity.knnGraph(spark, sf))
+    // partial + final = two TopKPerKey nodes; the exchange between them
+    // carries at most k rows per key per task
+    assert(p.split("TopKPerKey").length - 1 >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dq_checks: per-table checks fold into partial+final aggregates; joins stay keyed") {
+    val df = graft.ops.DataQuality.dqChecks(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // every multi-sum table pass is a partial+final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(fmt).size >= 2, fmt)
+  }
 }
