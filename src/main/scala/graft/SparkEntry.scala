@@ -193,6 +193,7 @@ object SparkEntry {
     "q_dq_checks" -> ((s, d) => graft.ops.DataQuality.dqChecks(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
+    "q_join_size" -> ((s, d) => graft.ops.Skew.joinSizeEstimate(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -1096,6 +1097,38 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE l_shipdate < o_orderdate)
         |) ORDER BY "check"""".stripMargin,
+
+    // CM-sketch join-size estimation: cell replay at d=4, w=16384;
+    // estimate = min over rows of the cell-wise inner product
+    "q_join_size" ->
+      """WITH
+        |ca AS (SELECT i, ('0x' || substr(md5('cm' || i || '|' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 16384 AS bucket,
+        |         count(*) AS cnt
+        |       FROM orders, range(4) r(i) GROUP BY 1, 2),
+        |cb AS (SELECT i, ('0x' || substr(md5('cm' || i || '|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 16384 AS bucket,
+        |         count(*) AS cnt
+        |       FROM customer, range(4) r(i) GROUP BY 1, 2),
+        |cl AS (SELECT i, ('0x' || substr(md5('cm' || i || '|' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 16384 AS bucket,
+        |         count(*) AS cnt
+        |       FROM lineitem, range(4) r(i) GROUP BY 1, 2),
+        |est1 AS (SELECT CAST(min(ip) AS BIGINT) AS cm_est FROM (
+        |  SELECT ca.i, sum(ca.cnt * cb.cnt) AS ip FROM ca
+        |  JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket GROUP BY ca.i)),
+        |ex1 AS (SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_size FROM
+        |        (SELECT o_custkey AS k, count(*) AS fa FROM orders GROUP BY 1) a JOIN
+        |        (SELECT c_custkey AS k, count(*) AS fb FROM customer GROUP BY 1) b USING (k)),
+        |est2 AS (SELECT CAST(min(ip) AS BIGINT) AS cm_est FROM (
+        |  SELECT x.i, sum(x.cnt * y.cnt) AS ip FROM cl x
+        |  JOIN cl y ON x.i = y.i AND x.bucket = y.bucket GROUP BY x.i)),
+        |ex2 AS (SELECT CAST(coalesce(sum(fa * fa), 0) AS BIGINT) AS exact_size FROM
+        |        (SELECT l_partkey, count(*) AS fa FROM lineitem GROUP BY 1))
+        |SELECT * FROM (
+        | SELECT 'orders_x_customer_custkey' AS measure, ex1.exact_size,
+        |        est1.cm_est, est1.cm_est - ex1.exact_size AS overcount FROM ex1, est1
+        | UNION ALL
+        | SELECT 'lineitem_selfjoin_partkey_f2', ex2.exact_size,
+        |        est2.cm_est, est2.cm_est - ex2.exact_size FROM ex2, est2
+        |) ORDER BY measure""".stripMargin,
 
     "q_k_anon" ->
       """SELECT lang, (n_chars // 200) * 200 AS len_bucket,

@@ -75,4 +75,57 @@ object Skew {
         aggs.head match { case (out, (_, a)) => a.merge(col(out)).as(out) },
         aggs.tail.toSeq.map { case (out, (_, a)) => a.merge(col(out)).as(out) }: _*)
   }
+
+  /** Count-min join-size estimation (Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈_k B| = Σ_v f_A(v)·f_B(v), and the sketch estimate is
+    * min over hash rows of the cell-wise inner product Σ_j A[i,j]·B[i,j]
+    * — an upper bound that two O(d·w) summaries answer WITHOUT the
+    * tables ever meeting. This is the "measure before you shuffle"
+    * primitive: at 100 TB you size a candidate join (will the shuffle
+    * explode? is one side's key distribution pathological?) from
+    * per-shard sketches that were maintained at ingest, the same cells
+    * [[graft.streaming.StreamSketch]] keeps.
+    *
+    * Two measures on the harness schema: the orders⋈customer equi-join
+    * and the SELF-join size of lineitem on l_partkey — the latter is the
+    * second frequency moment F2 = Σ_p f(p)², the classic skew statistic
+    * (a hot part key shows up as F2 ≫ n²/|parts| long before the join
+    * runs). Output: (measure, exact_size, cm_est, overcount ≥ 0).
+    *
+    * w=16384: inner-product error is O(n²/w), so the width must track
+    * the square of stream mass, not its cardinality — at 60k keys this
+    * w keeps the estimate within ~10%, and 4×16384 BIGINT cells is
+    * still a half-megabyte summary. */
+  def joinSizeEstimate(spark: org.apache.spark.sql.SparkSession, dir: String,
+      d: Int = 4, w: Int = 16384): DataFrame = {
+    import graft.util.Tables
+    def cells(df: DataFrame, key: String): DataFrame =
+      graft.ops.TextAnalysis.cmCells(
+        df.select(col(key).cast("string").as("term")), d, w)
+    def innerProduct(a: DataFrame, b: DataFrame): DataFrame = a
+      .join(b.select(col("row"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("cm_est"))
+    def exactJoin(a: DataFrame, ka: String, b: DataFrame, kb: String): DataFrame = a
+      .groupBy(col(ka)).agg(count(lit(1)).as("fa"))
+      .join(b.groupBy(col(kb)).agg(count(lit(1)).as("fb"))
+          .withColumnRenamed(kb, "kb_"), // self-joins share the key name
+        col(ka) === col("kb_"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_size"))
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def row(name: String, exact: DataFrame, est: DataFrame): DataFrame =
+      exact.crossJoin(est).select(lit(name).as("measure"),
+        col("exact_size"), col("cm_est"),
+        (col("cm_est") - col("exact_size")).as("overcount"))
+    row("orders_x_customer_custkey",
+        exactJoin(orders, "o_custkey", customer, "c_custkey"),
+        innerProduct(cells(orders, "o_custkey"), cells(customer, "c_custkey")))
+      .unionAll(row("lineitem_selfjoin_partkey_f2",
+        exactJoin(li, "l_partkey", li, "l_partkey"),
+        innerProduct(cells(li, "l_partkey"), cells(li, "l_partkey"))))
+      .orderBy(col("measure"))
+  }
 }

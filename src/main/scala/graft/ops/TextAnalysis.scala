@@ -705,22 +705,35 @@ object TextAnalysis {
     * vocabulary (31 terms) fits a 512-cell sketch collision-free, which
     * would leave the min-over-rows untested — bigrams (~1k distinct) at
     * w=64 give every probe a real collision to survive. */
+  /** Cell coordinate of hash row `i` for an item — md5-derived, shared
+    * by the batch sketch and its streaming twin ([[graft.streaming.StreamSketch]]). */
+  def cmBucket(i: Int, c: Column, w: Int): Column =
+    conv(substring(md5(concat(lit(s"cm$i|"), c)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** Adjacent word bigrams of a text column, as `array<string>`. */
+  def bigramTerms(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** The d×w cell fan-out + count for a (streaming or batch) term
+    * column — works unchanged under Structured Streaming because it is
+    * one stateful groupBy aggregation over a bounded key space. */
+  def cmCells(terms: DataFrame, d: Int, w: Int): DataFrame =
+    terms
+      .select(posexplode(array((0 until d).map(i =>
+        cmBucket(i, col("term"), w)): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   def countMin(spark: SparkSession, dir: String,
       d: Int = 4, w: Int = 64, k: Int = 20): DataFrame = {
-    def bucket(i: Int, c: Column): Column =
-      conv(substring(md5(concat(lit(s"cm$i|"), c)), 1, 8), 16, 10)
-        .cast("long") % w
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    val bigrams = zip_with(
-      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-      (a, b) => concat(a, lit(" "), b))
+    def bucket(i: Int, c: Column): Column = cmBucket(i, c, w)
     val terms = Tables.documents(spark, dir)
-      .select(explode(bigrams).as("term"))
-    val cells = terms
-      .select(posexplode(array((0 until d).map(i => bucket(i, col("term"))): _*))
-        .as(Seq("row", "bucket")))
-      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .select(explode(bigramTerms(col("text"))).as("term"))
+    val cells = cmCells(terms, d, w)
     val exact = terms
       .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("term")).limit(k)

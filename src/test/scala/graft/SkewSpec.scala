@@ -63,4 +63,23 @@ class SkewSpec extends SparkSpec {
       .as[(String, Long)].collect()
     partials.foreach { case (k, n) => assert(n > 1, s"key $k not spread") }
   }
+
+  test("joinSizeEstimate: CM estimate is an upper bound; exact sizes verified") {
+    val rows = graft.ops.Skew.joinSizeEstimate(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows.size === 2)
+    rows.foreach { case (m, (exact, est, over)) =>
+      assert(est >= exact, s"$m: CM inner product below the true size")
+      assert(over === est - exact)
+    }
+    // exact join sizes against direct joins
+    val oc = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(rows("orders_x_customer_custkey")._1 === oc)
+    val li = Tables.lineitem(spark, sf).select($"l_partkey")
+    val f2 = li.join(li.withColumnRenamed("l_partkey", "p2"),
+      col("l_partkey") === col("p2")).count()
+    assert(rows("lineitem_selfjoin_partkey_f2")._1 === f2)
+  }
 }
