@@ -194,6 +194,7 @@ object SparkEntry {
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
     "q_join_size" -> ((s, d) => graft.ops.Skew.joinSizeEstimate(s, d)),
+    "q_holt" -> ((s, d) => graft.indicators.Indicators.holtSmoothing(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -1097,6 +1098,25 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE l_shipdate < o_orderdate)
         |) ORDER BY "check"""".stripMargin,
+
+    // Holt level+trend replayed as a recursive CTE; identical IEEE op
+    // order on both engines, rounded 6dp; event_id slice bounds depth
+    "q_holt" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id < 5000),
+        |h AS (
+        |  SELECT event_type, rn, event_id, x AS s, CAST(0 AS DOUBLE) AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.event_type, seq.rn, seq.event_id,
+        |         0.5 * seq.x + 0.5 * (h.s + h.b) AS s,
+        |         0.3 * ((0.5 * seq.x + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b AS b
+        |  FROM h JOIN seq ON seq.event_type = h.event_type AND seq.rn = h.rn + 1)
+        |SELECT event_id, event_type, round(s, 6) AS level, round(b, 6) AS trend,
+        |       round(s + b, 6) AS forecast
+        |FROM h ORDER BY event_type, event_id""".stripMargin,
 
     // CM-sketch join-size estimation: cell replay at d=4, w=16384;
     // estimate = min over rows of the cell-wise inner product

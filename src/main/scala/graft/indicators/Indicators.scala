@@ -147,4 +147,24 @@ object Indicators {
   /** Register `ewma(x, alpha)` for SQL use:
     * `SELECT ewma(price, 0.095) OVER (PARTITION BY k ORDER BY ts) ...`. */
   def register(spark: SparkSession): Unit = Ewma.register(spark)
+
+  /** Holt level+trend smoothing per event-type series ([[Holt]]): one
+    * shared window spec (one exchange + sort), the coupled two-cell
+    * recurrence evaluated incrementally by WindowExec, and a one-step
+    * forecast from the emitted (level, trend) struct. The event_id
+    * predicate prunes the scan (raw column) and bounds the DuckDB
+    * oracle's recursion depth. */
+  def holtSmoothing(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.util.Tables.events(spark, dir)
+      .filter(col("event_id") < 5000)
+      .withColumn("h", Holt(spark, col("value"), alpha, beta).over(w))
+      .select(col("event_id"), col("event_type"),
+        round(col("h.level"), 6).as("level"),
+        round(col("h.trend"), 6).as("trend"),
+        round(col("h.level") + col("h.trend"), 6).as("forecast"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.indicators.Indicators
+import graft.indicators.{Holt, Indicators}
 
 /** pandas-parity vectors for the indicator engine (SURVEY.md §7.4 risk 1).
   * Expected values computed by hand from the reference's formulas
@@ -108,5 +108,27 @@ class IndicatorsSpec extends SparkSpec {
     val plan = out.queryExecution.optimizedPlan.toString()
     val windowOps = plan.linesIterator.count(_.trim.startsWith("Window"))
     assert(windowOps <= 2, s"expected <=2 Window operators, got $windowOps:\n$plan")
+  }
+
+  test("holt: coupled level/trend recurrence matches a hand fold") {
+    val xs = Seq(10.0, 14.0, 12.0, 20.0, 16.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", ts(i + 1), i.toLong, x) }
+      .toDF("k", "ts", "id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ts", $"id")
+    val got = df.withColumn("h", Holt(spark, $"v", 0.5, 0.3).over(w))
+      .orderBy($"id")
+      .select($"h.level", $"h.trend").as[(Double, Double)].collect()
+    // reference fold of s_t = .5x + .5(s+b); b_t = .3(s_t - s) + .7b
+    var (s, b) = (xs.head, 0.0)
+    val exp = Seq((s, b)) ++ xs.tail.map { x =>
+      val sN = 0.5 * x + 0.5 * (s + b)
+      val bN = 0.3 * (sN - s) + 0.7 * b
+      s = sN; b = bN; (s, b)
+    }
+    got.zip(exp).foreach { case ((gs, gb), (es, eb)) =>
+      assert(math.abs(gs - es) < 1e-12 && math.abs(gb - eb) < 1e-12,
+        s"got ($gs,$gb) expected ($es,$eb)")
+    }
   }
 }
