@@ -195,6 +195,7 @@ object SparkEntry {
     "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
     "q_join_size" -> ((s, d) => graft.ops.Skew.joinSizeEstimate(s, d)),
     "q_holt" -> ((s, d) => graft.indicators.Indicators.holtSmoothing(s, d)),
+    "q_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -1098,6 +1099,30 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE l_shipdate < o_orderdate)
         |) ORDER BY "check"""".stripMargin,
+
+    // Zipf OLS on 1e-4-nat-quantized ln series: integer-exact moments,
+    // identical final double divisions
+    "q_zipf" ->
+      """WITH tok AS (
+        |  SELECT w[i] || ' ' || w[i + 1] AS term
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+        |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |r AS (SELECT
+        |  CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) * 10000) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y
+        |  FROM tf),
+        |s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx FROM r)
+        |SELECT n AS n_types,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(((CAST(sy AS DOUBLE) -
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |       CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) / 10000, 6) AS intercept_nats
+        |FROM s""".stripMargin,
 
     // Holt level+trend replayed as a recursive CTE; identical IEEE op
     // order on both engines, rounded 6dp; event_id slice bounds depth

@@ -175,12 +175,18 @@ object Similarity {
     * list on the reversed key — every stage is keyed, nothing is
     * driver-side. Nodes in singleton buckets surface with zero degrees
     * (left joins from the vector spine). */
-  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val sv = vecs(spark, dir).filter(size(col("v")) > 0)
+  /** `truncate=false` keeps the full lineage in one plan (the intermediates
+    * recompute per consumer) — ONLY for plan inspection in PlanSpec; the
+    * production default materializes the signature pass and the n·k edge
+    * list once each, since three consumers read them. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+      truncate: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame = if (truncate) df.localCheckpoint() else df
+    val sv = cp(vecs(spark, dir).filter(size(col("v")) > 0)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("sig", hyperplaneSignature(col("v")))
       .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
-      .localCheckpoint() // one signature pass feeds both join sides
+    ) // one signature pass feeds both join sides
     val rhs = sv.select(col("sig"), col("vec_id").as("b"),
       col("v").as("vb"), col("nrm").as("nb"))
     val cand = sv.join(rhs, Seq("sig")).filter(col("vec_id") =!= col("b"))
@@ -188,8 +194,8 @@ object Similarity {
         cosinePrenormed(col("v"), col("vb"), col("nrm"), col("nb")), 6))
       .select(col("vec_id").as("a"), col("b"), col("cos"))
     val nCand = cand.groupBy(col("a")).agg(count(lit(1)).as("n_cand"))
-    val knn = graft.plans.Graft.topKPerKey(cand, Seq("a"),
-      Seq(("cos", true), ("b", false)), k).localCheckpoint()
+    val knn = cp(graft.plans.Graft.topKPerKey(cand, Seq("a"),
+      Seq(("cos", true), ("b", false)), k))
     val mutual = knn.join(
       knn.select(col("a").as("b2"), col("b").as("a2")),
       col("a") === col("a2") && col("b") === col("b2"), "left_semi")

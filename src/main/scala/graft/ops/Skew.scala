@@ -100,7 +100,7 @@ object Skew {
       d: Int = 4, w: Int = 16384): DataFrame = {
     import graft.util.Tables
     def cells(df: DataFrame, key: String): DataFrame =
-      graft.ops.TextAnalysis.cmCells(
+      graft.ops.TextAnalysis.cmCellsWeighted(
         df.select(col(key).cast("string").as("term")), d, w)
     def innerProduct(a: DataFrame, b: DataFrame): DataFrame = a
       .join(b.select(col("row"), col("bucket"), col("cnt").as("cnt_b")),

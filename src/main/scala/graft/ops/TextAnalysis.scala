@@ -721,19 +721,34 @@ object TextAnalysis {
 
   /** The d×w cell fan-out + count for a (streaming or batch) term
     * column — works unchanged under Structured Streaming because it is
-    * one stateful groupBy aggregation over a bounded key space. */
+    * one stateful groupBy aggregation over a bounded key space (state is
+    * the d·w cells; the weighted variant below would instead keep
+    * per-term state, unbounded on an open stream). */
   def cmCells(terms: DataFrame, d: Int, w: Int): DataFrame =
     terms
       .select(posexplode(array((0 until d).map(i =>
         cmBucket(i, col("term"), w)): _*)).as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Batch form: pre-aggregate term frequencies, then sketch the
+    * FREQUENCY VECTOR — cell-identical to [[cmCells]] (cells are sums
+    * of per-term counts either way) but the d md5 digests are paid per
+    * DISTINCT term, not per occurrence: on a duplication-heavy column
+    * (join keys, tokens) that is orders of magnitude less map-side CPU,
+    * traded for one extra key-partitioned aggregate whose partial pass
+    * bounds the shuffle at distinct-terms-per-partition. */
+  def cmCellsWeighted(terms: DataFrame, d: Int, w: Int): DataFrame =
+    terms.groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .select(col("f"), posexplode(array((0 until d).map(i =>
+        cmBucket(i, col("term"), w)): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("f")).as("cnt"))
+
   def countMin(spark: SparkSession, dir: String,
       d: Int = 4, w: Int = 64, k: Int = 20): DataFrame = {
     def bucket(i: Int, c: Column): Column = cmBucket(i, c, w)
     val terms = Tables.documents(spark, dir)
       .select(explode(bigramTerms(col("text"))).as("term"))
-    val cells = cmCells(terms, d, w)
+    val cells = cmCellsWeighted(terms, d, w)
     val exact = terms
       .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("term")).limit(k)
@@ -746,6 +761,45 @@ object TextAnalysis {
       .select(col("term"), col("exact_cnt"), col("cm_est"),
         (col("cm_est") - col("exact_cnt")).as("overcount"))
       .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
+  /** Zipf rank-frequency fit over the bigram distribution — the corpus
+    * health diagnostic (natural text sits near slope −1; synthetic or
+    * template-heavy corpora flatten): OLS of ln(freq) on ln(rank).
+    *
+    * Determinism: double sums are order-dependent, so both ln series
+    * are quantized to 1e-4-nat integer units FIRST — every OLS moment
+    * is then an exact BIGINT sum (associative, partitioning-invariant),
+    * and only the final slope/intercept divisions are IEEE doubles with
+    * identical operation order on both engines — the same
+    * integer-exact-aggregate trick as the micro-unit PageRank. The rank
+    * window runs over the |vocab|-bounded frequency table, never the
+    * token stream. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(bigramTerms(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val q = 1e4
+    val ranked = tf
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy().orderBy(col("cnt").desc, col("term"))))
+      .select(
+        round(log(col("rnk").cast("double")) * q).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * q).cast("long").as("y"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_types"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round(((col("sy").cast("double") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              col("sx").cast("double")) / col("n").cast("double")) / lit(q), 6)
+          .as("intercept_nats"))
   }
 
   /** Within-document repetition metrics — the third axis of cheap quality

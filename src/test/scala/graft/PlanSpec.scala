@@ -357,7 +357,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_knn_graph: per-node top-k runs through the partial TopKPerKey operator") {
-    val p = plan(graft.ops.Similarity.knnGraph(spark, sf))
+    // truncate=false keeps the lineage visible — the production path
+    // checkpoints the same stages, which would hide them as ExistingRDD
+    val p = plan(graft.ops.Similarity.knnGraph(spark, sf, truncate = false))
     // partial + final = two TopKPerKey nodes; the exchange between them
     // carries at most k rows per key per task
     assert(p.split("TopKPerKey").length - 1 >= 2, p)
