@@ -81,6 +81,20 @@ object Tables {
                    col("ts") < lit(java.sql.Timestamp.from(java.time.Instant.parse(untilIso))))
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  /** Like `events`, the corpus loaders normalize at the single choke
+    * point so a driver regeneration that narrows integer widths
+    * (int64→int32) or flips the embedding element type (float→double)
+    * cannot break 60 queries at analysis: ids and counts pin to LONG,
+    * the embedding pins to array<float> (every consumer re-casts to
+    * double anyway). Trivial casts fold away in Catalyst, so the
+    * already-correct encoding pays nothing. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("long").as("n_chars"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "embeddings").select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"),
+      col("label").cast("int").as("label"))
 }

@@ -92,4 +92,66 @@ class SchemaDriftSpec extends SparkSpec {
       assert(alt === base, s"ts=$enc decodes to different instants")
     }
   }
+
+  /** Temp dir with documents/embeddings re-encoded at narrowed widths
+    * (int64→int32 ids/counts, float→double embeddings) — the drift
+    * shapes a regenerated corpus would most plausibly take. */
+  private def corpusDriftDir(): Path = {
+    val src = Paths.get(sf)
+    val dir = Files.createTempDirectory("graft-drift-corpus")
+    val skip = Set("documents.parquet", "embeddings.parquet")
+    val ls = Files.list(src)
+    try ls.forEach { p =>
+      if (!skip(p.getFileName.toString))
+        Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+    } finally ls.close()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+    writeSingleFileAs(docs, dir, "documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .withColumn("label", col("label").cast("smallint"))
+    writeSingleFileAs(emb, dir, "embeddings.parquet")
+    dir
+  }
+
+  private def writeSingleFileAs(df: org.apache.spark.sql.DataFrame,
+      dir: Path, name: String): Unit = {
+    val staging = Files.createTempDirectory("graft-drift-stage2")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.resolve("t").toString)
+    val ls = Files.list(staging.resolve("t"))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+    } finally ls.close()
+    Files.copy(part.getOrElse(fail("no part file written")), dir.resolve(name))
+  }
+
+  test("every query analyzes with narrowed documents/embeddings schemas") {
+    val dir = corpusDriftDir().toString
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = try fn(spark, dir)
+      catch { case e: Exception =>
+        fail(s"$name failed analysis under narrowed corpus schemas: " +
+          e.getMessage.linesIterator.next())
+      }
+      assert(df.schema.nonEmpty, s"$name produced an empty schema")
+    }
+  }
+
+  test("corpus loaders normalize narrowed schemas to identical values") {
+    val dir = corpusDriftDir().toString
+    val base = graft.util.Tables.documents(spark, sf)
+      .orderBy("doc_id").limit(20).collect().toSeq
+    val alt = graft.util.Tables.documents(spark, dir)
+      .orderBy("doc_id").limit(20).collect().toSeq
+    assert(alt === base, "narrowed documents decode differently")
+    val be = graft.util.Tables.embeddings(spark, sf)
+      .orderBy("vec_id").limit(20).collect().toSeq
+    val ae = graft.util.Tables.embeddings(spark, dir)
+      .orderBy("vec_id").limit(20).collect().toSeq
+    assert(ae === be, "narrowed embeddings decode differently")
+  }
 }
