@@ -88,13 +88,18 @@ object Tables {
     * the embedding pins to array<float> (every consumer re-casts to
     * double anyway). Trivial casts fold away in Catalyst, so the
     * already-correct encoding pays nothing. */
+  /** Cast each listed column to its canonical type IF present — minimal
+    * test fixtures carry a column subset, and extra driver-added columns
+    * must survive untouched, so this never projects. */
+  private def normalize(df: DataFrame, canon: (String, String)*): DataFrame =
+    canon.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+    }
+
   def documents(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "documents").select(
-      col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"),
-      col("source"), col("n_chars").cast("long").as("n_chars"))
+    normalize(apply(spark, dir, "documents"),
+      "doc_id" -> "long", "n_chars" -> "long")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "embeddings").select(
-      col("vec_id").cast("long").as("vec_id"),
-      col("embedding").cast("array<float>").as("embedding"),
-      col("label").cast("int").as("label"))
+    normalize(apply(spark, dir, "embeddings"),
+      "vec_id" -> "long", "embedding" -> "array<float>", "label" -> "int")
 }

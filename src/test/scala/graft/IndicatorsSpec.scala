@@ -131,4 +131,24 @@ class IndicatorsSpec extends SparkSpec {
         s"got ($gs,$gb) expected ($es,$eb)")
     }
   }
+
+  test("holt is SQL-visible and the SQL form matches the Column form") {
+    Holt.register(spark)
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 14.0), ("k", 3L, 12.0),
+      ("j", 1L, 5.0), ("j", 2L, 9.0)).toDF("k", "id", "v")
+    df.createOrReplaceTempView("holt_in")
+    val viaSql = spark.sql(
+      """SELECT k, id, h.level AS lvl, h.trend AS trd FROM (
+        |  SELECT k, id, holt(v, 0.5, 0.3)
+        |    OVER (PARTITION BY k ORDER BY id) AS h FROM holt_in)
+        |ORDER BY k, id""".stripMargin)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"id")
+    val viaCol = df.withColumn("h", Holt(spark, $"v", 0.5, 0.3).over(w))
+      .select($"k", $"id", $"h.level", $"h.trend")
+      .orderBy($"k", $"id")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(viaSql === viaCol)
+  }
 }
