@@ -196,6 +196,7 @@ object SparkEntry {
     "q_join_size" -> ((s, d) => graft.ops.Skew.joinSizeEstimate(s, d)),
     "q_holt" -> ((s, d) => graft.indicators.Indicators.holtSmoothing(s, d)),
     "q_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "q_auc" -> ((s, d) => TextAnalysis.classifierAuc(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -1099,6 +1100,40 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE l_shipdate < o_orderdate)
         |) ORDER BY "check"""".stripMargin,
+
+    // exact Mann-Whitney midrank AUC (integer numerator): classifier
+    // logit scored against the Gopher all-rules label
+    "q_auc" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS s,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS BIGINT) AS p
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
+        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |  FROM f),
+        |lab AS (
+        |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
+        |    ((length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)) AND
+        |    (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
+        |    (5 * len(list_distinct(t)) >= len(t)) AS BIGINT) AS y
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+        |j AS (SELECT q.score, lab.y FROM q JOIN lab USING (doc_id)),
+        |r AS (SELECT y, 2 * rank() OVER (ORDER BY score)
+        |        + count(*) OVER (PARTITION BY score) - 1 AS mid2 FROM j),
+        |st AS (SELECT CAST(sum(CASE WHEN y = 1 THEN mid2 ELSE 0 END) AS BIGINT) AS pos2,
+        |         CAST(sum(y) AS BIGINT) AS np, count(*) AS n FROM r)
+        |SELECT np AS n_pos, n - np AS n_neg,
+        |  round(CAST(pos2 - np * (np + 1) AS DOUBLE)
+        |    / CAST(2 * np * (n - np) AS DOUBLE), 6) AS auc
+        |FROM st""".stripMargin,
 
     // Zipf OLS on 1e-4-nat-quantized ln series: integer-exact moments,
     // identical final double divisions

@@ -156,6 +156,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact ROC-AUC of the linear quality classifier's logit against the
+    * Gopher all-rules label — the evaluation primitive behind every
+    * "train a filter model, gate on AUC before deploying it" loop. The
+    * Mann–Whitney midrank form with EXACT integer arithmetic: with
+    * 2·midrank = 2·rank_min + ties − 1 (both window integers), the AUC
+    * numerator Σ_pos 2·mid − n⁺(n⁺+1) is a BIGINT and only the final
+    * division is IEEE — deterministic under any tie structure, no
+    * pair-counting O(n²).
+    *
+    * Scale note: exact AUC needs a global rank over the per-doc score
+    * table (one global sort — the same cost class as any total order).
+    * At extreme scale the standard move is binned AUC over quantized
+    * scores (a groupBy, no sort); the exact form is kept here because
+    * the score table is one row per document, already 10³–10⁶× smaller
+    * than the corpus scan that produced it. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("logit").as("score"))
+    val labels = gopherRules(spark, dir)
+      .select(col("doc_id"), col("keep_doc").cast("long").as("y"))
+    val j = scores.join(labels, "doc_id")
+    val mid2 = rank().over(Window.orderBy(col("score"))) * 2 +
+      count(lit(1)).over(Window.partitionBy(col("score"))) - 1
+    j.select(col("y"), mid2.cast("long").as("mid2"))
+      .agg(sum(when(col("y") === 1, col("mid2")).otherwise(0L)).as("pos2"),
+        sum(col("y")).as("np"), count(lit(1)).as("n"))
+      .select(col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
+        round((col("pos2") - col("np") * (col("np") + 1)).cast("double") /
+              (lit(2L) * col("np") * (col("n") - col("np"))).cast("double"), 6)
+          .as("auc"))
+  }
+
   /** Temperature-based source rebalancing (the data-mixing resampler of
     * multilingual/multi-source pretraining, XLM-style α-sampling): source
     * s keeps fraction (n_min/n_s)^(1-α) of its documents, so the rarest

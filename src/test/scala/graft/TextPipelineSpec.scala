@@ -399,4 +399,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(out === expected)
     assert(out.nonEmpty) // sources genuinely share grams on this corpus
   }
+
+  test("classifierAuc: midrank formula equals brute-force pair counting") {
+    val Array((nPos, nNeg, auc)) = TextAnalysis.classifierAuc(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(nPos > 0 && nNeg > 0, "label must split the corpus")
+    val rows = TextAnalysis.qualityClassifier(spark, sf)
+      .select($"doc_id", $"logit")
+      .join(TextAnalysis.gopherRules(spark, sf)
+        .select($"doc_id", $"keep_doc"), "doc_id")
+      .as[(Long, Double, Boolean)].collect()
+    val pos = rows.filter(_._3).map(_._2)
+    val neg = rows.filterNot(_._3).map(_._2)
+    val brute = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.length.toLong * neg.length)
+    assert(nPos === pos.length && nNeg === neg.length)
+    assert(math.abs(auc - brute) < 1e-6, s"auc=$auc brute=$brute")
+  }
 }
