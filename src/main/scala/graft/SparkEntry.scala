@@ -197,6 +197,8 @@ object SparkEntry {
     "q_holt" -> ((s, d) => graft.indicators.Indicators.holtSmoothing(s, d)),
     "q_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "q_auc" -> ((s, d) => TextAnalysis.classifierAuc(s, d)),
+    "q_confusion" -> ((s, d) => TextAnalysis.confusion(s, d)),
+    "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -1100,6 +1102,73 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE l_shipdate < o_orderdate)
         |) ORDER BY "check"""".stripMargin,
+
+    // threshold-level confusion matrix of classifier keep vs Gopher label
+    "q_confusion" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS s,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS BIGINT) AS p
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CASE WHEN -1000 * n * nc + 4000 * s * nc
+        |      + 300 * (nc - n + 1) * nc - 8000 * p * n + 2 * n * n * nc > 0
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM f),
+        |lab AS (
+        |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
+        |    ((length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)) AND
+        |    (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
+        |    (5 * len(list_distinct(t)) >= len(t)) AS BIGINT) AS y
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN keep = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN keep = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN keep = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN keep = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM q JOIN lab USING (doc_id))
+        |SELECT tp, fp, fn, tn,
+        |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+        |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+        |FROM m""".stripMargin,
+
+    // per-decile positive rate; deciles over the deterministic
+    // (score, doc_id) order, mean score from 1e-6-quantized BIGINT sums
+    "q_calibration" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS s,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS BIGINT) AS p
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
+        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |  FROM f),
+        |lab AS (
+        |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
+        |    ((length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)) AND
+        |    (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
+        |    (5 * len(list_distinct(t)) >= len(t)) AS BIGINT) AS y
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+        |j AS (SELECT q.doc_id, q.score, lab.y,
+        |        ntile(10) OVER (ORDER BY q.score, q.doc_id) AS decile
+        |      FROM q JOIN lab USING (doc_id))
+        |SELECT decile, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+        |  round(CAST(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / count(*) / 1000000, 6) AS mean_score
+        |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
 
     // exact Mann-Whitney midrank AUC (integer numerator): classifier
     // logit scored against the Gopher all-rules label

@@ -188,6 +188,56 @@ object TextAnalysis {
           .as("auc"))
   }
 
+  /** Confusion matrix + derived metrics of the classifier's keep
+    * decision against the Gopher label — the threshold-level companion
+    * of [[classifierAuc]]'s threshold-free ranking view. One join + one
+    * four-way-sum aggregate; precision/recall/F1 are single divisions
+    * of exact BIGINT counts. */
+  def confusion(spark: SparkSession, dir: String): DataFrame = {
+    val preds = qualityClassifier(spark, dir).select(col("doc_id"), col("keep"))
+    val labels = gopherRules(spark, dir)
+      .select(col("doc_id"), col("keep_doc").cast("long").as("y"))
+    preds.join(labels, "doc_id")
+      .agg(
+        sum(when(col("keep") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("keep") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("keep") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 6)
+          .as("recall"),
+        round((lit(2L) * col("tp")).cast("double") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+          .as("f1"))
+  }
+
+  /** Calibration curve: positive rate per score decile. Deciles come
+    * from ntile over the deterministic (score, doc_id) order; per-bucket
+    * mean score sums 1e-6-quantized scores as BIGINTs (order-invariant)
+    * before the single division. A well-calibrated filter shows the
+    * rate rising monotonically with the decile — the check before using
+    * the logit as a sampling weight rather than a hard gate. */
+  def calibration(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val scores = qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("logit").as("score"))
+    val labels = gopherRules(spark, dir)
+      .select(col("doc_id"), col("keep_doc").cast("long").as("y"))
+    scores.join(labels, "doc_id")
+      .withColumn("decile", ntile(buckets).over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(round(col("score") * 1e6).cast("long")).as("qsum"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("qsum").cast("double") / col("n_docs").cast("double") / 1e6, 6)
+          .as("mean_score"))
+      .orderBy(col("decile"))
+  }
+
   /** Temperature-based source rebalancing (the data-mixing resampler of
     * multilingual/multi-source pretraining, XLM-style α-sampling): source
     * s keeps fraction (n_min/n_s)^(1-α) of its documents, so the rarest

@@ -416,4 +416,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(nPos === pos.length && nNeg === neg.length)
     assert(math.abs(auc - brute) < 1e-6, s"auc=$auc brute=$brute")
   }
+
+  test("confusion + calibration: partitions, rates, deterministic deciles") {
+    val total = Tables.documents(spark, sf).count()
+    val Array((tp, fp, fn, tn, prec, rec, f1)) =
+      TextAnalysis.confusion(spark, sf)
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(tp + fp + fn + tn === total)
+    assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-6)
+    assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-6)
+    assert(math.abs(f1 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6)
+    val cal = TextAnalysis.calibration(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(cal.map(_._2).sum === total) // deciles partition the corpus
+    cal.foreach { case (_, n, pos, rate, _) =>
+      assert(pos >= 0 && pos <= n)
+      assert(math.abs(rate - pos.toDouble / n) < 1e-6)
+    }
+    // the ranking is informative: the top decile's positive rate beats
+    // the bottom's (this is what AUC > 0.5 looks like binned)
+    assert(cal.last._4 > cal.head._4)
+  }
 }
