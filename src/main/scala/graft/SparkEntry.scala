@@ -198,6 +198,7 @@ object SparkEntry {
     "q_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "q_auc" -> ((s, d) => TextAnalysis.classifierAuc(s, d)),
     "q_confusion" -> ((s, d) => TextAnalysis.confusion(s, d)),
+    "q_pr_curve" -> ((s, d) => TextAnalysis.prCurve(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1136,6 +1137,44 @@ object SparkEntry {
         |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
         |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
         |FROM m""".stripMargin,
+
+    // PR curve at every distinct score cut: integer cumsums over the
+    // per-score aggregate (ties share one cut row)
+    "q_pr_curve" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS s,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS BIGINT) AS p
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
+        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |  FROM f),
+        |lab AS (
+        |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
+        |    ((length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)) AND
+        |    (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
+        |    (5 * len(list_distinct(t)) >= len(t)) AS BIGINT) AS y
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+        |ps AS (SELECT q.score, count(*) AS n, CAST(sum(lab.y) AS BIGINT) AS pos
+        |       FROM q JOIN lab USING (doc_id) GROUP BY q.score),
+        |c AS (SELECT score,
+        |        CAST(sum(pos) OVER w AS BIGINT) AS tp,
+        |        CAST(sum(n) OVER w AS BIGINT) AS kept,
+        |        CAST(sum(pos) OVER () AS BIGINT) AS npos
+        |      FROM ps WINDOW w AS (ORDER BY score DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT score AS score_cut, tp, kept - tp AS fp, npos - tp AS fn,
+        |  round(CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE), 6) AS recall,
+        |  round(CAST(2 * tp AS DOUBLE) / CAST(kept + npos AS DOUBLE), 6) AS f1
+        |FROM c ORDER BY score_cut DESC""".stripMargin,
 
     // per-decile positive rate; deciles over the deterministic
     // (score, doc_id) order, mean score from 1e-6-quantized BIGINT sums

@@ -213,6 +213,41 @@ object TextAnalysis {
           .as("f1"))
   }
 
+  /** Full precision/recall curve: one row per DISTINCT score cut
+    * ("keep iff score ≥ cut"), tp/fp/fn from integer cumulative sums
+    * over the score-descending order — the threshold-sweep that the
+    * q_confusion finding calls for (the deployed L>0 cut keeps
+    * everything; this op finds where F1 actually peaks). Ties share a
+    * cut row by construction (cumsums run over the per-score aggregate,
+    * never raw rows), so the curve is deterministic under any tie
+    * structure; output is bounded by distinct scores, the cumsum window
+    * runs over that already-reduced table. */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val j = qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("logit").as("score"))
+      .join(gopherRules(spark, dir)
+        .select(col("doc_id"), col("keep_doc").cast("long").as("y")), "doc_id")
+    val perScore = j.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    perScore
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("kept", sum(col("n")).over(cum))
+      .withColumn("npos", sum(col("pos")).over(all))
+      .select(col("score").as("score_cut"), col("tp"),
+        (col("kept") - col("tp")).as("fp"),
+        (col("npos") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / col("kept").cast("double"), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("npos").cast("double"), 6)
+          .as("recall"),
+        round((lit(2L) * col("tp")).cast("double") /
+              (col("kept") + col("npos")).cast("double"), 6).as("f1"))
+      .orderBy(col("score_cut").desc)
+  }
+
   /** Calibration curve: positive rate per score decile. Deciles come
     * from ntile over the deterministic (score, doc_id) order; per-bucket
     * mean score sums 1e-6-quantized scores as BIGINTs (order-invariant)

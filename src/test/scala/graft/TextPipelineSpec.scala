@@ -437,4 +437,23 @@ class TextPipelineSpec extends SparkSpec {
     // the bottom's (this is what AUC > 0.5 looks like binned)
     assert(cal.last._4 > cal.head._4)
   }
+
+  test("prCurve: cumulative counts are monotone and close the curve") {
+    val rows = TextAnalysis.prCurve(spark, sf)
+      .as[(Double, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // score_cut strictly descending; tp and kept monotone non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 > b._1); assert(b._2 >= a._2); assert(b._2 + b._3 >= a._2 + a._3)
+    case _ => ()
+    }
+    val last = rows.last
+    assert(last._4 === 0L && math.abs(last._6 - 1.0) < 1e-9) // fn=0, recall=1
+    assert(last._2 + last._3 === Tables.documents(spark, sf).count())
+    // the sweep must beat the deployed keep-everything threshold's F1
+    val Array((tp, fp, fn, _, _, _, deployedF1)) =
+      TextAnalysis.confusion(spark, sf)
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._7).max >= deployedF1, "sweep found no better cut")
+  }
 }
