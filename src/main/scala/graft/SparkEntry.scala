@@ -199,6 +199,7 @@ object SparkEntry {
     "q_auc" -> ((s, d) => TextAnalysis.classifierAuc(s, d)),
     "q_confusion" -> ((s, d) => TextAnalysis.confusion(s, d)),
     "q_pr_curve" -> ((s, d) => TextAnalysis.prCurve(s, d)),
+    "q_mutual_info" -> ((s, d) => graft.ops.Monitor.mutualInfo(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1137,6 +1138,35 @@ object SparkEntry {
         |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
         |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
         |FROM m""".stripMargin,
+
+    // MI/chi2 over the (event_type x value-bucket) contingency table;
+    // per-cell float terms quantized to integers before summation
+    "q_mutual_info" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value / 10) AS BIGINT) AS vbucket FROM events),
+        |cells AS (SELECT event_type, vbucket, count(*) AS nxy
+        |          FROM ev GROUP BY event_type, vbucket),
+        |m AS (SELECT nxy,
+        |        sum(nxy) OVER (PARTITION BY event_type) AS nx,
+        |        sum(nxy) OVER (PARTITION BY vbucket) AS ny,
+        |        sum(nxy) OVER () AS n
+        |      FROM cells),
+        |t AS (SELECT nxy, n,
+        |  nxy * CAST(round(ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1000000000)
+        |    AS BIGINT) AS mi_q,
+        |  CAST(round((CAST(nxy AS DOUBLE)
+        |        - (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      * (CAST(nxy AS DOUBLE)
+        |        - (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      / ((CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS chi_q
+        |  FROM m)
+        |SELECT count(*) AS n_cells, CAST(max(n) AS BIGINT) AS n_events,
+        |  round(CAST(CAST(sum(mi_q) AS BIGINT) AS DOUBLE)
+        |    / CAST(max(n) AS DOUBLE) / 1000000000, 6) AS mi_nats,
+        |  round(CAST(CAST(sum(chi_q) AS BIGINT) AS DOUBLE) / 1000000, 6) AS chi2
+        |FROM t""".stripMargin,
 
     // PR curve at every distinct score cut: integer cumsums over the
     // per-score aggregate (ties share one cut row)

@@ -97,6 +97,42 @@ object Monitor {
       .orderBy(col("event_type"))
   }
 
+  /** Mutual information + chi-square between event_type and a
+    * fixed-width value bucket — the feature-association screen (is this
+    * categorical feature informative about that numeric one?) next to
+    * the distribution monitors above. Fixed-width buckets keep the
+    * binning scan-local (no global sort, unlike a decile cut), the
+    * contingency table is one map-side-combinable aggregate, marginals
+    * ride windows over the ≤|types|·|buckets| CELLS, and both
+    * statistics quantize each cell's float term to an integer before
+    * summation (1e-9 nats / 1e-6 chi units) so the totals are
+    * partitioning-invariant — only ln/÷ run in floating point, in
+    * identical order on both engines. */
+  def mutualInfo(spark: SparkSession, dir: String, width: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      floor(col("value") / width).cast("long").as("vbucket"))
+    val cells = ev.groupBy(col("event_type"), col("vbucket"))
+      .agg(count(lit(1)).as("nxy"))
+    val c2 = cells
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("vbucket"))))
+      .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+    val ratio = (col("nxy").cast("double") * col("n").cast("double")) /
+                (col("nx").cast("double") * col("ny").cast("double"))
+    val miTerm = col("nxy") * round(log(ratio) * 1e9).cast("long")
+    val e = (col("nx").cast("double") * col("ny").cast("double")) /
+            col("n").cast("double")
+    val d = col("nxy").cast("double") - e
+    val chiTerm = round(d * d / e * 1e6).cast("long")
+    c2.select(col("nxy"), col("n"), miTerm.as("mi_q"), chiTerm.as("chi_q"))
+      .agg(count(lit(1)).as("n_cells"), max(col("n")).as("n_events"),
+        sum(col("mi_q")).as("mi_s"), sum(col("chi_q")).as("chi_s"))
+      .select(col("n_cells"), col("n_events"),
+        round(col("mi_s").cast("double") / col("n_events").cast("double") / 1e9, 6)
+          .as("mi_nats"),
+        round(col("chi_s").cast("double") / 1e6, 6).as("chi2"))
+  }
+
   /** DuckDB oracle for [[psi]]. */
   val psiSql: String =
     """WITH ev AS (

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Graph, Monitor, TextAnalysis}
+import graft.util.Tables
 
 class MonitorSpec extends SparkSpec {
   import spark.implicits._
@@ -101,5 +102,29 @@ class MonitorSpec extends SparkSpec {
     assert(out(1L)._4 === 0.0 && out(1L)._5 === 0.0)
     assert(math.abs(out(2L)._4 - 2.0) < 1e-6 && math.abs(out(2L)._5 - 1.0) < 1e-6)
     assert(math.abs(out(3L)._4 - 1.0) < 1e-6) // two equiprobable symbols
+  }
+
+  test("mutualInfo: matches a brute-force contingency recount") {
+    val Array((nCells, nEvents, mi, chi2)) = Monitor.mutualInfo(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(nEvents === Tables.events(spark, sf).count())
+    assert(mi >= -1e-6 && chi2 >= 0.0) // MI >= 0 up to quantization
+    val cells = Tables.events(spark, sf)
+      .select($"event_type", floor($"value" / 10).cast("long").as("b"))
+      .groupBy("event_type", "b").count()
+      .as[(String, Long, Long)].collect()
+    assert(nCells === cells.length)
+    val n = cells.map(_._3).sum.toDouble
+    val nx = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ny = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val bruteMi = cells.map { case (x, y, c) =>
+      c / n * math.log(c * n / (nx(x).toDouble * ny(y)))
+    }.sum
+    val bruteChi = cells.map { case (x, y, c) =>
+      val e = nx(x).toDouble * ny(y) / n
+      (c - e) * (c - e) / e
+    }.sum
+    assert(math.abs(mi - bruteMi) < 1e-5, s"mi=$mi brute=$bruteMi")
+    assert(math.abs(chi2 - bruteChi) < 1e-3, s"chi2=$chi2 brute=$bruteChi")
   }
 }
