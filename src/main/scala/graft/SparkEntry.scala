@@ -200,6 +200,7 @@ object SparkEntry {
     "q_confusion" -> ((s, d) => TextAnalysis.confusion(s, d)),
     "q_pr_curve" -> ((s, d) => TextAnalysis.prCurve(s, d)),
     "q_mutual_info" -> ((s, d) => graft.ops.Monitor.mutualInfo(s, d)),
+    "q_ndcg" -> ((s, d) => Similarity.lshNdcg(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1138,6 +1139,55 @@ object SparkEntry {
         |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
         |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
         |FROM m""".stripMargin,
+
+    // NDCG@10 of the LSH arm vs exact top-10; integer DCG over the
+    // baked discount table, IDCG = 29966114 (Σ (11-p)·d_p)
+    "q_ndcg" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |        s.sig AS qsig
+        |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |      WHERE e.vec_id < 8),
+        |scored AS MATERIALIZED (
+        |  SELECT q.query_id, q.qsig, e.vec_id, s.sig,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+        |      AS cos
+        |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |  CROSS JOIN q WHERE e.vec_id >= 8),
+        |rel AS (SELECT query_id, vec_id, CAST(11 - r AS BIGINT) AS rel FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id) AS r FROM scored) WHERE r <= 10),
+        |sys AS (SELECT query_id, vec_id,
+        |    ([1000000,630930,500000,430677,386853,356207,333333,315465,301030,289065])[CAST(pos AS INTEGER)] AS d
+        |  FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, vec_id) AS pos
+        |        FROM scored WHERE sig = qsig)
+        |  WHERE pos <= 10),
+        |perq AS (SELECT s.query_id, count(*) AS n_ranked,
+        |    CAST(coalesce(sum(coalesce(r.rel, 0) * s.d), 0) AS BIGINT) AS dcg_q
+        |  FROM sys s LEFT JOIN rel r
+        |    ON s.query_id = r.query_id AND s.vec_id = r.vec_id
+        |  GROUP BY s.query_id)
+        |SELECT q.query_id,
+        |  CAST(coalesce(p.n_ranked, 0) AS BIGINT) AS n_ranked,
+        |  CAST(coalesce(p.dcg_q, 0) AS BIGINT) AS dcg_q,
+        |  round(CAST(coalesce(p.dcg_q, 0) AS DOUBLE) / 29966114.0, 6) AS ndcg
+        |FROM q LEFT JOIN perq p USING (query_id)
+        |ORDER BY query_id""".stripMargin,
 
     // MI/chi2 over the (event_type x value-bucket) contingency table;
     // per-cell float terms quantized to integers before summation

@@ -531,6 +531,68 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** 1e6-scaled DCG position discounts round(1e6/log2(p+1)), p=1..10 —
+    * baked as constants so DCG sums are pure integers (no libm in the
+    * comparison path) and the oracle carries the same literals. */
+  private val NdcgDiscounts: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** NDCG@10 of the LSH-bucket ANN arm against the exact-cosine ideal —
+    * the rank-weighted upgrade of [[lshRecall]]'s set-overlap view (two
+    * indexes with equal recall can rank the hits very differently; NDCG
+    * is the number that decides which one serves retrieval). Graded
+    * relevance rel = 11 − exact_rank for the true top-10, 0 otherwise;
+    * system order = bucket candidates by (cos desc, vec_id). DCG/IDCG
+    * accumulate rel·discount as exact BIGINTs over the constant
+    * [[NdcgDiscounts]] table, so the only float is the final division.
+    * All rankings run per query over the broadcast-query score table —
+    * the same one-corpus-scan shape as lshRecall. */
+  def lshNdcg(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    require(k == NdcgDiscounts.length, "discount table is @10")
+    val e = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sig", hyperplaneSignature(col("v")))
+      .localCheckpoint() // one signature pass; scored twice below
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val scored = corpus.join(broadcast(q))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .localCheckpoint() // exact ranking and bucket ranking both read it
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val rel = scored
+      .withColumn("xrnk", row_number().over(byQ))
+      .filter(col("xrnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        (lit(k + 1) - col("xrnk")).cast("long").as("rel"))
+    val disc = typedLit(NdcgDiscounts)
+    val sys = scored.filter(col("sig") === col("qsig"))
+      .withColumn("pos", row_number().over(byQ))
+      .filter(col("pos") <= k)
+      .select(col("query_id"), col("vec_id"),
+        element_at(disc, col("pos")).as("d"))
+    val idcg = NdcgDiscounts.zipWithIndex
+      .map { case (d, i) => d * (k - i) }.sum // Σ (11-p)·d_p, exact
+    val perQ = sys.join(rel, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+        coalesce(sum(coalesce(col("rel"), lit(0L)) * col("d")), lit(0L))
+          .as("dcg_q"))
+    // singleton-bucket queries retrieve nothing: ndcg 0, not a dropout
+    q.select(col("query_id")).join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        coalesce(col("dcg_q"), lit(0L)).as("dcg_q"))
+      .withColumn("ndcg",
+        round(col("dcg_q").cast("double") / lit(idcg.toDouble), 6))
+      .orderBy(col("query_id"))
+  }
+
   /** Higher-order array-function surface over the embedding column:
     * transform / filter / exists / aggregate (fold) / zip_with /
     * array_max-min, all codegen'd Catalyst expressions evaluated inline

@@ -178,6 +178,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall { case (_, _, s) => s >= -1.0 && s <= 1.0 })
   }
 
+  test("lshNdcg: bounds, zero-recall queries score zero, hit queries score > 0") {
+    val ndcg = Similarity.lshNdcg(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val recall = Similarity.lshRecall(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ndcg.keySet === recall.keySet)
+    ndcg.foreach { case (qid, (_, nRanked, dcg, score)) =>
+      assert(score >= 0.0 && score <= 1.0, s"q$qid ndcg out of range")
+      assert(nRanked <= 10)
+      val hits = recall(qid)._3
+      if (hits === 0L) assert(dcg === 0L, s"q$qid: dcg>0 with zero recall")
+      // a bucket that fits entirely in the top-10 ranks every hit
+      else if (nRanked < 10) assert(dcg > 0L, s"q$qid: zero dcg, $hits hits, full bucket ranked")
+    }
+  }
+
   test("knnGraph: degree bounds, even mutual mass, candidate census") {
     val rows = Similarity.knnGraph(spark, sf, k = 5)
       .select("vec_id", "n_cand", "knn_deg", "mutual_deg")
