@@ -201,6 +201,7 @@ object SparkEntry {
     "q_pr_curve" -> ((s, d) => TextAnalysis.prCurve(s, d)),
     "q_mutual_info" -> ((s, d) => graft.ops.Monitor.mutualInfo(s, d)),
     "q_ndcg" -> ((s, d) => Similarity.lshNdcg(s, d)),
+    "q_multiprobe" -> ((s, d) => Similarity.multiProbeRecall(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1139,6 +1140,58 @@ object SparkEntry {
         |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
         |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
         |FROM m""".stripMargin,
+
+    // multi-probe LSH: query bucket + 8 Hamming-1 buckets, recall vs
+    // the same exact top-10 as q_lsh_recall
+    "q_multiprobe" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |        s.sig AS qsig
+        |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |      WHERE e.vec_id < 8),
+        |probes AS MATERIALIZED (
+        |  SELECT query_id, qsig AS probe FROM q
+        |  UNION ALL
+        |  SELECT query_id,
+        |    substr(qsig, 1, CAST(p - 1 AS INTEGER))
+        |      || (CASE WHEN substr(qsig, CAST(p AS INTEGER), 1) = '1'
+        |            THEN '0' ELSE '1' END)
+        |      || substr(qsig, CAST(p + 1 AS INTEGER), CAST(8 - p AS INTEGER))
+        |  FROM q, (SELECT unnest(range(1, 9)) AS p) r),
+        |nc AS (SELECT pr.query_id, count(*) AS n_candidates
+        |       FROM sig s JOIN probes pr ON s.sig = pr.probe
+        |       WHERE s.vec_id >= 8 GROUP BY pr.query_id),
+        |top AS (SELECT query_id, vec_id, sig FROM (
+        |  SELECT q.query_id, e.vec_id, s.sig,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+        |      e.vec_id) AS rnk
+        |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |  CROSS JOIN q WHERE e.vec_id >= 8) WHERE rnk <= 10),
+        |h AS (SELECT t.query_id, count(*) AS hits
+        |      FROM top t JOIN probes pr
+        |        ON t.query_id = pr.query_id AND t.sig = pr.probe
+        |      GROUP BY t.query_id)
+        |SELECT q.query_id,
+        |  CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  round(coalesce(h.hits, 0) / 10.0, 6) AS recall
+        |FROM q LEFT JOIN nc USING (query_id) LEFT JOIN h USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
 
     // NDCG@10 of the LSH arm vs exact top-10; integer DCG over the
     // baked discount table, IDCG = 29966114 (Σ (11-p)·d_p)

@@ -531,6 +531,56 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Multi-probe LSH recall: candidates come from the query's own
+    * bucket PLUS all 8 Hamming-distance-1 buckets (one flipped
+    * signature bit each) — the standard remedy when q_lsh_recall /
+    * q_ndcg show a plane count whose buckets are too fine (Lv et al.
+    * 2007): near neighbors that fell one hyperplane to the other side
+    * are recovered WITHOUT rebuilding the index or coarsening the
+    * planes. Probe signatures are generated in-row (9 per query, a
+    * bounded explode), candidates stay a bucket-keyed join, and the
+    * output is row-compatible with [[lshRecall]] so the two gates
+    * measure the same thing before/after. */
+  def multiProbeRecall(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val e = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sig", hyperplaneSignature(col("v")))
+      .localCheckpoint()
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val probes = q.select(col("query_id"), explode(concat(
+        array(col("qsig")),
+        expr("""transform(sequence(1, 8), p -> concat(
+                  substring(qsig, 1, p - 1),
+                  CASE WHEN substring(qsig, p, 1) = '1' THEN '0' ELSE '1' END,
+                  substring(qsig, p + 1, 8 - p)))""")))
+      .as("probe"))
+    val nCand = corpus.join(broadcast(probes), col("sig") === col("probe"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+    val top = corpus.join(broadcast(q))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sig"))
+    val hits = top.join(broadcast(probes),
+        Seq("query_id")).filter(col("sig") === col("probe"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    q.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", round(col("hits") / lit(k.toDouble), 6))
+      .orderBy(col("query_id"))
+  }
+
   /** 1e6-scaled DCG position discounts round(1e6/log2(p+1)), p=1..10 —
     * baked as constants so DCG sums are pure integers (no libm in the
     * comparison path) and the oracle carries the same literals. */

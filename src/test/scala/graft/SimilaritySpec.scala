@@ -196,6 +196,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiProbeRecall: dominates the single-bucket probe on every query") {
+    val single = Similarity.lshRecall(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val multi = Similarity.multiProbeRecall(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(multi.keySet === single.keySet)
+    multi.foreach { case (qid, (_, nCand, hits, recall)) =>
+      // probing a superset of buckets can only add candidates and hits
+      assert(nCand >= single(qid)._2, s"q$qid: candidates shrank")
+      assert(hits >= single(qid)._3, s"q$qid: hits shrank")
+      assert(recall >= 0.0 && recall <= 1.0 && hits <= nCand)
+    }
+    // and the remedy must actually help somewhere on this corpus
+    assert(multi.values.map(_._3).sum > single.values.map(_._3).sum,
+      "multi-probe found no additional true neighbors")
+  }
+
   test("knnGraph: degree bounds, even mutual mass, candidate census") {
     val rows = Similarity.knnGraph(spark, sf, k = 5)
       .select("vec_id", "n_cand", "knn_deg", "mutual_deg")
