@@ -202,6 +202,7 @@ object SparkEntry {
     "q_mutual_info" -> ((s, d) => graft.ops.Monitor.mutualInfo(s, d)),
     "q_ndcg" -> ((s, d) => Similarity.lshNdcg(s, d)),
     "q_multiprobe" -> ((s, d) => Similarity.multiProbeRecall(s, d)),
+    "q_dup_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1140,6 +1141,18 @@ object SparkEntry {
         |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
         |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
         |FROM m""".stripMargin,
+
+    "q_dup_by_source" ->
+      """WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |g AS (SELECT fp, count(*) AS grp FROM fp GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT f.fp) AS n_distinct,
+        |  CAST(sum(CASE WHEN g.grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_dup_groups,
+        |  round(CAST(sum(CASE WHEN g.grp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_rate
+        |FROM fp f JOIN g USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // multi-probe LSH: query bucket + 8 Hamming-1 buckets, recall vs
     // the same exact top-10 as q_lsh_recall

@@ -82,6 +82,34 @@ object Dedup {
       .select(col("keep_id"), col("n_docs"))
       .orderBy(col("keep_id"))
 
+  /** Per-source duplicate accounting — WHERE the duplicate mass comes
+    * from, the census a crawl-mix owner reads before deciding which
+    * source to re-fetch, re-canonicalize, or drop. Per source: total
+    * docs, distinct contents, docs sitting in a corpus-wide duplicate
+    * group (the group census is one hash-keyed window over 32-byte
+    * fingerprints — cross-source duplicates count for every source
+    * they touch, which is the point), and the duplicate rate. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    dupRateBySourceOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, source, text) frame. On the gated corpus
+    * every source reports zero — the corpus is exactly-clean, which is
+    * itself the audit result; DedupSpec proves the census fires on a
+    * fixture with planted cross- and within-source duplicates. */
+  def dupRateBySourceOf(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    fp.withColumn("grp", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_in_dup_groups"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        col("n_in_dup_groups"),
+        round(col("n_in_dup_groups").cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** All near-duplicate pairs with word-3-gram Jaccard >= tau: one
     * shuffle-hash self-join on the shingle + one pair aggregation. The
     * per-doc cardinality rides along from the in-row gram array, so

@@ -254,4 +254,29 @@ class DedupSpec extends SparkSpec {
       .select("k", "tag").as[(String, String)].collect().toMap
     assert(out === Map("k1" -> "new", "k2" -> "only"))
   }
+
+  test("dupRateBySource: planted within- and cross-source dups are attributed") {
+    // s1: 2 of 3 docs share content (within-source dup pair);
+    // s2: 1 of its 2 docs duplicates an s1 doc (cross-source — counts
+    // for BOTH sources); s3: clean.
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma"), (2L, "s1", "alpha beta gamma"),
+      (3L, "s1", "delta epsilon"),
+      (4L, "s2", "delta epsilon"), (5L, "s2", "unique zeta"),
+      (6L, "s3", "another clean doc")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dupRateBySourceOf(docs)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("s1") === (("s1", 3L, 2L, 3L, 1.0))) // all 3 in dup groups
+    assert(out("s2") === (("s2", 2L, 2L, 1L, 0.5)))
+    assert(out("s3") === (("s3", 1L, 1L, 0L, 0.0)))
+    // the gated corpus itself is exactly-clean — zero everywhere
+    val corpus = Dedup.dupRateBySource(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (_, n, dist, dups, rate) =>
+      assert(dist === n && dups === 0L && rate === 0.0)
+    }
+  }
 }
