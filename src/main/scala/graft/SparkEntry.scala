@@ -203,6 +203,7 @@ object SparkEntry {
     "q_ndcg" -> ((s, d) => Similarity.lshNdcg(s, d)),
     "q_multiprobe" -> ((s, d) => Similarity.multiProbeRecall(s, d)),
     "q_dup_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
+    "q_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1141,6 +1142,51 @@ object SparkEntry {
         |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
         |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
         |FROM m""".stripMargin,
+
+    // cumulative recall@10 vs probe budget (own bucket + bit flips in
+    // order); covered-at-probe from the per-hit differing-bit position
+    "q_probe_sweep" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |        s.sig AS qsig
+        |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |      WHERE e.vec_id < 8),
+        |top AS (SELECT query_id, sig, qsig FROM (
+        |  SELECT q.query_id, s.sig, q.qsig,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+        |      e.vec_id) AS rnk
+        |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+        |  CROSS JOIN q WHERE e.vec_id >= 8) WHERE rnk <= 10),
+        |cov AS (SELECT query_id,
+        |    CASE WHEN sig = qsig THEN 0
+        |    WHEN len(list_filter(range(1, 9),
+        |        p -> substr(sig, CAST(p AS INTEGER), 1) <> substr(qsig, CAST(p AS INTEGER), 1))) = 1
+        |    THEN list_filter(range(1, 9),
+        |        p -> substr(sig, CAST(p AS INTEGER), 1) <> substr(qsig, CAST(p AS INTEGER), 1))[1]
+        |    ELSE NULL END AS cover
+        |  FROM top)
+        |SELECT g.n_flips + 1 AS n_probes,
+        |  CAST(count(cov.cover) AS BIGINT) AS hits_total,
+        |  round(count(cov.cover) / 80.0, 6) AS mean_recall
+        |FROM (SELECT unnest(range(0, 9)) AS n_flips) g
+        |LEFT JOIN cov ON cov.cover <= g.n_flips
+        |GROUP BY g.n_flips
+        |ORDER BY n_probes""".stripMargin,
 
     "q_dup_by_source" ->
       """WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),

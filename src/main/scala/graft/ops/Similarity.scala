@@ -581,6 +581,51 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Probe-budget sweep: cumulative recall@10 as a function of how many
+    * buckets each query probes, in [[multiProbeRecall]]'s probe order
+    * (own bucket, then the 8 single-bit flips) — the CURVE behind the
+    * before/after pair, showing where extra probes stop paying (the
+    * knee that sets the probe budget). Each true-top-10 member is
+    * covered at probe 0 (same signature), at probe p (signatures differ
+    * in exactly bit p), or never within a Hamming-1 sweep; the sweep is
+    * then one tiny theta-join of the 9-row budget spine against the
+    * queries×k covered table — all corpus-scale work stays in the one
+    * scored pass. */
+  def probeSweep(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val e = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sig", hyperplaneSignature(col("v")))
+      .localCheckpoint()
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val covered = corpus.join(broadcast(q))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .withColumn("cover", expr(
+        """CASE WHEN sig = qsig THEN 0
+           WHEN size(filter(sequence(1, 8),
+               p -> substring(sig, p, 1) <> substring(qsig, p, 1))) = 1
+           THEN element_at(filter(sequence(1, 8),
+               p -> substring(sig, p, 1) <> substring(qsig, p, 1)), 1)
+           ELSE NULL END"""))
+      .select(col("query_id"), col("cover"))
+    val spine = spark.range(0, 9).select(col("id").as("n_flips"))
+    spine.join(covered, col("cover") <= col("n_flips"), "left")
+      .groupBy(col("n_flips"))
+      .agg(count(col("cover")).as("hits_total"))
+      .select((col("n_flips") + 1).as("n_probes"), col("hits_total"),
+        round(col("hits_total").cast("double") / lit((nQueries * k).toDouble), 6)
+          .as("mean_recall"))
+      .orderBy(col("n_probes"))
+  }
+
   /** 1e6-scaled DCG position discounts round(1e6/log2(p+1)), p=1..10 —
     * baked as constants so DCG sums are pure integers (no libm in the
     * comparison path) and the oracle carries the same literals. */

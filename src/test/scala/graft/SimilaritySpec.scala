@@ -213,6 +213,22 @@ class SimilaritySpec extends SparkSpec {
       "multi-probe found no additional true neighbors")
   }
 
+  test("probeSweep: monotone curve whose endpoints equal the two recall gates") {
+    val curve = Similarity.probeSweep(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq === (1L to 9L))
+    curve.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 >= a._2, "recall curve decreased")
+      case _ => ()
+    }
+    val single = Similarity.lshRecall(spark, sf).as[(Long, Long, Long, Double)]
+      .collect().map(_._3).sum
+    val multi = Similarity.multiProbeRecall(spark, sf).as[(Long, Long, Long, Double)]
+      .collect().map(_._3).sum
+    assert(curve.head._2 === single, "probe-1 point != single-bucket recall")
+    assert(curve.last._2 === multi, "probe-9 point != multi-probe recall")
+  }
+
   test("knnGraph: degree bounds, even mutual mass, candidate census") {
     val rows = Similarity.knnGraph(spark, sf, k = 5)
       .select("vec_id", "n_cand", "knn_deg", "mutual_deg")
