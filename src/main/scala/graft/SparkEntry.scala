@@ -204,6 +204,7 @@ object SparkEntry {
     "q_multiprobe" -> ((s, d) => Similarity.multiProbeRecall(s, d)),
     "q_dup_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "q_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
+    "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1187,6 +1188,42 @@ object SparkEntry {
         |LEFT JOIN cov ON cov.cover <= g.n_flips
         |GROUP BY g.n_flips
         |ORDER BY n_probes""".stripMargin,
+
+    // minhash estimate vs exact Jaccard on the LSH candidate pairs
+    "q_minhash_acc" -> {
+      val matchSql = (0 until Dedup.MinhashK)
+        .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         |$minhashSigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h3||'|'||h4||'|'||h5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h6||'|'||h7||'|'||h8) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h9||'|'||h10||'|'||h11) FROM sig),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS ix FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+         |  GROUP BY 1, 2),
+         |est AS (SELECT c.id_a, c.id_b, c.n_bands,
+         |    CAST($matchSql AS BIGINT) AS n_match
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b)
+         |SELECT e.id_a, e.id_b, e.n_bands, e.n_match,
+         |  round(e.n_match / 12.0, 6) AS mh_est,
+         |  round(CAST(i.ix AS DOUBLE) / (ca.c + cb.c - i.ix), 6) AS jac,
+         |  round(abs(round(e.n_match / 12.0, 6)
+         |    - round(CAST(i.ix AS DOUBLE) / (ca.c + cb.c - i.ix), 6)), 6) AS err
+         |FROM est e JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+         |JOIN card ca ON ca.doc_id = e.id_a
+         |JOIN card cb ON cb.doc_id = e.id_b
+         |ORDER BY e.id_a, e.id_b""".stripMargin
+    },
 
     "q_dup_by_source" ->
       """WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),

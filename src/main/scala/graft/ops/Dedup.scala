@@ -294,6 +294,37 @@ object Dedup {
       .filter(col("jac") >= tau)
       .select(col("id_a"), col("id_b"), col("jac"))
 
+  /** MinHash estimator accuracy over the LSH candidate pairs — the
+    * dedup-side index measurement mirroring q_lsh_recall/q_ndcg on the
+    * ANN side: per candidate pair, the signature-agreement estimate
+    * ĵ = (#agreeing hash rows)/k against the exact shingle Jaccard,
+    * with the absolute error. E[ĵ] = J and Var = J(1−J)/k, so this is
+    * the table that decides whether k=12 rows suffice before trusting
+    * banding thresholds on a new corpus. Signatures join back by doc id
+    * (k hex mins per doc — tiny), exact Jaccard reuses the
+    * candidate-verified [[verifyPairs]] join; nothing touches raw text
+    * twice. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = lshCandidates(spark, dir).select(col("id_a"), col("id_b"), col("n_bands"))
+    val sig = minhashSignatures(docs).localCheckpoint() // one build, two probes
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_a" else c + "_a"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_b" else c + "_b"): _*)
+    val nMatch = (0 until MinhashK).map(k =>
+      when(col(s"h${k}_a") === col(s"h${k}_b"), 1L).otherwise(0L)).reduce(_ + _)
+    val withEst = cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("n_match", nMatch)
+      .select(col("id_a"), col("id_b"), col("n_bands"), col("n_match"),
+        round(col("n_match").cast("double") / MinhashK, 6).as("mh_est"))
+    val exact = verifyPairs(cand.select(col("id_a"), col("id_b")),
+      shinglesWithCard(docs), tau = 0.0)
+    withEst.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("n_bands"), col("n_match"),
+        col("mh_est"), col("jac"),
+        round(abs(col("mh_est") - col("jac")), 6).as("err"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Number of MinHash hash functions (= band count × rows per band). */
   val MinhashK = 12
   val Bands = 4

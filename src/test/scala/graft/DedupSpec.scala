@@ -255,6 +255,24 @@ class DedupSpec extends SparkSpec {
     assert(out === Map("k1" -> "new", "k2" -> "only"))
   }
 
+  test("minhashAccuracy: estimate bounds, band-row consistency, sane error") {
+    val rows = graft.ops.Dedup.minhashAccuracy(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nBands, nMatch, est, jac, err) =>
+      assert(a < b)
+      assert(nMatch >= 0 && nMatch <= 12)
+      // an agreeing band hash means its 3 signature rows agree
+      assert(nMatch >= 3 * nBands, s"($a,$b): $nMatch rows < 3x$nBands bands")
+      assert(math.abs(est - nMatch / 12.0) < 1e-6)
+      assert(jac > 0.0 && jac <= 1.0)
+      assert(math.abs(err - math.abs(est - jac)) < 1e-6)
+    }
+    // k=12 rows: mean |error| should sit near sqrt(J(1-J)/12), far below 0.3
+    val meanErr = rows.map(_._7).sum / rows.length
+    assert(meanErr < 0.3, s"estimator error implausibly large: $meanErr")
+  }
+
   test("dupRateBySource: planted within- and cross-source dups are attributed") {
     // s1: 2 of 3 docs share content (within-source dup pair);
     // s2: 1 of its 2 docs duplicates an s1 doc (cross-source — counts
