@@ -205,6 +205,7 @@ object SparkEntry {
     "q_dup_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "q_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
+    "q_forecast_eval" -> ((s, d) => graft.indicators.Indicators.forecastEval(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1495,6 +1496,33 @@ object SparkEntry {
         |       CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE)) / 10000, 6) AS intercept_nats
         |FROM s""".stripMargin,
+
+    // one-step Holt forecast MAE/RMSE: same recursion, errors quantized
+    // to 1e-3 integers before the moment sums
+    "q_forecast_eval" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id < 5000),
+        |h AS (
+        |  SELECT event_type, rn, event_id, x AS s, CAST(0 AS DOUBLE) AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.event_type, seq.rn, seq.event_id,
+        |         0.5 * seq.x + 0.5 * (h.s + h.b) AS s,
+        |         0.3 * ((0.5 * seq.x + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b AS b
+        |  FROM h JOIN seq ON seq.event_type = h.event_type AND seq.rn = h.rn + 1),
+        |j AS (SELECT h.event_type,
+        |        CAST(round((h.s + h.b - n2.x) * 1000) AS BIGINT) AS err_q
+        |      FROM h JOIN seq n2
+        |        ON n2.event_type = h.event_type AND n2.rn = h.rn + 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(CAST(sum(abs(err_q)) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000.0, 6) AS mae,
+        |  round(sqrt(CAST(CAST(sum(err_q * err_q) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) / 1000.0, 6) AS rmse
+        |FROM j GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // Holt level+trend replayed as a recursive CTE; identical IEEE op
     // order on both engines, rounded 6dp; event_id slice bounds depth

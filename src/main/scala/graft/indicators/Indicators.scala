@@ -167,4 +167,38 @@ object Indicators {
         round(col("h.level") + col("h.trend"), 6).as("forecast"))
       .orderBy(col("event_type"), col("event_id"))
   }
+
+  /** One-step-ahead forecast evaluation of the Holt smoother — the
+    * model-selection companion (is level+trend actually better than
+    * last-value-carried-forward on this series? which (α, β)?): per
+    * series, MAE and RMSE of (s_t + b_t) against the realized next
+    * value. Errors quantize to 1e-3 integer units BEFORE the sums
+    * (|err| ≲ 5e5 milli-units squared × series length stays well inside
+    * BIGINT), so both moments are partitioning-invariant; the final
+    * divisions and the IEEE-correctly-rounded sqrt are the only float
+    * steps. Forecast and next-value ride the SAME window spec — one
+    * exchange + sort total. */
+  def forecastEval(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.util.Tables.events(spark, dir)
+      .filter(col("event_id") < 5000)
+      .withColumn("h", Holt(spark, col("value"), alpha, beta).over(w))
+      .withColumn("next_v", lead(col("value"), 1).over(w))
+      .filter(col("next_v").isNotNull)
+      .withColumn("err_q",
+        round((col("h.level") + col("h.trend") - col("next_v")) * 1000)
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("err_q"))).as("sae"),
+        sum(col("err_q") * col("err_q")).as("sse"))
+      .select(col("event_type"), col("n"),
+        round(col("sae").cast("double") / col("n").cast("double") / 1000.0, 6)
+          .as("mae"),
+        round(sqrt(col("sse").cast("double") / col("n").cast("double")) / 1000.0, 6)
+          .as("rmse"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -132,6 +132,32 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("forecastEval: rmse >= mae, metrics match a driver-side recount") {
+    val rows = Indicators.forecastEval(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, mae, rmse) =>
+      assert(n > 0)
+      assert(rmse >= mae, s"$et: RMSE below MAE is impossible")
+    }
+    // recount one series by folding Holt by hand over the same slice
+    val (et0, n0, mae0, rmse0) = rows.head
+    val xs = graft.util.Tables.events(spark, sf)
+      .filter($"event_id" < 5000 && $"event_type" === et0)
+      .orderBy($"ts", $"event_id").select($"value").as[Double].collect()
+    var (s, b) = (xs.head, 0.0)
+    val errs = xs.tail.map { x =>
+      val f = s + b
+      val sN = 0.5 * x + 0.5 * (s + b); val bN = 0.3 * (sN - s) + 0.7 * b
+      s = sN; b = bN
+      math.round((f - x) * 1000)
+    }
+    assert(errs.length === n0)
+    assert(math.abs(mae0 - errs.map(math.abs(_)).sum.toDouble / n0 / 1000) < 1e-6)
+    assert(math.abs(rmse0 -
+      math.sqrt(errs.map(e => e.toDouble * e).sum / n0) / 1000) < 1e-6)
+  }
+
   test("holt is SQL-visible and the SQL form matches the Column form") {
     Holt.register(spark)
     val df = Seq(("k", 1L, 10.0), ("k", 2L, 14.0), ("k", 3L, 12.0),
