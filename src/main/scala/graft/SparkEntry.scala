@@ -206,6 +206,7 @@ object SparkEntry {
     "q_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_forecast_eval" -> ((s, d) => graft.indicators.Indicators.forecastEval(s, d)),
+    "q_forecast_compare" -> ((s, d) => graft.indicators.Indicators.forecastCompare(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1496,6 +1497,38 @@ object SparkEntry {
         |       CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE)) / 10000, 6) AS intercept_nats
         |FROM s""".stripMargin,
+
+    // Holt vs last-value-carried-forward, same recursion + both errors
+    "q_forecast_compare" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id < 5000),
+        |h AS (
+        |  SELECT event_type, rn, event_id, x, x AS s, CAST(0 AS DOUBLE) AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.event_type, seq.rn, seq.event_id, seq.x,
+        |         0.5 * seq.x + 0.5 * (h.s + h.b) AS s,
+        |         0.3 * ((0.5 * seq.x + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b AS b
+        |  FROM h JOIN seq ON seq.event_type = h.event_type AND seq.rn = h.rn + 1),
+        |j AS (SELECT h.event_type,
+        |        CAST(round((h.s + h.b - n2.x) * 1000) AS BIGINT) AS eh,
+        |        CAST(round((h.x - n2.x) * 1000) AS BIGINT) AS el
+        |      FROM h JOIN seq n2
+        |        ON n2.event_type = h.event_type AND n2.rn = h.rn + 1),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(eh * eh) AS BIGINT) AS sseh,
+        |        CAST(sum(el * el) AS BIGINT) AS ssel
+        |      FROM j GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(sqrt(CAST(sseh AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0, 6)
+        |    AS rmse_holt,
+        |  round(sqrt(CAST(ssel AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0, 6)
+        |    AS rmse_lvcf,
+        |  round(1.0 - sqrt(CAST(sseh AS DOUBLE) / CAST(ssel AS DOUBLE)), 6)
+        |    AS improvement
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // one-step Holt forecast MAE/RMSE: same recursion, errors quantized
     // to 1e-3 integers before the moment sums

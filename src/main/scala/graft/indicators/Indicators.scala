@@ -201,4 +201,40 @@ object Indicators {
           .as("rmse"))
       .orderBy(col("event_type"))
   }
+
+  /** Model comparison: Holt one-step forecast vs the last-value-
+    * carried-forward baseline, per series, in ONE pass (both forecasts
+    * and the realized next value ride the same window spec). The
+    * `improvement` column is 1 − rmse_holt/rmse_lvcf — positive means
+    * the trend model earns its keep on that series, and a negative
+    * value is the honest "ship the naive baseline" answer. Same
+    * 1e-3-integer moment quantization as [[forecastEval]]. */
+  def forecastCompare(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.util.Tables.events(spark, dir)
+      .filter(col("event_id") < 5000)
+      .withColumn("h", Holt(spark, col("value"), alpha, beta).over(w))
+      .withColumn("next_v", lead(col("value"), 1).over(w))
+      .filter(col("next_v").isNotNull)
+      .withColumn("eh",
+        round((col("h.level") + col("h.trend") - col("next_v")) * 1000)
+          .cast("long"))
+      .withColumn("el",
+        round((col("value") - col("next_v")) * 1000).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("eh") * col("eh")).as("sseh"),
+        sum(col("el") * col("el")).as("ssel"))
+      .select(col("event_type"), col("n"),
+        round(sqrt(col("sseh").cast("double") / col("n").cast("double")) / 1000.0, 6)
+          .as("rmse_holt"),
+        round(sqrt(col("ssel").cast("double") / col("n").cast("double")) / 1000.0, 6)
+          .as("rmse_lvcf"),
+        round(lit(1.0) -
+          sqrt(col("sseh").cast("double") / col("ssel").cast("double")), 6)
+          .as("improvement"))
+      .orderBy(col("event_type"))
+  }
 }

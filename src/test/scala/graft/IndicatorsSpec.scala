@@ -158,6 +158,23 @@ class IndicatorsSpec extends SparkSpec {
       math.sqrt(errs.map(e => e.toDouble * e).sum / n0) / 1000) < 1e-6)
   }
 
+  test("forecastCompare: consistent with forecastEval and the rmse ratio") {
+    val cmp = Indicators.forecastCompare(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ev = Indicators.forecastEval(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cmp.keySet === ev.keySet)
+    cmp.foreach { case (et, (_, n, rh, rl, imp)) =>
+      assert(n === ev(et)._2)
+      assert(math.abs(rh - ev(et)._4) < 1e-6, s"$et: holt rmse drifted")
+      assert(rl > 0.0)
+      // improvement derives from the unrounded ratio; allow rounding slack
+      assert(math.abs(imp - (1.0 - rh / rl)) < 1e-4, s"$et: improvement inconsistent")
+    }
+  }
+
   test("holt is SQL-visible and the SQL form matches the Column form") {
     Holt.register(spark)
     val df = Seq(("k", 1L, 10.0), ("k", 2L, 14.0), ("k", 3L, 12.0),
