@@ -207,6 +207,7 @@ object SparkEntry {
     "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_forecast_eval" -> ((s, d) => graft.indicators.Indicators.forecastEval(s, d)),
     "q_forecast_compare" -> ((s, d) => graft.indicators.Indicators.forecastCompare(s, d)),
+    "q_anomaly" -> ((s, d) => graft.ops.Monitor.forecastAnomalies(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1497,6 +1498,40 @@ object SparkEntry {
         |       CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE)) / 10000, 6) AS intercept_nats
         |FROM s""".stripMargin,
+
+    // forecast-residual anomalies: same recursion, robust median/MAD
+    // threshold via quantile_cont (matches Spark's exact percentile)
+    "q_anomaly" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id < 5000),
+        |h AS (
+        |  SELECT event_type, rn, event_id, x, x AS s, CAST(0 AS DOUBLE) AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.event_type, seq.rn, seq.event_id, seq.x,
+        |         0.5 * seq.x + 0.5 * (h.s + h.b) AS s,
+        |         0.3 * ((0.5 * seq.x + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b AS b
+        |  FROM h JOIN seq ON seq.event_type = h.event_type AND seq.rn = h.rn + 1),
+        |resid AS (SELECT h.event_type, n2.x - (h.s + h.b) AS r
+        |          FROM h JOIN seq n2
+        |            ON n2.event_type = h.event_type AND n2.rn = h.rn + 1),
+        |med AS (SELECT event_type, quantile_cont(r, 0.5) AS med
+        |        FROM resid GROUP BY event_type),
+        |mad AS (SELECT r.event_type, quantile_cont(abs(r.r - m.med), 0.5) AS mad
+        |        FROM resid r JOIN med m USING (event_type)
+        |        GROUP BY r.event_type)
+        |SELECT r.event_type, count(*) AS n,
+        |  round(min(m.med), 6) AS med_resid,
+        |  round(min(d.mad), 6) AS mad_resid,
+        |  CAST(sum(CASE WHEN abs(r.r - m.med) > 3.0 * d.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies,
+        |  round(CAST(sum(CASE WHEN abs(r.r - m.med) > 3.0 * d.mad THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS anomaly_rate
+        |FROM resid r JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |GROUP BY r.event_type
+        |ORDER BY r.event_type""".stripMargin,
 
     // Holt vs last-value-carried-forward, same recursion + both errors
     "q_forecast_compare" ->

@@ -133,6 +133,46 @@ object Monitor {
         round(col("chi_s").cast("double") / 1e6, 6).as("chi2"))
   }
 
+  /** Forecast-residual anomaly census — the monitoring op that closes
+    * the Holt loop: one-step residuals r_t = x_t − (s_{t−1} + b_{t−1})
+    * per series, a ROBUST threshold from their exact median/MAD
+    * (outliers cannot inflate their own cutoff, unlike a stddev rule),
+    * and the per-series count of |r − med| > k·MAD flags. Three passes
+    * over the residual table (already one row per observation): median,
+    * MAD given median, flag census — each a broadcast of a
+    * |types|-row aggregate back onto the residuals, never a sort beyond
+    * the shared series window. */
+  def forecastAnomalies(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3, k: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val resid = Tables.events(spark, dir)
+      .filter(col("event_id") < 5000)
+      .withColumn("h",
+        graft.indicators.Holt(spark, col("value"), alpha, beta).over(w))
+      .withColumn("pf", lag(col("h.level") + col("h.trend"), 1).over(w))
+      .filter(col("pf").isNotNull)
+      .select(col("event_type"), (col("value") - col("pf")).as("r"))
+      .localCheckpoint() // three consumers; the window runs once
+    val med = resid.groupBy(col("event_type"))
+      .agg(expr("percentile(r, 0.5)").as("med"))
+    val withMed = resid.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(r - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("med_resid"),
+        round(min(col("mad")), 6).as("mad_resid"),
+        sum(when(abs(col("r") - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .select(col("event_type"), col("n"), col("med_resid"),
+        col("mad_resid"), col("n_anomalies"),
+        round(col("n_anomalies").cast("double") / col("n").cast("double"), 6)
+          .as("anomaly_rate"))
+      .orderBy(col("event_type"))
+  }
+
   /** DuckDB oracle for [[psi]]. */
   val psiSql: String =
     """WITH ev AS (

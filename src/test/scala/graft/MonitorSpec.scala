@@ -104,6 +104,21 @@ class MonitorSpec extends SparkSpec {
     assert(math.abs(out(3L)._4 - 1.0) < 1e-6) // two equiprobable symbols
   }
 
+  test("forecastAnomalies: rate matches its counts; robust threshold sane") {
+    val rows = Monitor.forecastAnomalies(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, _, mad, nAnom, rate) =>
+      assert(n > 0 && mad > 0.0, s"$et: degenerate residual spread")
+      assert(nAnom >= 0 && nAnom <= n)
+      assert(math.abs(rate - nAnom.toDouble / n) < 1e-6)
+      // a median/MAD rule flags a MINORITY by construction: |r-med| >
+      // 3*MAD can cover at most half the mass (MAD is the median of
+      // |r-med|), and far less on anything unimodal
+      assert(rate < 0.5, s"$et: threshold flags a majority — rule broken")
+    }
+  }
+
   test("mutualInfo: matches a brute-force contingency recount") {
     val Array((nCells, nEvents, mi, chi2)) = Monitor.mutualInfo(spark, sf)
       .as[(Long, Long, Double, Double)].collect()
