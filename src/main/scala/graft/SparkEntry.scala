@@ -208,6 +208,7 @@ object SparkEntry {
     "q_forecast_eval" -> ((s, d) => graft.indicators.Indicators.forecastEval(s, d)),
     "q_forecast_compare" -> ((s, d) => graft.indicators.Indicators.forecastCompare(s, d)),
     "q_anomaly" -> ((s, d) => graft.ops.Monitor.forecastAnomalies(s, d)),
+    "q_dedup_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1191,6 +1192,35 @@ object SparkEntry {
         |LEFT JOIN cov ON cov.cover <= g.n_flips
         |GROUP BY g.n_flips
         |ORDER BY n_probes""".stripMargin,
+
+    // tau sweep over the candidate-verified Jaccard pairs
+    "q_dedup_sweep" ->
+      s"""WITH $shingleCte,
+         |$minhashSigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1||'|'||h2) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h3||'|'||h4||'|'||h5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h6||'|'||h7||'|'||h8) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h9||'|'||h10||'|'||h11) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS ix FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i.id_a, i.id_b,
+         |    round(CAST(i.ix AS DOUBLE) / (ca.c + cb.c - i.ix), 6) AS jac
+         |  FROM inter i JOIN card ca ON ca.doc_id = i.id_a
+         |  JOIN card cb ON cb.doc_id = i.id_b)
+         |SELECT round(0.5 + g.k * 0.05, 2) AS tau,
+         |  CAST(count(p.jac) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_removable
+         |FROM (SELECT unnest(range(0, 10)) AS k) g
+         |LEFT JOIN pairs p ON p.jac >= 0.5 + g.k * 0.05
+         |GROUP BY g.k
+         |ORDER BY tau""".stripMargin,
 
     // minhash estimate vs exact Jaccard on the LSH candidate pairs
     "q_minhash_acc" -> {

@@ -325,6 +325,31 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dedup threshold sweep — the q_pr_curve analog for near-dup dedup:
+    * for a τ grid, how many candidate pairs survive and how many
+    * documents a pass at that τ would touch. THE table read before
+    * committing a Jaccard threshold to a corpus (τ too low merges
+    * topical neighbors; too high misses boilerplate variants); computed
+    * from ONE candidate-verification pass (the LSH candidates with
+    * exact Jaccard), swept by a 10-row τ spine theta-join — the
+    * corpus-scale work is not repeated per threshold. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = verifyPairs(
+      lshCandidates(spark, dir).select(col("id_a"), col("id_b")),
+      shinglesWithCard(docs), tau = 0.0)
+      .localCheckpoint() // one verification pass, ten thresholds
+    val spine = spark.range(0, 10)
+      .select((lit(0.5) + col("id") * 0.05).as("tau"))
+    spine.join(pairs, col("jac") >= col("tau"), "left")
+      .groupBy(col("tau"))
+      .agg(count(col("jac")).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_removable"))
+      .select(round(col("tau"), 2).as("tau"), col("n_pairs"),
+        col("n_removable"))
+      .orderBy(col("tau"))
+  }
+
   /** Number of MinHash hash functions (= band count × rows per band). */
   val MinhashK = 12
   val Bands = 4

@@ -273,6 +273,24 @@ class DedupSpec extends SparkSpec {
     assert(meanErr < 0.3, s"estimator error implausibly large: $meanErr")
   }
 
+  test("thresholdSweep: monotone in tau; 0.8 point bounded by the exact pass") {
+    val sweep = graft.ops.Dedup.thresholdSweep(spark, sf)
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(sweep.map(_._1).toSeq ===
+      (0 until 10).map(k => math.rint((0.5 + k * 0.05) * 100) / 100))
+    sweep.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, "pair count increased with tau")
+        assert(b._3 <= a._3, "removable count increased with tau")
+      case _ => ()
+    }
+    sweep.foreach { case (_, nPairs, nRem) => assert(nRem <= nPairs.max(1L)) }
+    // the LSH-candidate sweep at tau=0.8 cannot exceed the exact all-pairs gate
+    val exact08 = graft.ops.Dedup.jaccardPairs(spark, sf, tau = 0.8).count()
+    val at08 = sweep.find(s => math.abs(s._1 - 0.8) < 1e-9).get
+    assert(at08._2 <= exact08)
+  }
+
   test("dupRateBySource: planted within- and cross-source dups are attributed") {
     // s1: 2 of 3 docs share content (within-source dup pair);
     // s2: 1 of its 2 docs duplicates an s1 doc (cross-source — counts
