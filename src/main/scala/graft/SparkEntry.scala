@@ -209,6 +209,7 @@ object SparkEntry {
     "q_forecast_compare" -> ((s, d) => graft.indicators.Indicators.forecastCompare(s, d)),
     "q_anomaly" -> ((s, d) => graft.ops.Monitor.forecastAnomalies(s, d)),
     "q_dedup_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
+    "q_prep_funnel" -> ((s, d) => TextAnalysis.prepFunnel(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1192,6 +1193,29 @@ object SparkEntry {
         |LEFT JOIN cov ON cov.cover <= g.n_flips
         |GROUP BY g.n_flips
         |ORDER BY n_probes""".stripMargin,
+
+    // prep-funnel accounting: raw -> gopher rules -> exact dedup
+    "q_prep_funnel" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text, ((len(t) BETWEEN 50 AND 100000) AND
+        |    ((length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)) AND
+        |    (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
+        |    (5 * len(list_distinct(t)) >= len(t))) AS keep
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+        |m AS (SELECT count(*) AS n_raw,
+        |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+        |        count(DISTINCT CASE WHEN keep THEN md5(text) END) AS n_dedup
+        |      FROM lab)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS name, n_raw AS n_docs,
+        |    CAST(0 AS BIGINT) AS n_dropped, 0.0 AS drop_rate FROM m
+        |  UNION ALL
+        |  SELECT 2, 'gopher_rules', n_rules, n_raw - n_rules,
+        |    round(CAST(n_raw - n_rules AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) FROM m
+        |  UNION ALL
+        |  SELECT 3, 'exact_dedup', n_dedup, n_rules - n_dedup,
+        |    round(CAST(n_rules - n_dedup AS DOUBLE) / CAST(n_rules AS DOUBLE), 6) FROM m
+        |) ORDER BY stage""".stripMargin,
 
     // tau sweep over the candidate-verified Jaccard pairs
     "q_dedup_sweep" ->

@@ -273,6 +273,41 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** Data-prep accounting funnel: document counts through the cleaning
+    * chain (raw → Gopher rule filter → exact dedup of the survivors),
+    * with per-stage drops and rates — the one-look answer to "where did
+    * my corpus go" that every pipeline run logs next to its outputs.
+    * Three 1-row aggregates (full-scan count; filtered count; distinct
+    * fingerprints of the kept set) cross-joined and exploded to stage
+    * rows — constant-size output, no stage re-reads another's output. */
+  def prepFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keptIds = gopherRules(spark, dir)
+      .filter(col("keep_doc")).select(col("doc_id"))
+    val raw = docs.agg(count(lit(1)).as("n_raw"))
+    val kept = keptIds.agg(count(lit(1)).as("n_rules"))
+    val dedup = docs.join(keptIds, "doc_id")
+      .agg(countDistinct(md5(col("text"))).as("n_dedup"))
+    raw.crossJoin(kept).crossJoin(dedup)
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("raw").as("name"),
+          col("n_raw").as("n_docs"), lit(0L).as("n_dropped"),
+          lit(0.0).as("drop_rate")),
+        struct(lit(2L).as("stage"), lit("gopher_rules").as("name"),
+          col("n_rules").as("n_docs"),
+          (col("n_raw") - col("n_rules")).as("n_dropped"),
+          round((col("n_raw") - col("n_rules")).cast("double") /
+                col("n_raw").cast("double"), 6).as("drop_rate")),
+        struct(lit(3L).as("stage"), lit("exact_dedup").as("name"),
+          col("n_dedup").as("n_docs"),
+          (col("n_rules") - col("n_dedup")).as("n_dropped"),
+          round((col("n_rules") - col("n_dedup")).cast("double") /
+                col("n_rules").cast("double"), 6).as("drop_rate"))))
+        .as("r"))
+      .select(col("r.*"))
+      .orderBy(col("stage"))
+  }
+
   /** Temperature-based source rebalancing (the data-mixing resampler of
     * multilingual/multi-source pretraining, XLM-style α-sampling): source
     * s keeps fraction (n_min/n_s)^(1-α) of its documents, so the rarest

@@ -438,6 +438,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(cal.last._4 > cal.head._4)
   }
 
+  test("prepFunnel: stages shrink monotonically and recount exactly") {
+    val f = TextAnalysis.prepFunnel(spark, sf)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(f.map(_._2).toSeq === Seq("raw", "gopher_rules", "exact_dedup"))
+    f.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 <= a._3, "a funnel stage grew")
+        assert(b._4 === a._3 - b._3, "drop accounting inconsistent")
+      case _ => ()
+    }
+    assert(f.head._3 === Tables.documents(spark, sf).count())
+    val kept = TextAnalysis.gopherRules(spark, sf)
+      .filter($"keep_doc").count()
+    assert(f(1)._3 === kept)
+  }
+
   test("prCurve: cumulative counts are monotone and close the curve") {
     val rows = TextAnalysis.prCurve(spark, sf)
       .as[(Double, Long, Long, Long, Double, Double, Double)].collect()
