@@ -210,6 +210,7 @@ object SparkEntry {
     "q_anomaly" -> ((s, d) => graft.ops.Monitor.forecastAnomalies(s, d)),
     "q_dedup_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     "q_prep_funnel" -> ((s, d) => TextAnalysis.prepFunnel(s, d)),
+    "q_ess" -> ((s, d) => TextAnalysis.effectiveSampleSize(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
@@ -1193,6 +1194,25 @@ object SparkEntry {
         |LEFT JOIN cov ON cov.cover <= g.n_flips
         |GROUP BY g.n_flips
         |ORDER BY n_probes""".stripMargin,
+
+    // Kish effective sample size of the alpha=0.5 tempered mixture
+    "q_ess" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |r AS (SELECT n_src,
+        |        CAST(round(sqrt(CAST((SELECT min(n_src) FROM c) AS DOUBLE)
+        |          / CAST(n_src AS DOUBLE)) * 1000000) AS BIGINT) AS qw
+        |      FROM c),
+        |m AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_docs,
+        |        count(*) AS n_sources,
+        |        CAST(sum(n_src * qw) AS BIGINT) AS s1,
+        |        CAST(sum(n_src * qw * qw) AS BIGINT) AS s2
+        |      FROM r)
+        |SELECT n_docs, n_sources,
+        |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE), 2)
+        |    AS ess,
+        |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE), 6) AS ess_ratio
+        |FROM m""".stripMargin,
 
     // prep-funnel accounting: raw -> gopher rules -> exact dedup
     "q_prep_funnel" ->

@@ -308,6 +308,45 @@ object TextAnalysis {
       .orderBy(col("stage"))
   }
 
+  /** Effective sample size of the tempered source mixture — the
+    * diagnostic that says how much statistical mass survives
+    * [[weightedSample]]'s α=0.5 re-weighting: ESS = (Σ n_s·w_s)² /
+    * (Σ n_s·w_s²) over per-source keep rates (Kish 1965). ESS/n near 1
+    * means the tempering barely distorts; a low ratio warns the head
+    * sources' down-weighting is costing real data. Weights quantize to
+    * 1e-6 integer units so both moment sums are exact BIGINTs over the
+    * |sources|-row rate table (the corpus scan contributes only the
+    * per-source counts); the single division at the end is the only
+    * float step. */
+  def effectiveSampleSize(spark: SparkSession, dir: String): DataFrame =
+    effectiveSampleSizeOf(Tables.documents(spark, dir))
+
+  /** Core over any frame with a `source` column. The gated corpus is
+    * perfectly uniform (20×25 docs), so its ESS = n exactly — itself
+    * the diagnostic answer; the skewed-mixture fixture in
+    * TextPipelineSpec proves the statistic bites. */
+  def effectiveSampleSizeOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_src")).as("n_min"))))
+      .select(col("n_src"),
+        round(sqrt(col("n_min").cast("double") / col("n_src").cast("double"))
+          * 1e6).cast("long").as("qw"))
+    rates
+      .agg(sum(col("n_src")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("n_src") * col("qw")).as("s1"),
+        sum(col("n_src") * col("qw") * col("qw")).as("s2"))
+      .select(col("n_docs"), col("n_sources"),
+        // square in DOUBLE (s1² can pass 2⁶³ at scale); both engines
+        // round the same product identically
+        round(col("s1").cast("double") * col("s1").cast("double") /
+              col("s2").cast("double"), 2).as("ess"),
+        round(col("s1").cast("double") * col("s1").cast("double") /
+              col("s2").cast("double") / col("n_docs").cast("double"), 6)
+          .as("ess_ratio"))
+  }
+
   /** Temperature-based source rebalancing (the data-mixing resampler of
     * multilingual/multi-source pretraining, XLM-style α-sampling): source
     * s keeps fraction (n_min/n_s)^(1-α) of its documents, so the rarest

@@ -438,6 +438,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(cal.last._4 > cal.head._4)
   }
 
+  test("effectiveSampleSize: uniform mixture keeps ESS = n; skew bites") {
+    val Array((n, nSrc, ess, ratio)) = TextAnalysis.effectiveSampleSize(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(nSrc > 1)
+    assert(math.abs(ess - n) < 0.5 && math.abs(ratio - 1.0) < 1e-6,
+      "uniform 20x25 corpus must have ESS = n")
+    // skewed fixture: one head source (900) + one tail (100): tempering
+    // down-weights the head, ESS must fall strictly below n
+    val skew = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (1 to 100).map(i => (900L + i, "tail"))).toDF("doc_id", "source")
+    val Array((ns, _, essS, ratioS)) = TextAnalysis.effectiveSampleSizeOf(skew)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(ns === 1000L)
+    assert(essS < ns && ratioS < 1.0, s"skew not detected: ess=$essS")
+    // Kish hand-check: w_head=sqrt(100/900)=1/3, w_tail=1 →
+    // ESS = (900/3 + 100)^2 / (900/9 + 100) = 400^2/200 = 800
+    assert(math.abs(essS - 800.0) < 1.0, s"ess=$essS expected ~800")
+  }
+
   test("prepFunnel: stages shrink monotonically and recount exactly") {
     val f = TextAnalysis.prepFunnel(spark, sf)
       .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
