@@ -232,6 +232,17 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("frame_bytes")))
         .drop("frame_bytes")
         .orderBy("doc_id", "frame_idx")),
+    // real 24bpp BMP files built AND parsed as column algebra; the
+    // oracle replays the pixel formulas closed-form, never touching bytes
+    "q_bmp_decode" -> ((s, d) => Multimodal.bmpDecodeFeatures(s, d)),
+    // real PCM16 WAV files built AND parsed as column algebra (signed
+    // little-endian samples); oracle replays the sample formula
+    "q_wav_decode" -> ((s, d) => Multimodal.wavDecodeFeatures(s, d)),
+    // training-example prep: PII scrub, sequence packing, RAG chunking
+    "q_pii_scan" -> ((s, d) => graft.ops.Prep.piiScan(s, d)),
+    "q_pii_summary" -> ((s, d) => graft.ops.Prep.piiSummary(s, d)),
+    "q_pack_bins" -> ((s, d) => graft.ops.Prep.packSequences(s, d)),
+    "q_chunk_chars" -> ((s, d) => graft.ops.Prep.chunkOverlap(s, d)),
     // round 4: graph metric, true k-means, skyline, robust stats, cohorts
     "q_pagerank" -> ((s, d) => graft.ops.Graph.tradeRank(s, d)),
     "q_ivf_kmeans" -> ((s, d) => Similarity.kmeansQuantized(s, d)),
@@ -1635,7 +1646,9 @@ object SparkEntry {
         |    AS rmse_holt,
         |  round(sqrt(CAST(ssel AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0, 6)
         |    AS rmse_lvcf,
-        |  round(1.0 - sqrt(CAST(sseh AS DOUBLE) / CAST(ssel AS DOUBLE)), 6)
+        |  CASE WHEN ssel = 0 THEN NULL
+        |       ELSE round(1.0 - sqrt(CAST(sseh AS DOUBLE)
+        |                             / CAST(ssel AS DOUBLE)), 6) END
         |    AS improvement
         |FROM m ORDER BY event_type""".stripMargin,
 
@@ -1698,15 +1711,19 @@ object SparkEntry {
         |cl AS (SELECT i, ('0x' || substr(md5('cm' || i || '|' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 16384 AS bucket,
         |         count(*) AS cnt
         |       FROM lineitem, range(4) r(i) GROUP BY 1, 2),
-        |est1 AS (SELECT CAST(min(ip) AS BIGINT) AS cm_est FROM (
-        |  SELECT ca.i, sum(ca.cnt * cb.cnt) AS ip FROM ca
-        |  JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket GROUP BY ca.i)),
+        |est1 AS (SELECT CAST(min(coalesce(ip, 0)) AS BIGINT) AS cm_est
+        |  FROM range(4) sp(i) LEFT JOIN (
+        |  SELECT ca.i AS j, sum(ca.cnt * cb.cnt) AS ip FROM ca
+        |  JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket GROUP BY ca.i) q
+        |  ON q.j = sp.i),
         |ex1 AS (SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_size FROM
         |        (SELECT o_custkey AS k, count(*) AS fa FROM orders GROUP BY 1) a JOIN
         |        (SELECT c_custkey AS k, count(*) AS fb FROM customer GROUP BY 1) b USING (k)),
-        |est2 AS (SELECT CAST(min(ip) AS BIGINT) AS cm_est FROM (
-        |  SELECT x.i, sum(x.cnt * y.cnt) AS ip FROM cl x
-        |  JOIN cl y ON x.i = y.i AND x.bucket = y.bucket GROUP BY x.i)),
+        |est2 AS (SELECT CAST(min(coalesce(ip, 0)) AS BIGINT) AS cm_est
+        |  FROM range(4) sp(i) LEFT JOIN (
+        |  SELECT x.i AS j, sum(x.cnt * y.cnt) AS ip FROM cl x
+        |  JOIN cl y ON x.i = y.i AND x.bucket = y.bucket GROUP BY x.i) q
+        |  ON q.j = sp.i),
         |ex2 AS (SELECT CAST(coalesce(sum(fa * fa), 0) AS BIGINT) AS exact_size FROM
         |        (SELECT l_partkey, count(*) AS fa FROM lineitem GROUP BY 1))
         |SELECT * FROM (
@@ -2886,6 +2903,130 @@ object SparkEntry {
         |        unnest(range(0, greatest(octet_length(encode(text)) // 128, 1))) AS i
         |      FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed-form replay of the BMP generator formulas over the pixel
+    // grid — zero byte-level work, so it verifies the engine's header
+    // parse, row stride, and bottom-up pixel walk independently
+    "q_bmp_decode" ->
+      """SELECT d.doc_id,
+        |  max(d.doc_id % 16 + 1) AS width,
+        |  max(d.doc_id % 12 + 1) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum((d.doc_id + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((d.doc_id * 2 + x.x * 5 + y.y * 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((d.doc_id * 3 + x.x * 3 + y.y * 17) % 256) AS BIGINT) AS sum_b,
+        |  CAST(sum((y.y * (d.doc_id % 16 + 1) + x.x + 1)
+        |           * ((d.doc_id + x.x * 7 + y.y * 13) % 256)) AS BIGINT) AS wsum_r
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+        |CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
+        |WHERE d.doc_id < 2000
+        |  AND x.x < d.doc_id % 16 + 1 AND y.y < d.doc_id % 12 + 1
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // closed-form replay of the WAV sample formula: signed value
+    // reconstruction, data-size-driven sample count — no byte work
+    "q_wav_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  count(*) AS n_samples,
+        |  CAST(sum((d.doc_id * 31 + i.i * 97) % 2048 - 1024) AS BIGINT) AS sum_s,
+        |  CAST(sum(abs((d.doc_id * 31 + i.i * 97) % 2048 - 1024)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs((d.doc_id * 31 + i.i * 97) % 2048 - 1024)) AS BIGINT) AS max_abs,
+        |  CAST(sum(((d.doc_id * 31 + i.i * 97) % 2048 - 1024)
+        |           * ((d.doc_id * 31 + i.i * 97) % 2048 - 1024)) AS BIGINT) AS sum_sq
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(range(0, 80)) AS i) i
+        |WHERE d.doc_id < 2000 AND i.i < d.doc_id % 64 + 16
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same planted-marker injection, RE2-compatible patterns, 'g' flag
+    "q_pii_scan" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(length(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+        |  CAST(length(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + length(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + length(regexp_extract_all(text,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_pii
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_pii_summary" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT source,
+        |  CAST(length(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+        |  CAST(length(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS i,
+        |  CAST(length(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS p
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_pii,
+        |  CAST(sum(e) AS BIGINT) AS n_emails,
+        |  CAST(sum(i) AS BIGINT) AS n_ips,
+        |  CAST(sum(p) AS BIGINT) AS n_phones
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // concat-and-chop packing: same (lang, shard) cumsum, same bin cut
+    "q_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(length(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT *, sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, shard, (cum - tok) // 512 AS bin,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_sum,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  round(CAST(sum(tok) AS DOUBLE) / 512.0, 6) AS fill_rate
+        |FROM c GROUP BY lang, shard, bin
+        |ORDER BY lang, shard, bin""".stripMargin,
+
+    "q_chunk_chars" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (n_chars - 1) // 150 + 1)) AS i
+        |      FROM documents WHERE n_chars > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // integer micro-unit PageRank: every step is integer division /
     // integer sums, so ranks are bit-identical across engines

@@ -232,8 +232,11 @@ object Indicators {
           .as("rmse_holt"),
         round(sqrt(col("ssel").cast("double") / col("n").cast("double")) / 1000.0, 6)
           .as("rmse_lvcf"),
-        round(lit(1.0) -
-          sqrt(col("sseh").cast("double") / col("ssel").cast("double")), 6)
+        // ssel=0 means LVCF was perfect (constant series): the ratio is
+        // undefined — emit null rather than NaN/Infinity
+        when(col("ssel") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) -
+            sqrt(col("sseh").cast("double") / col("ssel").cast("double")), 6))
           .as("improvement"))
       .orderBy(col("event_type"))
   }

@@ -92,6 +92,209 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Real image decode: uncompressed 24bpp BMP as pure column algebra.
+  //
+  // The container ships no image libraries, but BMP needs none: the
+  // format is a 54-byte little-endian header plus raw BGR rows stored
+  // BOTTOM-UP with each row padded to a 4-byte boundary. Both the
+  // encoder and the decoder below are Catalyst column expressions end
+  // to end (hex assembly -> unhex on the way in; substring/conv header
+  // parse + explode pixel walk on the way out), so the whole path is
+  // codegen'd and distributed — no UDF, no driver loop. fakeDecode
+  // above stays as the mapPartitions codec-boundary example for formats
+  // that genuinely need a native library.
+  // ---------------------------------------------------------------------
+
+  import org.apache.spark.sql.Column
+
+  /** lpad(hex(x & 255)) — one byte as two hex chars. */
+  private def hexByte(x: Column): Column =
+    lpad(hex(x.bitwiseAND(lit(255L))), 2, "0")
+
+  /** Little-endian u32 as eight hex chars. */
+  private def hexLe32(x: Column): Column =
+    concat(hexByte(x), hexByte(shiftright(x, 8)),
+      hexByte(shiftright(x, 16)), hexByte(shiftright(x, 24)))
+
+  /** Deterministic per-doc pixel channels — the generative formulas the
+    * oracle replays closed-form (everything mod 256, non-negative). */
+  private def chanR(id: Column, x: Column, y: Column): Column =
+    (id + x * 7 + y * 13) % 256
+  private def chanG(id: Column, x: Column, y: Column): Column =
+    (id * 2 + x * 5 + y * 11) % 256
+  private def chanB(id: Column, x: Column, y: Column): Column =
+    (id * 3 + x * 3 + y * 17) % 256
+
+  /** Synthesize a REAL 24bpp BMP file per document: magic "BM", file
+    * header, BITMAPINFOHEADER, then bottom-up BGR pixel rows padded to
+    * 4 bytes — byte-identical to what an image library would write
+    * (BmpSpec round-trips these through javax.imageio). Width 1..16 and
+    * height 1..12 vary per doc so every row-padding case (3w mod 4 =
+    * 0..3) occurs in the corpus. */
+  def bmpTable(spark: SparkSession, dir: String, maxDocId: Long = 2000): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 16 + 1).cast("long")
+    val h = (id % 12 + 1).cast("long")
+    val stride = shiftleft(shiftright(w * 3 + 3, 2), 2) // row pad to 4B
+    // stored row j holds image row y = h-1-j (bottom-up)
+    val rowHex = (j: Column) => concat(
+      array_join(transform(sequence(lit(0L), w - 1), x =>
+        concat(hexByte(chanB(id, x, h - 1 - j)),
+          hexByte(chanG(id, x, h - 1 - j)),
+          hexByte(chanR(id, x, h - 1 - j)))), ""),
+      lit("000000").substr(lit(1), ((stride - w * 3) * 2).cast("int")))
+    val pixelHex = array_join(transform(sequence(lit(0L), h - 1), rowHex), "")
+    val imageSize = stride * h
+    Tables.documents(spark, dir)
+      .filter(id < maxDocId)
+      .select(id.as("doc_id"),
+        unhex(concat_ws("",
+          lit("424D"), hexLe32(imageSize + 54), lit("00000000"), hexLe32(lit(54L)),
+          hexLe32(lit(40L)), hexLe32(w), hexLe32(h), lit("0100"), lit("1800"),
+          hexLe32(lit(0L)), hexLe32(imageSize), hexLe32(lit(2835L)),
+          hexLe32(lit(2835L)), hexLe32(lit(0L)), hexLe32(lit(0L)),
+          pixelHex)).as("payload"))
+  }
+
+  /** byte i (0-based) of a binary column as a long. */
+  private def byteAt(p: Column, i: Column): Column =
+    conv(hex(p.substr((i + 1).cast("int"), lit(1))), 16, 10).cast("long")
+
+  private def le32(p: Column, off: Int): Column =
+    byteAt(p, lit(off.toLong)) + byteAt(p, lit(off + 1L)) * 256L +
+      byteAt(p, lit(off + 2L)) * 65536L + byteAt(p, lit(off + 3L)) * 16777216L
+
+  /** Decode REAL BMP payloads with column algebra: parse the header
+    * (magic, pixel-array offset, width, height, bpp), then explode one
+    * row per pixel and index into the payload honoring the 4-byte row
+    * stride and the bottom-up row order. Integer-exact features: channel
+    * sums plus a position-weighted sum (weight 1 + y·w + x, in IMAGE
+    * coordinates) that any mistake in stride, padding, or the bottom-up
+    * mapping shifts — the oracle recomputes all of them closed-form from
+    * the generator formulas without ever touching bytes.
+    *
+    * Scale shape: one narrow explode (≤ w·h rows per image) feeding a
+    * map-side-combinable groupBy on doc_id; header fields are plain
+    * projections. Heights here are positive (bottom-up) 24bpp BI_RGB —
+    * the filter asserts exactly that contract rather than nulling. */
+  def bmpDecode(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val withHdr = media
+      .withColumn("magic", hex(substring(p, 1, 2)))
+      .withColumn("pix_off", le32(p, 10))
+      .withColumn("width", le32(p, 18))
+      .withColumn("height", le32(p, 22))
+      .withColumn("bpp", byteAt(p, lit(28L)) + byteAt(p, lit(29L)) * 256L)
+      .filter(col("magic") === "424D" && col("bpp") === 24L)
+      .withColumn("stride", shiftleft(shiftright(col("width") * 3 + 3, 2), 2))
+    withHdr
+      .select(col("doc_id"), p, col("pix_off"), col("width"), col("height"),
+        col("stride"),
+        explode(sequence(lit(0L), col("width") * col("height") - 1)).as("k"))
+      .withColumn("x", col("k") % col("width"))
+      // long/long is a DOUBLE divide in Spark — floor back to the exact
+      // integer row index (k < 192, so the double is exact)
+      .withColumn("y", floor(col("k") / col("width")).cast("long"))
+      .withColumn("idx", // stored bottom-up: row j = h-1-y
+        col("pix_off") + (col("height") - 1 - col("y")) * col("stride") +
+          col("x") * 3)
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("y") * col("width") + col("x") + 1).as("wgt"),
+        byteAt(col("payload"), col("idx")).as("b"),
+        byteAt(col("payload"), col("idx") + 1).as("g"),
+        byteAt(col("payload"), col("idx") + 2).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("width")).as("width"), max(col("height")).as("height"),
+        count(lit(1)).as("n_px"),
+        sum(col("r")).as("sum_r"), sum(col("g")).as("sum_g"),
+        sum(col("b")).as("sum_b"),
+        sum(col("wgt") * col("r")).as("wsum_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The gated encode→decode roundtrip (q_bmp_decode). Sliced to
+    * doc_id < 2000 like q_holt: replica key offsets put ScaleUp copies
+    * outside the slice, so the gate stays fixed-cost at every SF — the
+    * decode itself is linear per image and embarrassingly parallel. */
+  def bmpDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    bmpDecode(bmpTable(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Real audio decode: PCM16 WAV (RIFF) as pure column algebra — same
+  // pattern as BMP: canonical 44-byte header + little-endian SIGNED
+  // 16-bit samples, encoded and parsed entirely with Catalyst
+  // expressions. WavSpec cross-checks against javax.sound.sampled.
+  // ---------------------------------------------------------------------
+
+  private def hexLe16(x: Column): Column =
+    concat(hexByte(x), hexByte(shiftright(x, 8)))
+
+  /** Deterministic per-doc sample i — signed, range [-1024, 1023]. */
+  private def sampleAt(id: Column, i: Column): Column =
+    (id * 31 + i * 97) % 2048 - 1024
+
+  /** Synthesize a canonical mono PCM16 8 kHz WAV per document:
+    * RIFF/WAVE + "fmt " (PCM, 1 ch, 16-bit) + "data" with
+    * doc_id%64+16 samples. Negative samples are stored two's-complement
+    * via pmod(s, 65536) — byte-identical to a real writer's output. */
+  def wavTable(spark: SparkSession, dir: String, maxDocId: Long = 2000): DataFrame = {
+    val id = col("doc_id")
+    val n = (id % 64 + 16).cast("long")
+    val dataSize = n * 2
+    val sampleHex = array_join(transform(sequence(lit(0L), n - 1), i =>
+      hexLe16(pmod(sampleAt(id, i), lit(65536L)))), "")
+    Tables.documents(spark, dir)
+      .filter(id < maxDocId)
+      .select(id.as("doc_id"),
+        unhex(concat_ws("",
+          lit("52494646"), hexLe32(dataSize + 36), lit("57415645"), // RIFF..WAVE
+          lit("666D7420"), hexLe32(lit(16L)), lit("0100"), lit("0100"), // fmt, PCM, mono
+          hexLe32(lit(8000L)), hexLe32(lit(16000L)), lit("0200"), lit("1000"),
+          lit("64617461"), hexLe32(dataSize), // data chunk
+          sampleHex)).as("payload"))
+  }
+
+  /** Decode PCM16 WAV with column algebra: verify the RIFF/WAVE/fmt
+    * contract, read sample rate and data size from the header, then
+    * explode one row per sample and reassemble the SIGNED little-endian
+    * value (two's complement: v ≥ 2¹⁵ ⇒ v − 2¹⁶). Integer-exact
+    * features — sum, |sum|, max |s|, Σs² — that the oracle recomputes
+    * closed-form from the generator formula. Same scale shape as
+    * [[bmpDecode]]: narrow explode, map-side-combinable groupBy. */
+  def wavDecode(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    media
+      .withColumn("riff", hex(p.substr(1, 4)))
+      .withColumn("wave", hex(p.substr(9, 4)))
+      .withColumn("fmt", byteAt(p, lit(20L)) + byteAt(p, lit(21L)) * 256L)
+      .withColumn("channels", byteAt(p, lit(22L)) + byteAt(p, lit(23L)) * 256L)
+      .withColumn("sample_rate", le32(p, 24))
+      .withColumn("bits", byteAt(p, lit(34L)) + byteAt(p, lit(35L)) * 256L)
+      .withColumn("data_size", le32(p, 40))
+      .filter(col("riff") === "52494646" && col("wave") === "57415645" &&
+        col("fmt") === 1L && col("bits") === 16L && col("channels") === 1L)
+      .select(col("doc_id"), p, col("sample_rate"),
+        explode(sequence(lit(0L), shiftright(col("data_size"), 1) - 1)).as("i"))
+      .withColumn("vu",
+        byteAt(p, lit(44L) + col("i") * 2) +
+          byteAt(p, lit(45L) + col("i") * 2) * 256L)
+      .withColumn("s", when(col("vu") >= 32768L, col("vu") - 65536L)
+        .otherwise(col("vu")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sample_rate")).as("sample_rate"),
+        count(lit(1)).as("n_samples"),
+        sum(col("s")).as("sum_s"), sum(abs(col("s"))).as("sum_abs"),
+        max(abs(col("s"))).as("max_abs"),
+        sum(col("s") * col("s")).as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The gated WAV roundtrip (q_wav_decode) — see [[bmpDecodeFeatures]]
+    * for the doc_id slice rationale. */
+  def wavDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    wavDecode(wavTable(spark, dir))
+
   /** Frame sampling shape: every k-th fixed-size byte window of the
     * payload becomes a "frame" row — the video-frame-extraction dataflow
     * (explode on a computed offset sequence; payload stays binary). */

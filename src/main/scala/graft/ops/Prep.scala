@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Training-example preparation: the operators that turn a cleaned
+  * corpus into model-ready sequences — PII scrubbing, fixed-budget
+  * sequence packing, and overlapping retrieval chunking. All three are
+  * pure column algebra / windowed aggregates with DuckDB-replayable
+  * semantics; nothing is driver-side.
+  */
+object Prep {
+
+  // -------------------------------------------------------------------
+  // PII scan + redaction
+  // -------------------------------------------------------------------
+
+  /** Patterns shared verbatim by the Spark scan and the DuckDB oracle —
+    * restricted to the regex subset where java.util.regex and RE2 agree
+    * (character classes, bounded repeats, \b, \d; no backrefs or
+    * lookaround). */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRx = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The synthetic corpus carries no PII, so the gated query plants
+    * deterministic markers first (doc_id-derived email / IPv4 / phone on
+    * residue classes) — the SCAN then runs for real over varying
+    * per-document counts, and the oracle replays the same injection
+    * closed-form. Injection is plain string algebra; swap this for the
+    * raw text column on a real corpus. */
+  def withPlantedPii(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.withColumn("text",
+      concat(col("text"),
+        when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+            lit("@example.com")))
+          .otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+            lit(".0."), (id % 100).cast("string")))
+          .otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" call 555-867-"),
+            lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+  }
+
+  /** Per-document PII census + redaction. Counts via regexp_count
+    * (codegen'd), redaction via chained regexp_replace with FIXED
+    * replacement tokens (no backrefs — RE2-compatible, so the oracle can
+    * replay with the 'g' flag). The redacted text leaves the query as an
+    * md5 so the gate pins the exact output without hauling text through
+    * the comparison. Zero shuffles: one projection over the scan, and
+    * the ORDER BY rides the gate's small output. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    withPlantedPii(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        regexp_count(t, lit(EmailRx)).cast("long").as("n_emails"),
+        regexp_count(t, lit(Ipv4Rx)).cast("long").as("n_ips"),
+        regexp_count(t, lit(PhoneRx)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRx, "<EMAIL>"), Ipv4Rx, "<IP>"), PhoneRx, "<PHONE>"))
+          .as("redacted_md5"))
+      .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level PII rollup: document counts and totals per source —
+    * the report a scrubbing pass logs. One map-side-combinable groupBy
+    * over the per-doc census. */
+  def piiSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    withPlantedPii(Tables.documents(spark, dir))
+      .select(col("source"),
+        regexp_count(t, lit(EmailRx)).cast("long").as("e"),
+        regexp_count(t, lit(Ipv4Rx)).cast("long").as("i"),
+        regexp_count(t, lit(PhoneRx)).cast("long").as("p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("e") + col("i") + col("p") > 0).cast("long")).as("n_docs_with_pii"),
+        sum(col("e")).as("n_emails"), sum(col("i")).as("n_ips"),
+        sum(col("p")).as("n_phones"))
+      .orderBy(col("source"))
+  }
+
+  // -------------------------------------------------------------------
+  // Sequence packing
+  // -------------------------------------------------------------------
+
+  /** Pack documents into fixed-token-budget training sequences by
+    * concat-and-chop (the GPT/T5 pretraining shape): within each
+    * (lang, shard) stream, documents are laid head-to-tail in doc_id
+    * order and the stream is cut every `budget` tokens — a document's
+    * bin is where its first token lands. Emitted per bin: doc count,
+    * token sum, fill rate against the budget. Complements
+    * [[TextAnalysis.packSequences]] (gated as q_pack_sequences), which
+    * emits the per-DOCUMENT bin-span view over source-partitioned
+    * streams; this op (q_pack_bins) is the per-BIN census, and its
+    * sub-sharding is the skew answer when one language dominates.
+    *
+    * Scale shape: the ONLY window is a cumsum partitioned by
+    * (lang, shard) — `shards` sub-shards per language keep any one
+    * partition at corpus_size/(|langs|·shards), the knob a 100 TB run
+    * turns up; packing is per-shard in production for exactly this
+    * reason. Token count is the whitespace tokenization the token-count
+    * op uses. True next-fit (reset the accumulator at each boundary) is
+    * sequentially recursive and NOT expressible as one pass — the
+    * concat-and-chop bound wastes at most one document tail per bin,
+    * which is why production packers accept it. */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 512,
+      shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      // first token of this doc lands at stream offset cum-tok
+      .withColumn("bin", floor((col("cum") - col("tok")) / budget).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_rate", round(col("tok_sum") / lit(budget.toDouble), 6))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
+  // -------------------------------------------------------------------
+  // Retrieval chunking
+  // -------------------------------------------------------------------
+
+  /** Overlapping retrieval chunks: fixed `width`-CHAR windows every
+    * `stride` chars (stride < width ⇒ the RAG-style overlap), one row
+    * per chunk with its md5 — the embedding-pipeline input table.
+    * Complements [[TextAnalysis.chunkOverlap]] (q_chunk_overlap), which
+    * windows over TOKENS; char windows (q_chunk_chars) are what
+    * byte/char-budgeted embedding models consume.
+    * Chunk starts are 0, stride, 2·stride, … while start < n_chars, so
+    * n_chunks = ⌈n_chars/stride⌉ and the tail chunk is naturally short.
+    * Pure explode over a computed sequence — linear, no shuffle before
+    * the gate's ORDER BY; chunking parallelizes per document. */
+  def chunkOverlap(spark: SparkSession, dir: String, width: Int = 200,
+      stride: Int = 150): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        posexplode(sequence(lit(0L),
+          floor((col("n_chars") - 1) / lit(stride.toLong)).cast("long")))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("text").substr((col("start") * stride + 1).cast("int"),
+          lit(width))).cast("long").as("chunk_len"),
+        md5(col("text").substr((col("start") * stride + 1).cast("int"),
+          lit(width))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+}

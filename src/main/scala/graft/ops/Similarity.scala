@@ -181,7 +181,11 @@ object Similarity {
     * list once each, since three consumers read them. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
       truncate: Boolean = true): DataFrame = {
-    def cp(df: DataFrame): DataFrame = if (truncate) df.localCheckpoint() else df
+    // eager=false: lineage still truncates at first execution, but
+    // CONSTRUCTION stays analysis-only (plan dumps and analysis-only
+    // spec loops must not run two corpus-scale jobs as a side effect)
+    def cp(df: DataFrame): DataFrame =
+      if (truncate) df.localCheckpoint(eager = false) else df
     val sv = cp(vecs(spark, dir).filter(size(col("v")) > 0)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("sig", hyperplaneSignature(col("v")))

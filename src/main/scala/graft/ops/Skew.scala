@@ -102,11 +102,17 @@ object Skew {
     def cells(df: DataFrame, key: String): DataFrame =
       graft.ops.TextAnalysis.cmCellsWeighted(
         df.select(col(key).cast("string").as("term")), d, w)
-    def innerProduct(a: DataFrame, b: DataFrame): DataFrame = a
-      .join(b.select(col("row"), col("bucket"), col("cnt").as("cnt_b")),
-        Seq("row", "bucket"))
-      .groupBy(col("row")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
-      .agg(min(col("ip")).as("cm_est"))
+    // min runs over a d-row spine, not the join output: a hash row with
+    // zero overlapping buckets has TRUE inner product 0 (disjoint key
+    // sets) and must pull the min to 0 rather than drop out of it.
+    def innerProduct(a: DataFrame, b: DataFrame): DataFrame = spark
+      .range(d).select(col("id").cast("int").as("row"))
+      .join(a
+        .join(b.select(col("row"), col("bucket"), col("cnt").as("cnt_b")),
+          Seq("row", "bucket"))
+        .groupBy(col("row")).agg(sum(col("cnt") * col("cnt_b")).as("ip")),
+        Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("cm_est"))
     def exactJoin(a: DataFrame, ka: String, b: DataFrame, kb: String): DataFrame = a
       .groupBy(col(ka)).agg(count(lit(1)).as("fa"))
       .join(b.groupBy(col(kb)).agg(count(lit(1)).as("fb"))

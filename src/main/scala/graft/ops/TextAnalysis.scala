@@ -259,9 +259,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("logit").as("score"))
     val labels = gopherRules(spark, dir)
       .select(col("doc_id"), col("keep_doc").cast("long").as("y"))
-    scores.join(labels, "doc_id")
-      .withColumn("decile", ntile(buckets).over(
-        Window.orderBy(col("score"), col("doc_id"))))
+    val joined = scores.join(labels, "doc_id")
+    // Distributed ntile (bit-exact): global rank decomposes as
+    // (count of rows with strictly smaller score) + (row_number within
+    // the tied score, by doc_id). The only ordered-cumsum window runs
+    // over the per-score HISTOGRAM — bounded by distinct quantized
+    // logits, the perplexityBuckets pattern — and the per-row window
+    // partitions by score, so no single task ever sorts the whole
+    // per-document table. The closed-form ntile bucket of rank r over n
+    // rows: the first (n mod b) buckets hold ceil(n/b) rows.
+    val hist = joined.groupBy(col("score")).agg(count(lit(1)).as("n_s"))
+      .withColumn("cum", sum(col("n_s")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("score"), (col("cum") - col("n_s")).as("start0"))
+    val total = joined.agg(count(lit(1)).as("n_tot"))
+    val b = lit(buckets.toLong)
+    val qsz = floor(col("n_tot") / b).cast("long")
+    val thr = (col("n_tot") % b) * (qsz + 1)
+    joined
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+      .join(broadcast(hist), Seq("score"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("start0") + col("rn"))
+      .withColumn("decile",
+        when(col("rank") <= thr,
+          floor((col("rank") - 1) / (qsz + 1)) + 1)
+        .otherwise((col("n_tot") % b) +
+          floor((col("rank") - 1 - thr) / qsz) + 1)
+        .cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
         sum(round(col("score") * 1e6).cast("long")).as("qsum"))

@@ -97,8 +97,8 @@ object StreamDrift {
       |  FROM stats s CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
       |  LEFT JOIN refbins rb ON rb.event_type = s.event_type AND rb.bin = g.bin),
       |cur AS (
-      |  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
-      |      AS win_start,
+      |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+      |              * 21600) AS TIMESTAMP) AS win_start,
       |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
       |curbins AS (

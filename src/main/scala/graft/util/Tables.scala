@@ -91,9 +91,20 @@ object Tables {
   /** Cast each listed column to its canonical type IF present — minimal
     * test fixtures carry a column subset, and extra driver-added columns
     * must survive untouched, so this never projects. */
+  /** Strict: an incompatible regeneration (e.g. `label` arriving as a
+    * non-numeric string) must fail LOUDLY at the choke point, not null
+    * out and corrupt everything downstream. try_cast + raise_error on a
+    * non-null value that casts to null; for the canonical encodings the
+    * guard folds away (cast(long as long) = identity, so the isNull
+    * branch simplifies to false at optimization time). */
   private def normalize(df: DataFrame, canon: (String, String)*): DataFrame =
     canon.foldLeft(df) { case (d, (c, t)) =>
-      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+      if (!d.columns.contains(c)) d
+      else d.withColumn(c,
+        when(col(c).isNotNull && col(c).try_cast(t).isNull,
+          raise_error(concat_ws("", lit(s"[graft] schema drift: $c="),
+            col(c).cast("string"), lit(s" does not cast to $t"))).cast(t))
+        .otherwise(col(c).try_cast(t)))
     }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,66 @@
+package graft
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+
+/** The BMP path is real: [[Multimodal.bmpTable]] must emit files a
+  * battle-tested codec (the JDK's javax.imageio BMP reader) accepts, and
+  * [[Multimodal.bmpDecode]]'s column-algebra parse must agree with that
+  * codec pixel-for-pixel — width/height, channel sums, and the
+  * position-weighted sum that any stride/padding/bottom-up mistake
+  * shifts. Doc ids cover width 1..16, so every 4-byte row-padding case
+  * (3w mod 4 = 0,1,2,3) is exercised. */
+class BmpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val payloads: Map[Long, Array[Byte]] =
+    Multimodal.bmpTable(spark, sf, maxDocId = 64)
+      .as[(Long, Array[Byte])].collect().toMap
+
+  test("generated BMPs decode with javax.imageio (a real codec)") {
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (id, bytes) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejected the payload")
+      assert(img.getWidth === (id % 16 + 1).toInt)
+      assert(img.getHeight === (id % 12 + 1).toInt)
+    }
+  }
+
+  test("column-algebra decode agrees with javax.imageio pixel-for-pixel") {
+    val engine = Multimodal.bmpDecode(
+        payloads.toSeq.toDF("doc_id", "payload"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    payloads.foreach { case (id, bytes) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var (sr, sg, sb, wr) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        sr += r
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        wr += (y.toLong * img.getWidth + x + 1) * r
+      }
+      val (_, w, h, npx, esr, esg, esb, ewr) = engine(id)
+      assert((w, h, npx) ===
+        (img.getWidth.toLong, img.getHeight.toLong,
+          img.getWidth.toLong * img.getHeight))
+      assert((esr, esg, esb, ewr) === ((sr, sg, sb, wr)),
+        s"doc $id: engine decode disagrees with ImageIO")
+    }
+  }
+
+  test("decode rejects payloads that are not 24bpp BMPs") {
+    val junk = Seq(
+      (1L, "not an image at all".getBytes("UTF-8")),
+      (2L, Array[Byte](0x42, 0x4d, 0, 0, 0, 0)) // magic but truncated header
+    ).toDF("doc_id", "payload")
+    // junk rows fail the magic/bpp contract filter and simply drop out
+    assert(Multimodal.bmpDecode(junk).count() === 0L)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Prep
+
+/** Semantics of the training-example prep operators on crafted rows —
+  * the properties the sf-gated oracles can't isolate. */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScan finds exactly the planted markers and redacts them all") {
+    val out = Prep.piiScan(spark, sf)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, e, i, p) =>
+      assert(e === (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(i === (if (id % 5 == 0) 1L else 0L), s"doc $id ips")
+      assert(p === (if (id % 7 == 0) 1L else 0L), s"doc $id phones")
+    }
+    // redaction is complete: scanning the redacted text finds nothing
+    val redacted = Prep.withPlantedPii(graft.util.Tables.documents(spark, sf))
+      .select(regexp_replace(regexp_replace(regexp_replace($"text",
+        Prep.EmailRx, "<EMAIL>"), Prep.Ipv4Rx, "<IP>"), Prep.PhoneRx, "<PHONE>")
+        .as("t"))
+      .select(regexp_count($"t", lit(Prep.EmailRx)) +
+        regexp_count($"t", lit(Prep.Ipv4Rx)) +
+        regexp_count($"t", lit(Prep.PhoneRx)))
+      .as[Int].collect()
+    assert(redacted.forall(_ === 0))
+  }
+
+  test("packSequences: bins partition each stream contiguously under the budget cut") {
+    val bins = Prep.packSequences(spark, sf, budget = 512)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(bins.nonEmpty)
+    bins.groupBy(b => (b._1, b._2)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_._3)
+      // bin ids start at 0 with no gaps (holds because every test doc is
+      // far under the budget), and doc ranges never interleave
+      assert(sorted.head._3 === 0L)
+      assert(sorted.map(_._3).toList === (0L until sorted.length).toList)
+      sorted.toList.sliding(2).foreach {
+        case List(a, b) => assert(a._7 < b._6,
+          s"bin ${a._3} last_doc ${a._7} overlaps bin ${b._3} first_doc ${b._6}")
+        case _ => ()
+      }
+      // concat-and-chop invariant: if a later bin exists, this bin's
+      // cumulative stream offset has crossed its cut (the next doc's
+      // start offset IS this cumsum, and it landed past the boundary)
+      val cum = sorted.scanLeft(0L)(_ + _._5).drop(1)
+      cum.init.zipWithIndex.foreach { case (c, i) =>
+        assert(c >= (i + 1) * 512L, s"bin $i has a successor but never reached its cut")
+      }
+    }
+  }
+
+  test("chunkOverlap chunks tile the document with the configured overlap") {
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"n_chars").limit(20)
+      .as[(Long, String, Long)].collect()
+    val chunks = Prep.chunkOverlap(spark, sf, width = 200, stride = 150)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    docs.foreach { case (id, text, nChars) =>
+      val cs = chunks(id).sortBy(_._2)
+      assert(cs.length === ((nChars - 1) / 150 + 1).toInt, s"doc $id chunk count")
+      cs.foreach { case (_, idx, len, m) =>
+        val expect = text.substring((idx * 150).toInt,
+          math.min(idx * 150 + 200, nChars).toInt)
+        assert(len === expect.length.toLong)
+        assert(m === java.security.MessageDigest.getInstance("MD5")
+          .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+          s"doc $id chunk $idx hash")
+      }
+      // consecutive chunks overlap by width - stride = 50 chars (when full)
+      cs.toList.sliding(2).foreach {
+        case List((_, i1, l1, _), (_, i2, _, _)) if l1 == 200L =>
+          assert(i1 * 150 + 200 - i2 * 150 === 50L)
+        case _ => ()
+      }
+    }
+  }
+}
