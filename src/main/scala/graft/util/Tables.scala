@@ -93,13 +93,17 @@ object Tables {
     * must survive untouched, so this never projects. */
   /** Strict: an incompatible regeneration (e.g. `label` arriving as a
     * non-numeric string) must fail LOUDLY at the choke point, not null
-    * out and corrupt everything downstream. try_cast + raise_error on a
-    * non-null value that casts to null; for the canonical encodings the
-    * guard folds away (cast(long as long) = identity, so the isNull
-    * branch simplifies to false at optimization time). */
+    * out and corrupt everything downstream. Already-canonical columns
+    * skip the guard entirely at plan-build time (schema comparison, so
+    * the common case adds NOTHING to the plan — Catalyst does not fold
+    * the isNotNull∧isNull contradiction itself); drifted encodings get
+    * try_cast + raise_error on any non-null value that casts to null. */
   private def normalize(df: DataFrame, canon: (String, String)*): DataFrame =
     canon.foldLeft(df) { case (d, (c, t)) =>
-      if (!d.columns.contains(c)) d
+      val want = org.apache.spark.sql.types.DataType.fromDDL(t)
+      if (!d.columns.contains(c) ||
+          d.schema(d.schema.fieldIndex(c)).dataType.catalogString ==
+            want.catalogString) d
       else d.withColumn(c,
         when(col(c).isNotNull && col(c).try_cast(t).isNull,
           raise_error(concat_ws("", lit(s"[graft] schema drift: $c="),

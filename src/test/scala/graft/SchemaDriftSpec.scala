@@ -154,4 +154,19 @@ class SchemaDriftSpec extends SparkSpec {
       .orderBy("vec_id").limit(20).collect().toSeq
     assert(ae === be, "narrowed embeddings decode differently")
   }
+
+  test("an INCOMPATIBLE regeneration fails loudly at the loader, not silently-null") {
+    val dir = Files.createTempDirectory("graft-drift-bad")
+    val bad = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("doc_id",
+        concat(lit("id-"), col("doc_id").cast("string"))) // non-numeric
+    writeSingleFileAs(bad, dir, "documents.parquet")
+    val e = intercept[Exception] {
+      graft.util.Tables.documents(spark, dir.toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("schema drift")),
+      s"expected the loader's schema-drift error, got: ${e.getMessage}")
+  }
 }
