@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.StrHamming].getName, "str_hamming"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.StrHamming(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("byte_at"),
+      new ExpressionInfo(classOf[graft.functions.ByteAt].getName, "byte_at"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ByteAt(exprs(0), exprs(1))))
     // logical rewrite: banded levenshtein for threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }

@@ -157,9 +157,14 @@ object Multimodal {
           pixelHex)).as("payload"))
   }
 
-  /** byte i (0-based) of a binary column as a long. */
+  /** byte i (0-based) of a binary column as a long — the native
+    * [[graft.functions.ByteAt]] expression (codegen'd array load; the
+    * conv∘hex∘substr spelling allocates two strings per byte, which a
+    * corpus-scale decode pass cannot afford). Resolves through the
+    * function registry; [[graft.functions.ByteAt.register]] must have
+    * run on the session (the decode entry points do so). */
   private def byteAt(p: Column, i: Column): Column =
-    conv(hex(p.substr((i + 1).cast("int"), lit(1))), 16, 10).cast("long")
+    call_function("byte_at", p, i.cast("long"))
 
   private def le32(p: Column, off: Int): Column =
     byteAt(p, lit(off.toLong)) + byteAt(p, lit(off + 1L)) * 256L +
@@ -179,6 +184,7 @@ object Multimodal {
     * projections. Heights here are positive (bottom-up) 24bpp BI_RGB —
     * the filter asserts exactly that contract rather than nulling. */
   def bmpDecode(media: DataFrame): DataFrame = {
+    graft.functions.ByteAt.register(media.sparkSession)
     val p = col("payload")
     val withHdr = media
       .withColumn("magic", hex(substring(p, 1, 2)))
@@ -216,9 +222,17 @@ object Multimodal {
   /** The gated encode→decode roundtrip (q_bmp_decode). Sliced to
     * doc_id < 2000 like q_holt: replica key offsets put ScaleUp copies
     * outside the slice, so the gate stays fixed-cost at every SF — the
-    * decode itself is linear per image and embarrassingly parallel. */
+    * decode itself is linear per image and embarrassingly parallel.
+    *
+    * The encode materializes once (lazy localCheckpoint) before the
+    * decode: composed in ONE plan, CollapseProject would inline the
+    * whole encode expression into the decoder's contract filter and
+    * recompute it 4x per row (and blow the codegen method limit);
+    * behind the barrier the decoder sees `payload` as a plain binary
+    * attribute — exactly what it sees over a stored column in
+    * production. Same pattern as knnGraph's signature pass. */
   def bmpDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
-    bmpDecode(bmpTable(spark, dir))
+    bmpDecode(bmpTable(spark, dir).localCheckpoint(eager = false))
 
   // ---------------------------------------------------------------------
   // Real audio decode: PCM16 WAV (RIFF) as pure column algebra — same
@@ -263,6 +277,7 @@ object Multimodal {
     * closed-form from the generator formula. Same scale shape as
     * [[bmpDecode]]: narrow explode, map-side-combinable groupBy. */
   def wavDecode(media: DataFrame): DataFrame = {
+    graft.functions.ByteAt.register(media.sparkSession)
     val p = col("payload")
     media
       .withColumn("riff", hex(p.substr(1, 4)))
@@ -291,9 +306,9 @@ object Multimodal {
   }
 
   /** The gated WAV roundtrip (q_wav_decode) — see [[bmpDecodeFeatures]]
-    * for the doc_id slice rationale. */
+    * for the doc_id slice rationale and the encode barrier. */
   def wavDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
-    wavDecode(wavTable(spark, dir))
+    wavDecode(wavTable(spark, dir).localCheckpoint(eager = false))
 
   /** Frame sampling shape: every k-th fixed-size byte window of the
     * payload becomes a "frame" row — the video-frame-extraction dataflow

@@ -82,4 +82,38 @@ class FunctionsSpec extends SparkSpec {
     val plan = cmp.queryExecution.executedPlan.toString
     assert(plan.contains("*(") , s"no codegen stage in:\n$plan")
   }
+
+  test("byte_at: equals the conv∘hex∘substr form; out-of-range null; codegen'd") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Array[Byte](0, 1, 127, -128, -1)),
+      (2L, Array.empty[Byte]),
+      (3L, null)
+    ).toDF("id", "p")
+    val probes = df.select($"id", explode(sequence(lit(-1L), lit(5L))).as("i"),
+      $"p")
+    val cmp = probes.select($"id", $"i",
+      graft.functions.ByteAt(spark, $"p", $"i").as("fast"),
+      // reference spelling (1-based substr; empty/null propagate to null)
+      when(length(conv(hex($"p".substr(($"i" + 1).cast("int"), lit(1))), 16, 10)) > 0,
+        conv(hex($"p".substr(($"i" + 1).cast("int"), lit(1))), 16, 10).cast("long"))
+        .as("slow"))
+    // negative index: substr(0) semantics differ, so check it separately
+    val neg = cmp.filter($"i" === -1L).collect()
+    assert(neg.forall(_.isNullAt(2)), "byte_at(-1) must be null")
+    val pos = cmp.filter($"i" >= 0L)
+    assert(pos.filter(
+      ($"fast".isNull && $"slow".isNotNull) ||
+      ($"fast".isNotNull && $"slow".isNull) ||
+      ($"fast" =!= $"slow")).count() === 0)
+    // unsigned semantics: 0xFF reads as 255, 0x80 as 128
+    val r = df.filter($"id" === 1L)
+      .select(graft.functions.ByteAt(spark, $"p", lit(4L)),
+        graft.functions.ByteAt(spark, $"p", lit(3L)))
+      .as[(Long, Long)].head()
+    assert(r === ((255L, 128L)))
+    pos.collect()
+    val plan = pos.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+  }
 }
