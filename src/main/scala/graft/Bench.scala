@@ -10,9 +10,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partition-count knob for large-SF runs: at sf10 the 32-partition
+    // default puts ~3.5M adjacency rows in one task and the graph loops
+    // pay spill I/O for it — 128 halves q_pagerank there (AQE coalesces
+    // small stages back down, so over-partitioning costs nothing at
+    // sf0.1)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -69,8 +75,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: $msg") }
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        // blocking: an async unpersist lets the NEXT run (or the min-of-2
+        // repeat) race the release of this run's pinned blocks — at sf10
+        // that race is a JVM-killing OOM (q_pagerank's repeat died with
+        // two 110M-edge adjacency copies alive). The wait is off the
+        // clock: dt is already taken.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         dt
       }

@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.StrHamming(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("tok_count"),
+      new ExpressionInfo(classOf[graft.functions.TokCount].getName, "tok_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TokCount(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("byte_at"),
       new ExpressionInfo(classOf[graft.functions.ByteAt].getName, "byte_at"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

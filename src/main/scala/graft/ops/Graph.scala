@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.util.Tables
 
@@ -174,16 +175,22 @@ object Graph {
     * cluster) bounded. */
   def pageRank(edges: DataFrame, iters: Int = 3,
       checkpointEvery: Int = 5): DataFrame = {
-    // materialize the edge list once — deg, adj and the rank init all
-    // read it, and an un-checkpointed lineage would re-derive it (e.g.
-    // the orders⋈lineitem distinct) three times
-    val e = edges.localCheckpoint()
+    // pin the edge list once — deg, adj and the rank init all read it,
+    // and an unpinned lineage would re-derive it (e.g. the
+    // orders⋈lineitem distinct) three times. persist, NOT
+    // localCheckpoint: the SQL cache stores compressed columnar batches
+    // and spills per-block, while localCheckpoint unrolls raw
+    // deserialized rows — at sf10 that unroll alone (110M-edge
+    // adjacency, one oversized partition after AQE coalescing) was a
+    // JVM-killing OOM
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // adj is hash-partitioned on src ONCE and pinned; every iteration's
     // join then reuses that layout and only the (much smaller) rank
     // table moves — the invariant-side co-location every Pregel-style
     // loop needs at scale
-    val adj = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val adj = e.join(deg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (i <- 1 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
@@ -240,10 +247,11 @@ object Graph {
   /** The LPA core over directed edges (src, dst); symmetrized here.
     * Returns (node, community) after `rounds` synchronous rounds. */
   def labelPropRounds(edges: DataFrame, rounds: Int): DataFrame = {
-    // adjacency pinned on the join key (dst) once; only the one-row-per-
+    // adjacency pinned on the join key (dst) once (columnar persist —
+    // see pageRank for why not localCheckpoint); only the one-row-per-
     // node label table moves through each round's join
     val bi = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst")).localCheckpoint()
+      .repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = bi.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (r <- 1 to rounds) {
@@ -274,7 +282,8 @@ object Graph {
     * `edges` columns: (a, b), distinct, a < b. Returns (node,
     * n_triangles) for nodes in at least one triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    // columnar persist, not localCheckpoint — see pageRank
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // annotate both endpoints with degree. No broadcast hint: deg is
@@ -293,7 +302,7 @@ object Graph {
         .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges at the lowest-order corner: two out-edges of u, ordered
     val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))

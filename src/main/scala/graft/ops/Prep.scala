@@ -115,7 +115,7 @@ object Prep {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), (col("doc_id") % shards).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("tok"))
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
       .withColumn("cum", sum(col("tok")).over(w))
       // first token of this doc lands at stream offset cum-tok
       .withColumn("bin", floor((col("cum") - col("tok")) / budget).cast("long"))

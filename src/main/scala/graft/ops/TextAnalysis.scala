@@ -20,7 +20,14 @@ object TextAnalysis {
   /** Whitespace tokenization (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count through the native [[graft.functions
+    * .TokCount]] expression — bit-identical to `size(split(text, " "))`
+    * (FunctionsSpec pins the property) but a zero-allocation byte scan
+    * instead of materializing the token array per row; this feeds every
+    * corpus-budgeting scan. Registration rides the active session
+    * (query builders run driver-side where one is always set). */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokCount(org.apache.spark.sql.SparkSession.active, text)
 
   /** BPE-ish subtoken count: alpha runs, single digits, and isolated
     * punctuation each count as one subtoken (a cheap stand-in for a real

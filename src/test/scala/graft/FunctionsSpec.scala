@@ -116,4 +116,25 @@ class FunctionsSpec extends SparkSpec {
     val plan = pos.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"no codegen stage in:\n$plan")
   }
+
+  test("tok_count: bit-identical to size(split) incl. empties, multi-byte, corpus") {
+    import org.apache.spark.sql.functions._
+    // adversarial fixtures: empty, consecutive/leading/trailing spaces,
+    // multi-byte UTF-8 (no 0x20 inside a sequence), single token
+    val edge = Seq("", " ", "a", "a b", "a  b", " a", "a ", "héllo wörld",
+      "日本 語 テスト", "a b c d e").toDF("t")
+    val corpus = graft.util.Tables.documents(spark, sf).select($"text".as("t"))
+    Seq(edge, corpus).foreach { df =>
+      val cmp = df.select(
+        graft.functions.TokCount(spark, $"t").as("fast"),
+        size(split($"t", " ")).as("slow"))
+      assert(cmp.filter($"fast" =!= $"slow").count() === 0)
+    }
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(graft.functions.TokCount(spark, $"t")).head().isNullAt(0))
+    val probe = corpus.select(graft.functions.TokCount(spark, $"t").as("n"))
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("*("))
+  }
 }
