@@ -42,7 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("byte_at"),
       new ExpressionInfo(classOf[graft.functions.ByteAt].getName, "byte_at"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.ByteAt(exprs(0), exprs(1))))
+        graft.functions.ByteAt.build(exprs)))
     // logical rewrite: banded levenshtein for threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** `byte_at(payload, i)` — the byte at 0-based index `i` of a binary
   * column as an unsigned long (0..255), null when the index is out of
@@ -60,9 +60,20 @@ case class ByteAt(left: Expression, right: Expression)
 }
 
 object ByteAt {
+  /** SQL integer literals arrive as int — widen narrower integrals to
+    * the bigint the expression wants at the registration boundary
+    * (AbstractDataType/ImplicitCastInputTypes is private[sql]). */
+  def build(exprs: Seq[Expression]): ByteAt = {
+    val idx = exprs(1).dataType match {
+      case ByteType | ShortType | IntegerType => Cast(exprs(1), LongType)
+      case _ => exprs(1) // long passes; anything else checkInputDataTypes reports
+    }
+    ByteAt(exprs(0), idx)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "byte_at", exprs => ByteAt(exprs(0), exprs(1)), "built-in")
+      "byte_at", build, "built-in")
 
   def apply(spark: SparkSession, p: Column, i: Column): Column = {
     register(spark)

@@ -24,6 +24,9 @@ if [[ "$SKIP_BENCH" != "--skip-bench" ]]; then
     tools/run_main.sh graft.Bench
 fi
 
+echo "== extension smoke (SQL path) =="
+tools/run_main.sh graft.ExtCheck
+
 echo "== leakcheck =="
 python3 tools/leakcheck.py "$ROUND"
 
