@@ -109,6 +109,9 @@ object SparkEntry {
     "q_dedup_ppjoin" -> ((s, d) => Dedup.jaccardPairsPrefix(s, d)),
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // JL sign projection: deterministic md5 sign matrix, integer-exact sums
+    "q_jl_project" -> ((s, d) => Similarity.jlProject(s, d)),
+    "q_jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_array_funcs" -> (Similarity.arrayFuncs _),
     "q_lsh_recall" -> ((s, d) => Similarity.lshRecall(s, d)),
@@ -2630,6 +2633,62 @@ object SparkEntry {
         |SELECT label, count(*) AS n,
         |  round(avg((b - a) / greatest(a, b)), 6) AS mean_sil
         |FROM ab GROUP BY label ORDER BY label""".stripMargin,
+
+    // JL projection replay: same md5 sign matrix, same 1e-5 integer
+    // quantization before the signed sum, one divide + round after
+    "q_jl_project" ->
+      """WITH signs AS (
+        |  SELECT i.i AS i0, j.j,
+        |    CASE WHEN ('0x' || substr(md5('jl|' || i.i || '|' || j.j), 1, 8))::BIGINT
+        |              % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 256)) AS i) i
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j),
+        |cells AS (
+        |  SELECT vec_id, i - 1 AS i0,
+        |    CAST(round(CAST(e AS DOUBLE) * 100000) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, unnest(embedding) AS e,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings))
+        |SELECT c.vec_id, s.j, round(sum(c.xq * s.s) / 100000.0 / sqrt(8.0), 6) AS y
+        |FROM cells c JOIN signs s ON s.i0 = c.i0
+        |GROUP BY c.vec_id, s.j
+        |ORDER BY c.vec_id, s.j""".stripMargin,
+
+    // distortion replay: same quantized cells, same projection CTE
+    "q_jl_distortion" ->
+      """WITH signs AS (
+        |  SELECT i.i AS i0, j.j,
+        |    CASE WHEN ('0x' || substr(md5('jl|' || i.i || '|' || j.j), 1, 8))::BIGINT
+        |              % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 256)) AS i) i
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j),
+        |cells AS (
+        |  SELECT vec_id, i - 1 AS i0,
+        |    CAST(round(CAST(e AS DOUBLE) * 100000) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, unnest(embedding) AS e,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings WHERE vec_id < 200)),
+        |proj AS (
+        |  SELECT c.vec_id, s.j, round(sum(c.xq * s.s) / 100000.0 / sqrt(8.0), 6) AS y
+        |  FROM cells c JOIN signs s ON s.i0 = c.i0
+        |  GROUP BY c.vec_id, s.j),
+        |dorig AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    CAST(sum((x.xq - y.xq) * (x.xq - y.xq)) AS BIGINT) AS d2q
+        |  FROM cells x JOIN cells y ON x.i0 = y.i0 AND x.vec_id < y.vec_id
+        |  GROUP BY x.vec_id, y.vec_id),
+        |projq AS (
+        |  SELECT vec_id, j, CAST(round(y * 1e6) AS BIGINT) AS yq FROM proj),
+        |dproj AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    CAST(sum((x.yq - y.yq) * (x.yq - y.yq)) AS BIGINT) AS p2q
+        |  FROM projq x JOIN projq y ON x.j = y.j AND x.vec_id < y.vec_id
+        |  GROUP BY x.vec_id, y.vec_id)
+        |SELECT least(19, CAST(floor((p2q / 1e12) / (d2q / 1e10) * 10) AS BIGINT)) AS bucket,
+        |  count(*) AS n_pairs
+        |FROM dorig JOIN dproj USING (a, b)
+        |WHERE d2q > 0
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,

@@ -751,4 +751,92 @@ object Similarity {
       .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("mean_sil"))
       .orderBy(col("label"))
   }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 sign
+    * variant): y_j = Σ_i s(i,j)·x_i / √k with s ∈ {±1} drawn from a
+    * DETERMINISTIC hash of (dimension, output index) — no RNG, so the
+    * projection is reproducible across engines, epochs and resumes (the
+    * property every downstream index/clustering job needs), and the
+    * matrix is never materialized anywhere: each exploded (i, j) cell
+    * recomputes its sign in-row.
+    *
+    * This is the pre-clustering reduction of the SemDeDup-style
+    * pipeline: at 100 TB you project 1024-d embeddings to k≈64 before
+    * k-means/LSH so the iterate-over-corpus stages move 16x fewer
+    * bytes; JL guarantees pairwise distances distort by at most ~1/√k.
+    *
+    * Exactness shape: per-component contributions quantize to 1e-5
+    * integers BEFORE the ±sum (a float sum of signed doubles is
+    * partitioning-dependent; BIGINT sums are not), and the single
+    * divide + round happens after — the oracle replays the identical
+    * integer arithmetic. One explode (d·k rows per vector) feeding a
+    * map-side-combinable groupBy; k and d are constants, so cost is
+    * linear in vectors. */
+  def jlProject(spark: SparkSession, dir: String, k: Int = 8,
+      maxDim: Int = 256): DataFrame = {
+    // the sign MATRIX is d·k cells — built once from the md5 hash the
+    // sketch ops already use (engine-portable), broadcast everywhere;
+    // never a per-(vector, cell) hash. A multiplicative mixer mod 2
+    // would be cheaper but degenerate (parity of i+j), which is why the
+    // hash is a real one.
+    val signs = spark.range(maxDim).select(col("id").cast("int").as("i0"))
+      .crossJoin(spark.range(k).select(col("id").as("j")))
+      .withColumn("s",
+        when(conv(substring(md5(concat_ws("|", lit("jl"), col("i0"), col("j"))),
+          1, 8), 16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("i0"),
+        round(col("xf").cast("double") * 100000).cast("long").as("xq"))
+      .join(broadcast(signs), Seq("i0"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("xq") * col("s")) / 100000.0 /
+        math.sqrt(k.toDouble), 6).as("y"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  /** JL distortion census — the evaluation twin of [[jlProject]] (the
+    * q_lsh_recall of this index family): exact pairwise L2² on a fixed
+    * probe slice (vec_id < 200, all C(200,2) pairs) vs the projected
+    * L2², bucketed by the distortion ratio. The JL lemma says the
+    * buckets concentrate around 1.0 with spread ~1/√k — the one-look
+    * table that tells you whether k is big enough BEFORE re-clustering
+    * a corpus on the projection.
+    *
+    * Exactness: original distances are BIGINT sums over the same 1e-5
+    * quantization as the projection; projected distances square the
+    * already-6dp-rounded y. Probe slice is fixed-size, so the pair join
+    * is C(200,2)·d rows at any SF — the census cost does not grow with
+    * the corpus (the projection it evaluates does, linearly). */
+  def jlDistortion(spark: SparkSession, dir: String, k: Int = 8,
+      probes: Int = 200): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < probes)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("i0"),
+        round(col("xf").cast("double") * 100000).cast("long").as("xq"))
+    val dorig = cells.select(col("vec_id").as("a"), col("i0"), col("xq"))
+      .join(cells.select(col("vec_id").as("b"), col("i0"),
+        col("xq").as("xq2")), Seq("i0"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum((col("xq") - col("xq2")) * (col("xq") - col("xq2"))).as("d2q"))
+    // y re-quantizes to 1e-6 integers before squaring: a float Σ over
+    // the k terms would depend on partial-aggregation order and could
+    // flip a ratio sitting on a bucket edge between engines
+    val proj = jlProject(spark, dir, k).filter(col("vec_id") < probes)
+      .select(col("vec_id"), col("j"), round(col("y") * 1e6).cast("long").as("yq"))
+    val dproj = proj.select(col("vec_id").as("a"), col("j"), col("yq"))
+      .join(proj.select(col("vec_id").as("b"), col("j"), col("yq").as("y2")),
+        Seq("j"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum((col("yq") - col("y2")) * (col("yq") - col("y2"))).as("p2q"))
+    dorig.join(dproj, Seq("a", "b"))
+      .filter(col("d2q") > 0)
+      .select(((col("p2q") / 1e12) / (col("d2q") / 1e10)).as("ratio"))
+      .select(least(lit(19L), floor(col("ratio") * 10).cast("long")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
 }

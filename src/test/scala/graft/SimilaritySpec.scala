@@ -246,4 +246,27 @@ class SimilaritySpec extends SparkSpec {
       .map { case (_, n, _) => n * (n - 1) }.sum
     assert(rows.map(_._2).sum === bucketPairs)
   }
+
+  test("jlProject: norm-preserving in expectation, signs non-degenerate") {
+    val proj = Similarity.jlProject(spark, sf, k = 8)
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3) }
+    val orig = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    assert(proj.nonEmpty)
+    // E[||y||^2] = ||x||^2 for ±1/√k signs; per-vector variance is 2/k,
+    // so the corpus MEAN ratio concentrates tightly around 1
+    val ratios = proj.toSeq.collect { case (id, y) =>
+      val x2 = orig(id).map(v => v.toDouble * v).sum
+      if (x2 > 1e-9) Some(y.map(v => v * v).sum / x2) else None
+    }.flatten
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean norm ratio $mean")
+    // regression guard against a degenerate sign matrix (e.g. parity of
+    // i+j makes all components with the same j-parity collinear): the 8
+    // projections of one vector must not collapse to ±one magnitude
+    val mags = proj.head._2.map(math.abs).distinct
+    assert(mags.length > 2, s"degenerate sign matrix: magnitudes $mags")
+  }
 }
