@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Linkage, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Linkage, Multimodal, Pca, Similarity, TextAnalysis}
 import graft.queries.{Analytics, Relational, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,9 @@ object SparkEntry {
     // JL sign projection: deterministic md5 sign matrix, integer-exact sums
     "q_jl_project" -> ((s, d) => Similarity.jlProject(s, d)),
     "q_jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
+    // distributed PCA: one-pass O(d²)-state covariance + power method
+    "q_embed_cov" -> ((s, d) => Pca.embedCov(s, d)),
+    "q_power_iter" -> ((s, d) => Pca.powerIter(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_array_funcs" -> (Similarity.arrayFuncs _),
     "q_lsh_recall" -> ((s, d) => Similarity.lshRecall(s, d)),
@@ -2689,6 +2692,11 @@ object SparkEntry {
         |FROM dorig JOIN dproj USING (a, b)
         |WHERE d2q > 0
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // PCA oracles are generated (power iteration unrolls a CTE pair per
+    // step) — identical integer arithmetic replayed end-to-end
+    "q_embed_cov" -> Pca.embedCovSql,
+    "q_power_iter" -> Pca.powerIterSql(),
 
     "q_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,

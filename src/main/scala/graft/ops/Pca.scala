@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.functions.CovAccum
+import graft.util.Tables
+
+/** Distributed PCA preprocessing for the embedding pipeline: the exact
+  * covariance matrix in ONE corpus pass (no row explosion — see
+  * [[graft.functions.CovAccum]]), and the top principal component via a
+  * fixed-iteration power method on the d²-bounded matrix.
+  *
+  * Why it matters at 100 TB: PCA / whitening is the standard step
+  * before IVF/PQ indexing (rotate to decorrelated axes so product
+  * quantizer subspaces carry equal energy) and before low-rank
+  * compression of an embedding corpus. The corpus-scale cost is
+  * exactly one aggregate pass with O(d²) state; everything after —
+  * centering algebra, power iterations, Rayleigh quotient — runs on
+  * d² = 4096 cells, bounded regardless of corpus size (the same
+  * boundedness argument as the k-centroid loops in `Similarity`).
+  *
+  * Exactness shape: components quantize to 1e-5 BIGINTs, the aggregate
+  * emits exact integer sums, and every downstream float step is a
+  * closed-form function of those integers (deterministic — identical
+  * doubles in Spark and the oracle), re-quantized at each iteration
+  * boundary so the next integer stage is engine-portable.
+  */
+object Pca {
+
+  /** Quantized component vectors: array<long> of round(x·1e5). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      transform(col("embedding"),
+        e => round(e.cast("double") * 100000).cast("long")).as("q"))
+
+  /** Mean-centered covariance cells (i0 ≤ j upper triangle) from the
+    * packed one-pass sums: cov = (Sij − Si·Sj/n) / n / 1e10. */
+  private def covCells(spark: SparkSession, dir: String, d: Int): DataFrame = {
+    val covUdf = udaf(new CovAccum(d), ExpressionEncoder[Seq[Long]]())
+    val packed = quantized(spark, dir).agg(covUdf(col("q")).as("m"))
+    val pairs = spark.range(d).select(col("id").cast("int").as("i0"))
+      .crossJoin(spark.range(d).select(col("id").cast("int").as("j")))
+      .filter(col("i0") <= col("j"))
+      // packed layout: [n | d dim-sums | d(d+1)/2 row-major upper cross-sums]
+      .withColumn("tri",
+        col("i0") * d - col("i0") * (col("i0") - 1) / 2 + (col("j") - col("i0")))
+    pairs.crossJoin(packed) // 1-row aggregate against d²/2 bounded pairs
+      .select(col("i0"), col("j"),
+        element_at(col("m"), lit(1)).as("n"),
+        element_at(col("m"), (col("i0") + 2).cast("int")).as("si"),
+        element_at(col("m"), (col("j") + 2).cast("int")).as("sj"),
+        element_at(col("m"), (col("tri") + 2 + d).cast("int")).as("sij"))
+      .select(col("i0"), col("j"),
+        ((col("sij").cast("double")
+          - col("si").cast("double") * col("sj").cast("double") / col("n").cast("double"))
+          / col("n").cast("double") / 1e10).as("covr"))
+  }
+
+  /** Gated covariance matrix: (i0, j, cov) upper triangle, 6dp. */
+  def embedCov(spark: SparkSession, dir: String, d: Int = 64): DataFrame =
+    covCells(spark, dir, d)
+      .select(col("i0"), col("j"), round(col("covr"), 6).as("cov"))
+      .orderBy(col("i0"), col("j"))
+
+  /** Top principal component by `iters` power-method steps from the
+    * all-ones start, plus the Rayleigh-quotient eigenvalue estimate.
+    *
+    * Each step is matvec → max-|·| normalize → re-quantize to 1e6
+    * integers, so every iteration's input is exact integers on both
+    * engines; the eigenvector sign is fixed by forcing component 0
+    * non-negative (power iteration is sign-ambiguous). The iterate is
+    * lineage-truncated per step (lazily — construction stays
+    * analysis-only) because each tiny d-row frame is read twice by the
+    * next step. No convergence claim is gated — the gate asserts the
+    * deterministic arithmetic; PcaSpec asserts convergence on a
+    * planted-spike corpus where the eigengap makes 8 steps sufficient. */
+  def powerIter(spark: SparkSession, dir: String, d: Int = 64,
+      iters: Int = 8): DataFrame = {
+    val covq = covCells(spark, dir, d)
+      .select(col("i0"), col("j"), round(col("covr") * 1e6).cast("long").as("cq"))
+      .localCheckpoint(eager = false) // one corpus pass feeds 8 iterations
+    val fullm = covq.union(
+      covq.filter(col("i0") =!= col("j"))
+        .select(col("j").as("i0"), col("i0").as("j"), col("cq")))
+    var v = spark.range(d).select(col("id").cast("int").as("j"),
+      lit(1000000L).as("vq"))
+    for (_ <- 1 to iters) {
+      val mv = fullm.join(v, Seq("j"))
+        .groupBy(col("i0")).agg(sum(col("cq") * col("vq")).as("mv"))
+        .localCheckpoint(eager = false) // read by the max and the rescale
+      val mx = mv.agg(max(abs(col("mv"))).as("mx"))
+      v = mv.crossJoin(mx)
+        .select(col("i0").as("j"),
+          round(col("mv").cast("double") / col("mx").cast("double") * 1e6)
+            .cast("long").as("vq"))
+        .localCheckpoint(eager = false)
+    }
+    val sg = v.filter(col("j") === 0)
+      .select(when(col("vq") < 0, lit(-1L)).otherwise(lit(1L)).as("sg"))
+    // Rayleigh quotient vᵀCv / vᵀv on the exact integer iterate; the
+    // per-cell triple product fits a long, the 4096-cell sum gets
+    // DECIMAL(38,0) headroom (same convention as ExactMoments' note)
+    val num = fullm
+      .join(v.select(col("j").as("i0"), col("vq").as("va")), Seq("i0"))
+      .join(v.select(col("j"), col("vq").as("vb")), Seq("j"))
+      .agg(sum((col("cq") * col("va") * col("vb")).cast("decimal(38,0)")).as("nu"))
+    val den = v.agg(sum(col("vq") * col("vq")).as("de"))
+    v.crossJoin(sg).crossJoin(num).crossJoin(den)
+      .select(col("j"),
+        round((col("vq") * col("sg")).cast("double") / 1e6, 6).as("v"),
+        round(col("nu").cast("double") / col("de").cast("double") / 1e6, 6)
+          .as("lambda"))
+      .orderBy(col("j"))
+  }
+
+  // ---- DuckDB oracle builders (generated: the power iteration unrolls
+  // one CTE pair per step, so hand-maintaining it would drift) ----
+
+  /** Shared prefix: quantized cells, per-dim sums, upper-tri cross sums. */
+  private def oracleCtes: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT vec_id, i - 1 AS i0,
+      |    CAST(round(CAST(e AS DOUBLE) * 100000) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |sums AS (SELECT i0, sum(xq) AS s, count(*) AS n FROM cells GROUP BY i0),
+      |crossp AS MATERIALIZED (
+      |  SELECT a.i0 AS i0, b.i0 AS j, sum(a.xq * b.xq) AS sij
+      |  FROM cells a JOIN cells b ON a.vec_id = b.vec_id AND a.i0 <= b.i0
+      |  GROUP BY a.i0, b.i0)""".stripMargin
+
+  private def covExpr: String =
+    """(CAST(c.sij AS DOUBLE)
+      |      - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / CAST(sa.n AS DOUBLE))
+      |      / CAST(sa.n AS DOUBLE) / 1e10""".stripMargin
+
+  def embedCovSql: String =
+    s"""$oracleCtes
+       |SELECT CAST(c.i0 AS INTEGER) AS i0, CAST(c.j AS INTEGER) AS j,
+       |  round($covExpr, 6) AS cov
+       |FROM crossp c JOIN sums sa ON sa.i0 = c.i0 JOIN sums sb ON sb.i0 = c.j
+       |ORDER BY i0, j""".stripMargin
+
+  def powerIterSql(d: Int = 64, iters: Int = 8): String = {
+    val steps = (1 to iters).map { k =>
+      s"""mv$k AS MATERIALIZED (SELECT f.i0 AS i0, sum(f.cq * v.vq) AS mv
+         |  FROM fullm f JOIN v${k - 1} v ON v.j = f.j GROUP BY f.i0),
+         |v$k AS MATERIALIZED (SELECT CAST(i0 AS INTEGER) AS j,
+         |  CAST(round(CAST(mv AS DOUBLE)
+         |    / CAST((SELECT max(abs(mv)) FROM mv$k) AS DOUBLE) * 1e6) AS BIGINT) AS vq
+         |  FROM mv$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$oracleCtes,
+       |covq AS MATERIALIZED (
+       |  SELECT c.i0, c.j,
+       |    CAST(round($covExpr * 1e6) AS BIGINT) AS cq
+       |  FROM crossp c JOIN sums sa ON sa.i0 = c.i0 JOIN sums sb ON sb.i0 = c.j),
+       |fullm AS MATERIALIZED (SELECT i0, j, cq FROM covq UNION ALL
+       |          SELECT j AS i0, i0 AS j, cq FROM covq WHERE i0 <> j),
+       |v0 AS MATERIALIZED (SELECT CAST(unnest(range(0, $d)) AS INTEGER) AS j,
+       |       CAST(1000000 AS BIGINT) AS vq),
+       |$steps
+       |SELECT v.j,
+       |  round(CAST(v.vq * s.sg AS DOUBLE) / 1e6, 6) AS v,
+       |  round(CAST(n.nu AS DOUBLE) / CAST(dd.de AS DOUBLE) / 1e6, 6) AS lambda
+       |FROM v$iters v
+       |CROSS JOIN (SELECT CASE WHEN vq < 0 THEN CAST(-1 AS BIGINT)
+       |                        ELSE CAST(1 AS BIGINT) END AS sg
+       |            FROM v$iters WHERE j = 0) s
+       |CROSS JOIN (SELECT sum(f.cq * a.vq * b.vq) AS nu FROM fullm f
+       |            JOIN v$iters a ON a.j = f.i0
+       |            JOIN v$iters b ON b.j = f.j) n
+       |CROSS JOIN (SELECT sum(vq * vq) AS de FROM v$iters) dd
+       |ORDER BY v.j""".stripMargin
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pca
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("covariance matches the two-pass explode formulation on real data") {
+    val got = Pca.embedCov(spark, sf)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // independent reference: explode + spark built-ins, same quantization
+    val cells = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
+      .select($"vec_id", $"i0",
+        round($"xf".cast("double") * 100000).cast("long").as("xq"))
+    val want = cells.select($"vec_id", $"i0".as("a"), $"xq".as("xa"))
+      .join(cells.select($"vec_id", $"i0".as("b"), $"xq".as("xb")), Seq("vec_id"))
+      .filter($"a" <= $"b")
+      .groupBy($"a", $"b")
+      .agg(sum($"xa" * $"xb").as("sij"), count(lit(1)).as("n"),
+        sum($"xa").as("sa"), sum($"xb").as("sb"))
+      .select($"a", $"b", round(($"sij".cast("double")
+        - $"sa".cast("double") * $"sb".cast("double") / $"n".cast("double"))
+        / $"n".cast("double") / 1e10, 6).as("cov"))
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === want.size)
+    for ((k, w) <- want) assert(math.abs(got(k) - w) < 1e-9, s"cell $k")
+  }
+
+  test("diagonal is non-negative and the matrix has full upper triangle") {
+    val rows = Pca.embedCov(spark, sf).as[(Int, Int, Double)].collect()
+    assert(rows.length === 64 * 65 / 2)
+    assert(rows.filter(r => r._1 == r._2).forall(_._3 >= 0.0))
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    // corpus = s·u + small noise, eigengap huge → 8 steps converge
+    val d = 8
+    val u = Array.tabulate(d)(i => if (i % 2 == 0) 0.5f else -0.25f)
+    val rows = (0 until 400).map { r =>
+      val s = ((r % 21) - 10) / 10.0f // symmetric spread in [-1, 1]
+      val noise = Array.tabulate(d)(i =>
+        (((r * 31 + i * 17) % 13) - 6) / 1300.0f)
+      (r.toLong, Array.tabulate(d)(i => s * u(i) + noise(i)).toSeq, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pca-spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Pca.powerIter(spark, dir, d = d, iters = 8)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val v = out.map(_._2)
+    val lambda = out.head._3
+    // compare against u normalized to max-|component| = 1 (the iterate's
+    // normalization), sign-fixed like the operator (component 0 ≥ 0)
+    val umax = u.map(math.abs(_)).max
+    val un = u.map(x => x / umax * math.signum(u(0)))
+    for (i <- 0 until d)
+      assert(math.abs(v(i) - un(i)) < 0.02, s"component $i: ${v(i)} vs ${un(i)}")
+    // lambda ≈ Var(s)·‖u‖² in the planted model (noise is tiny)
+    val svals = (0 until 400).map(r => ((r % 21) - 10) / 10.0)
+    val varS = svals.map(x => x * x).sum / 400.0 -
+      math.pow(svals.sum / 400.0, 2)
+    val expect = varS * u.map(x => x.toDouble * x).sum
+    assert(math.abs(lambda - expect) / expect < 0.05,
+      s"lambda $lambda vs planted $expect")
+  }
+}
