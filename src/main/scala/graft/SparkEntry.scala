@@ -115,6 +115,9 @@ object SparkEntry {
     // distributed PCA: one-pass O(d²)-state covariance + power method
     "q_embed_cov" -> ((s, d) => Pca.embedCov(s, d)),
     "q_power_iter" -> ((s, d) => Pca.powerIter(s, d)),
+    "q_pca_scores" -> ((s, d) => Pca.pcaScores(s, d)),
+    // MMR diversity re-rank: bounded greedy loop over a top-N pool
+    "q_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_array_funcs" -> (Similarity.arrayFuncs _),
     "q_lsh_recall" -> ((s, d) => Similarity.lshRecall(s, d)),
@@ -2697,6 +2700,8 @@ object SparkEntry {
     // step) — identical integer arithmetic replayed end-to-end
     "q_embed_cov" -> Pca.embedCovSql,
     "q_power_iter" -> Pca.powerIterSql(),
+    "q_pca_scores" -> Pca.pcaScoresSql(),
+    "q_mmr_rerank" -> Similarity.mmrRerankSql(),
 
     "q_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,

@@ -115,6 +115,40 @@ object Pca {
       .orderBy(col("j"))
   }
 
+  /** The APPLY face: centered PC1 score per vector — the projection a
+    * whitening/compression pipeline writes back to the corpus. The
+    * eigenvector is folded to a ONE-ROW array (collect_list over d
+    * bounded rows, broadcast), so the corpus pass is a zero-shuffle
+    * zip_with/aggregate dot product in whole-stage codegen — no driver
+    * collect (construction stays analysis-only) and no per-row join.
+    * Centering uses Σ_rows raw = Σ_i Si·v_i, so the mean term is the
+    * corpus total of the same exact integer dot product — one extra
+    * 1-row aggregate instead of a second d-sum pass. */
+  def pcaScores(spark: SparkSession, dir: String, d: Int = 64,
+      iters: Int = 8): DataFrame = {
+    // vq·sg in 1e-6 units, reconstructed losslessly from the 6dp output
+    val vfin = powerIter(spark, dir, d, iters)
+      .select(col("j"), round(col("v") * 1e6).cast("long").as("vqs"))
+    val varr = vfin
+      .agg(array_sort(collect_list(struct(col("j"), col("vqs")))).as("p"))
+      .select(transform(col("p"), s => s.getField("vqs")).as("varr"))
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 100000).cast("long")).as("q"))
+      .crossJoin(broadcast(varr))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), col("varr"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("raw"))
+    val tot = scored.agg(sum(col("raw")).as("s"), count(lit(1)).as("n"))
+    scored.crossJoin(tot)
+      .select(col("vec_id"),
+        round((col("raw").cast("double")
+          - col("s").cast("double") / col("n").cast("double")) / 1e11, 6)
+          .as("score"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- DuckDB oracle builders (generated: the power iteration unrolls
   // one CTE pair per step, so hand-maintaining it would drift) ----
 
@@ -144,7 +178,8 @@ object Pca {
        |FROM crossp c JOIN sums sa ON sa.i0 = c.i0 JOIN sums sb ON sb.i0 = c.j
        |ORDER BY i0, j""".stripMargin
 
-  def powerIterSql(d: Int = 64, iters: Int = 8): String = {
+  /** Full CTE chain up to the final iterate v{iters}. */
+  private def powerCtes(d: Int, iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""mv$k AS MATERIALIZED (SELECT f.i0 AS i0, sum(f.cq * v.vq) AS mv
          |  FROM fullm f JOIN v${k - 1} v ON v.j = f.j GROUP BY f.i0),
@@ -162,7 +197,11 @@ object Pca {
        |          SELECT j AS i0, i0 AS j, cq FROM covq WHERE i0 <> j),
        |v0 AS MATERIALIZED (SELECT CAST(unnest(range(0, $d)) AS INTEGER) AS j,
        |       CAST(1000000 AS BIGINT) AS vq),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def powerIterSql(d: Int = 64, iters: Int = 8): String =
+    s"""${powerCtes(d, iters)}
        |SELECT v.j,
        |  round(CAST(v.vq * s.sg AS DOUBLE) / 1e6, 6) AS v,
        |  round(CAST(n.nu AS DOUBLE) / CAST(dd.de AS DOUBLE) / 1e6, 6) AS lambda
@@ -175,5 +214,21 @@ object Pca {
        |            JOIN v$iters b ON b.j = f.j) n
        |CROSS JOIN (SELECT sum(vq * vq) AS de FROM v$iters) dd
        |ORDER BY v.j""".stripMargin
-  }
+
+  def pcaScoresSql(d: Int = 64, iters: Int = 8): String =
+    s"""${powerCtes(d, iters)},
+       |vfin AS MATERIALIZED (
+       |  SELECT v.j, v.vq * s.sg AS vqs FROM v$iters v
+       |  CROSS JOIN (SELECT CASE WHEN vq < 0 THEN CAST(-1 AS BIGINT)
+       |                          ELSE CAST(1 AS BIGINT) END AS sg
+       |              FROM v$iters WHERE j = 0) s),
+       |scores AS MATERIALIZED (
+       |  SELECT c.vec_id, sum(c.xq * f.vqs) AS raw
+       |  FROM cells c JOIN vfin f ON f.j = c.i0 GROUP BY c.vec_id)
+       |SELECT s.vec_id,
+       |  round((CAST(s.raw AS DOUBLE)
+       |    - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)) / 1e11, 6) AS score
+       |FROM scores s
+       |CROSS JOIN (SELECT sum(raw) AS s, count(*) AS n FROM scores) t
+       |ORDER BY s.vec_id""".stripMargin
 }

@@ -752,6 +752,106 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * retrieve a bounded candidate pool by relevance, then greedily pick
+    * k results trading relevance against redundancy —
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). The
+    * diversity-aware retrieval face of the ANN family: RAG context
+    * assembly and eval-set selection both need "top-k that aren't five
+    * near-copies of the same document".
+    *
+    * Scale shape: the ONLY corpus-scale stage is the relevance top-N
+    * (partial top-k below the shuffle, same as bruteForceTopK); the
+    * greedy loop runs entirely on the N-row pool and its N² pairwise
+    * sims — bounded by construction, never revisits the corpus. The
+    * pool is lineage-truncated lazily: one corpus scan feeds the pair
+    * build and all k rounds.
+    *
+    * Exactness: cosines quantize to 1e-6 integers after the repo's 6dp
+    * round, so each greedy step compares exact integers
+    * (mmrq = 7·relq − 3·maxsimq at λ = 0.7, 1e-7 units) with vec_id
+    * tiebreak — the oracle unrolls the same k-step argmax chain. */
+  def mmrRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+      nCand: Int = 16, k: Int = 5): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .withColumn("relq", round(round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6) * 1e6)
+        .cast("long"))
+      .orderBy(col("relq").desc, col("vec_id")).limit(nCand)
+      .select(col("vec_id"), col("v"), col("nrm"), col("relq"))
+      .localCheckpoint(eager = false) // one corpus scan feeds pairs + k rounds
+    val pairs = cand.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+      .join(cand.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"), round(round(
+        cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 6) * 1e6)
+        .cast("long").as("simq"))
+      .localCheckpoint(eager = false)
+    var sel = cand.orderBy(col("relq").desc, col("vec_id")).limit(1)
+      .select(lit(1).as("rnk"), col("vec_id"), col("relq"),
+        (lit(7L) * col("relq")).as("mmrq"))
+    for (t <- 2 to k) {
+      val pen = pairs
+        .join(sel.select(col("vec_id").as("b")), Seq("b"))
+        .groupBy(col("a")).agg(max(col("simq")).as("mx"))
+        .withColumnRenamed("a", "vec_id")
+      val pick = cand.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(pen, Seq("vec_id"))
+        .withColumn("mmrq", lit(7L) * col("relq") - lit(3L) * col("mx"))
+        .orderBy(col("mmrq").desc, col("vec_id")).limit(1)
+        .select(lit(t).as("rnk"), col("vec_id"), col("relq"), col("mmrq"))
+      sel = sel.union(pick).localCheckpoint(eager = false)
+    }
+    sel.select(col("rnk"), col("vec_id"),
+      round(col("relq").cast("double") / 1e6, 6).as("rel"),
+      round(col("mmrq").cast("double") / 1e7, 6).as("mmr"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Generated oracle for [[mmrRerank]]: one argmax CTE per greedy step. */
+  def mmrRerankSql(queryId: Long = 0L, nCand: Int = 16, k: Int = 5): String = {
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT $t AS rnk, c.vec_id, c.relq, 7 * c.relq - 3 * p.mx AS mmrq
+         |  FROM cand c
+         |  JOIN (SELECT a, max(simq) AS mx FROM pairs
+         |        WHERE b IN (SELECT vec_id FROM sel${t - 1}) GROUP BY a) p
+         |    ON p.a = c.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  ORDER BY mmrq DESC, c.vec_id LIMIT 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(round(round(list_cosine_similarity(
+       |      CAST(embedding AS DOUBLE[]), q.qv), 6) * 1e6) AS BIGINT) AS relq
+       |  FROM embeddings,
+       |    (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |     WHERE vec_id = $queryId) q
+       |  WHERE vec_id <> $queryId
+       |  ORDER BY relq DESC, vec_id LIMIT $nCand),
+       |pairs AS MATERIALIZED (
+       |  SELECT ca.vec_id AS a, cb.vec_id AS b,
+       |    CAST(round(round(list_cosine_similarity(
+       |      CAST(ea.embedding AS DOUBLE[]),
+       |      CAST(eb.embedding AS DOUBLE[])), 6) * 1e6) AS BIGINT) AS simq
+       |  FROM cand ca JOIN embeddings ea ON ea.vec_id = ca.vec_id
+       |  JOIN cand cb ON cb.vec_id <> ca.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = cb.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT 1 AS rnk, vec_id, relq, 7 * relq AS mmrq FROM cand
+       |  ORDER BY relq DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT rnk, vec_id,
+       |  round(CAST(relq AS DOUBLE) / 1e6, 6) AS rel,
+       |  round(CAST(mmrq AS DOUBLE) / 1e7, 6) AS mmr
+       |FROM sel$k ORDER BY rnk""".stripMargin
+  }
+
   /** Johnson–Lindenstrauss random projection (Achlioptas 2003 sign
     * variant): y_j = Σ_i s(i,j)·x_i / √k with s ∈ {±1} drawn from a
     * DETERMINISTIC hash of (dimension, output index) — no RNG, so the

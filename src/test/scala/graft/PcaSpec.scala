@@ -66,5 +66,17 @@ class PcaSpec extends SparkSpec {
     val expect = varS * u.map(x => x.toDouble * x).sum
     assert(math.abs(lambda - expect) / expect < 0.05,
       s"lambda $lambda vs planted $expect")
+
+    // apply face: the variance of the centered PC1 scores must equal
+    // λ·‖v‖² (the defining property of projecting onto the eigenvector)
+    val scores = Pca.pcaScores(spark, dir, d = d, iters = 8)
+      .as[(Long, Double)].collect().map(_._2)
+    assert(scores.length === 400)
+    val mean = scores.sum / scores.length
+    assert(math.abs(mean) < 1e-6, s"scores not centered: $mean")
+    val varScore = scores.map(x => (x - mean) * (x - mean)).sum / scores.length
+    val vnorm2 = v.map(x => x * x).sum
+    assert(math.abs(varScore - lambda * vnorm2) / (lambda * vnorm2) < 0.01,
+      s"Var(score)=$varScore vs lambda*|v|^2=${lambda * vnorm2}")
   }
 }

@@ -269,4 +269,45 @@ class SimilaritySpec extends SparkSpec {
     val mags = proj.head._2.map(math.abs).distinct
     assert(mags.length > 2, s"degenerate sign matrix: magnitudes $mags")
   }
+
+  test("MMR re-rank replays the greedy argmax chain exactly") {
+    val got = Similarity.mmrRerank(spark, sf, queryId = 0L, nCand = 16, k = 5)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length === 5 && got.map(_._2).distinct.length === 5)
+    // first pick must be the relevance top-1
+    val top1 = Similarity.bruteForceTopK(spark, sf, 0L, 1)
+      .select("vec_id").as[Long].head()
+    assert(got.head._2 === top1)
+    // independent replay: collect the pool + pairwise sims, run the
+    // greedy loop in plain Scala with the same integer arithmetic
+    val e = Similarity.vecs(spark, sf)
+    val qv = e.filter($"vec_id" === 0L).select($"v").as[Seq[Double]].head()
+    def cosq(a: Seq[Double], b: Seq[Double]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val c = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.round(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    val pool = e.filter($"vec_id" =!= 0L).select($"vec_id", $"v")
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v, cosq(v, qv)) }
+      .sortBy(r => (-r._3, r._1)).take(16)
+    var sel = List(pool.minBy(r => (-r._3, r._1)))
+    var expect = List((1, sel.head._1, sel.head._3, 7L * sel.head._3))
+    for (t <- 2 to 5) {
+      val rem = pool.filterNot(c => sel.exists(_._1 == c._1))
+      val scored = rem.map { c =>
+        val mx = sel.map(s => cosq(c._2, s._2)).max
+        (c, 7L * c._3 - 3L * mx)
+      }
+      val best = scored.minBy { case (c, m) => (-m, c._1) }
+      sel = sel :+ best._1
+      expect = expect :+ ((t, best._1._1, best._1._3, best._2))
+    }
+    // mmr is displayed at 6dp while mmrq carries 7 digits — compare the
+    // selection chain exactly and the score at display precision
+    val gotQ = got.map(r => (r._1, r._2, math.round(r._3 * 1e6)))
+    assert(gotQ.toList === expect.map(e => (e._1, e._2, e._3)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4 / 1e7) < 1e-6, s"rank ${g._1} mmr") }
+  }
 }
