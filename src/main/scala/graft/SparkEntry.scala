@@ -118,6 +118,8 @@ object SparkEntry {
     "q_pca_scores" -> ((s, d) => Pca.pcaScores(s, d)),
     // MMR diversity re-rank: bounded greedy loop over a top-N pool
     "q_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // second-moment drift monitor: grouped one-pass covariance compare
+    "q_cov_drift" -> ((s, d) => Pca.covDrift(s, d)),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_array_funcs" -> (Similarity.arrayFuncs _),
     "q_lsh_recall" -> ((s, d) => Similarity.lshRecall(s, d)),
@@ -2702,6 +2704,7 @@ object SparkEntry {
     "q_power_iter" -> Pca.powerIterSql(),
     "q_pca_scores" -> Pca.pcaScoresSql(),
     "q_mmr_rerank" -> Similarity.mmrRerankSql(),
+    "q_cov_drift" -> Pca.covDriftSql(),
 
     "q_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,

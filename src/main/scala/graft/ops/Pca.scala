@@ -115,6 +115,56 @@ object Pca {
       .orderBy(col("j"))
   }
 
+  /** Covariance-DRIFT monitor: per-split covariance matrices from ONE
+    * grouped CovAccum pass (two packed buffers, not two corpus scans),
+    * compared cell-by-cell — the second-moment face of the ks_drift /
+    * psi family. A mean-only monitor misses the failure mode embedding
+    * pipelines actually hit (an encoder redeploy that rotates the space
+    * keeps every per-dimension mean but scrambles correlations); the
+    * top-drifted cells name the dimension pairs that moved, and the
+    * Frobenius norm is the one-number alarm threshold.
+    *
+    * Splits here are vec_id parity (deterministic stand-ins for "last
+    * epoch vs this epoch"). Drift ordering and the Frobenius sum run on
+    * 1e-6-quantized integer deltas — exact ordering, engine-portable. */
+  def covDrift(spark: SparkSession, dir: String, d: Int = 64,
+      topN: Int = 20): DataFrame = {
+    val covUdf = udaf(new CovAccum(d), ExpressionEncoder[Seq[Long]]())
+    val packed = Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2).cast("int").as("split"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 100000).cast("long")).as("q"))
+      .groupBy(col("split")).agg(covUdf(col("q")).as("m"))
+    val pairs = spark.range(d).select(col("id").cast("int").as("i0"))
+      .crossJoin(spark.range(d).select(col("id").cast("int").as("j")))
+      .filter(col("i0") <= col("j"))
+      .withColumn("tri",
+        col("i0") * d - col("i0") * (col("i0") - 1) / 2 + (col("j") - col("i0")))
+    val c = pairs.crossJoin(packed) // 2-row aggregate side: broadcast NL, bounded
+      .select(col("split"), col("i0"), col("j"),
+        element_at(col("m"), lit(1)).as("n"),
+        element_at(col("m"), (col("i0") + 2).cast("int")).as("si"),
+        element_at(col("m"), (col("j") + 2).cast("int")).as("sj"),
+        element_at(col("m"), (col("tri") + 2 + d).cast("int")).as("sij"))
+      .select(col("split"), col("i0"), col("j"),
+        round((col("sij").cast("double")
+          - col("si").cast("double") * col("sj").cast("double") / col("n").cast("double"))
+          / col("n").cast("double") / 1e10, 6).as("cov"))
+      .localCheckpoint(eager = false) // both split slices read it
+    val ab = c.filter(col("split") === 0)
+      .select(col("i0"), col("j"), col("cov").as("cov_a"))
+      .join(c.filter(col("split") === 1)
+        .select(col("i0"), col("j"), col("cov").as("cov_b")), Seq("i0", "j"))
+      .withColumn("dq", abs(round(col("cov_a") * 1e6).cast("long")
+        - round(col("cov_b") * 1e6).cast("long")))
+    val fr = ab.agg(sum(col("dq") * col("dq")).as("s2"))
+    ab.crossJoin(fr)
+      .orderBy(col("dq").desc, col("i0"), col("j")).limit(topN)
+      .select(col("i0"), col("j"), col("cov_a"), col("cov_b"),
+        round(col("dq").cast("double") / 1e6, 6).as("drift"),
+        round(sqrt(col("s2").cast("double") / 1e12), 6).as("frob"))
+  }
+
   /** The APPLY face: centered PC1 score per vector — the projection a
     * whitening/compression pipeline writes back to the corpus. The
     * eigenvector is folded to a ONE-ROW array (collect_list over d
@@ -214,6 +264,38 @@ object Pca {
        |            JOIN v$iters b ON b.j = f.j) n
        |CROSS JOIN (SELECT sum(vq * vq) AS de FROM v$iters) dd
        |ORDER BY v.j""".stripMargin
+
+  def covDriftSql(topN: Int = 20): String =
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT vec_id, CAST(vec_id % 2 AS INTEGER) AS split, i - 1 AS i0,
+       |    CAST(round(CAST(e AS DOUBLE) * 100000) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)),
+       |sums AS (SELECT split, i0, sum(xq) AS s, count(*) AS n
+       |         FROM cells GROUP BY split, i0),
+       |crossp AS MATERIALIZED (
+       |  SELECT a.split, a.i0 AS i0, b.i0 AS j, sum(a.xq * b.xq) AS sij
+       |  FROM cells a JOIN cells b ON a.vec_id = b.vec_id AND a.i0 <= b.i0
+       |  GROUP BY a.split, a.i0, b.i0),
+       |cov2 AS MATERIALIZED (
+       |  SELECT c.split, c.i0, c.j,
+       |    round($covExpr, 6) AS cov
+       |  FROM crossp c
+       |  JOIN sums sa ON sa.split = c.split AND sa.i0 = c.i0
+       |  JOIN sums sb ON sb.split = c.split AND sb.i0 = c.j),
+       |ab AS MATERIALIZED (
+       |  SELECT a.i0, a.j, a.cov AS cov_a, b.cov AS cov_b,
+       |    abs(CAST(round(a.cov * 1e6) AS BIGINT)
+       |        - CAST(round(b.cov * 1e6) AS BIGINT)) AS dq
+       |  FROM cov2 a JOIN cov2 b ON a.i0 = b.i0 AND a.j = b.j
+       |  WHERE a.split = 0 AND b.split = 1)
+       |SELECT CAST(ab.i0 AS INTEGER) AS i0, CAST(ab.j AS INTEGER) AS j,
+       |  ab.cov_a, ab.cov_b,
+       |  round(CAST(dq AS DOUBLE) / 1e6, 6) AS drift,
+       |  round(sqrt(CAST(fr.s2 AS DOUBLE) / 1e12), 6) AS frob
+       |FROM ab CROSS JOIN (SELECT sum(dq * dq) AS s2 FROM ab) fr
+       |ORDER BY dq DESC, i0, j LIMIT $topN""".stripMargin
 
   def pcaScoresSql(d: Int = 64, iters: Int = 8): String =
     s"""${powerCtes(d, iters)},

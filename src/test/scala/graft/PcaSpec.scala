@@ -79,4 +79,29 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(varScore - lambda * vnorm2) / (lambda * vnorm2) < 0.01,
       s"Var(score)=$varScore vs lambda*|v|^2=${lambda * vnorm2}")
   }
+
+  test("covariance drift localizes a planted per-split scale change") {
+    // even vec_ids: base corpus; odd vec_ids: same distribution with
+    // dimension 3 amplified 2x → drift concentrates on cells touching 3
+    val d = 6
+    val rows = (0 until 600).map { r =>
+      val base = Array.tabulate(d)(i => (((r / 2) * 37 + i * 23) % 41 - 20) / 50.0f)
+      if (r % 2 == 1) base(3) = base(3) * 2.0f
+      (r.toLong, base.toSeq, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("covdrift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Pca.covDrift(spark, dir, d = d, topN = 5)
+      .as[(Int, Int, Double, Double, Double, Double)].collect()
+    assert(out.length === 5)
+    // the top drifted cell is the amplified variance cell (3,3): var
+    // quadruples there while cross terms only double
+    assert((out.head._1, out.head._2) === ((3, 3)))
+    assert(out.head._4 > out.head._3 * 3.5, "split-1 variance should ~4x")
+    // every top-5 drifted cell touches dimension 3
+    assert(out.forall(c => c._1 == 3 || c._2 == 3))
+    assert(out.head._6 > 0.0) // Frobenius alarm fires
+  }
 }
