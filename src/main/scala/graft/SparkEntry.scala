@@ -184,6 +184,8 @@ object SparkEntry {
     "q_zorder" -> (Analytics.zorderCodes _),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
+    // interpolated Kneser–Ney trigram: continuation-count backoff
+    "q_kn_trigram" -> (TextAnalysis.knTrigramScore _),
     "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
@@ -2107,6 +2109,8 @@ object SparkEntry {
         |  (cum_before + n_tokens - 1) // 256 AS bin_end
         |FROM c
         |ORDER BY doc_id""".stripMargin,
+
+    "q_kn_trigram" -> TextAnalysis.knTrigramSql,
 
     "q_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -643,6 +643,127 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney trigram score (Kneser & Ney 1995; the
+    * KenLM default) — the quality-filter upgrade over [[bigramLmScore]]:
+    * trigram max-likelihood with absolute discount D = 0.75 at every
+    * level, backing off through CONTINUATION counts (how many distinct
+    * contexts a gram completes, not how often it occurs) — the property
+    * that stops high-frequency-but-context-locked tokens ("Francisco")
+    * from dominating the backoff mass.
+    *
+    * Model levels, all from the train split (doc_id % 10 < 8):
+    * c3(uvw) raw trigram counts with context totals c3ctx(uv) and
+    * distinct-completion counts n3b(uv) = N1+(uv·); mid level uses
+    * cc2(vw) = N1+(·vw) (distinct u's); unigram level cc1(w) = N1+(·w)
+    * over continuation bigrams, Laplace-floored so every token scores.
+    * P3 = (max(c3−D,0) + D·n3b·P2)/c3ctx, falling through to P2/P1 when
+    * the context is unseen (the CASE cascade is consistent: a non-null
+    * c3ctx implies non-null cc2ctx by construction).
+    *
+    * Scale shape: trigram extraction is a map-side slice/zip (no window);
+    * each count table is one map-side-combinable aggregate over gram
+    * keys; scoring joins per-doc DISTINCT trigrams (not token instances)
+    * against the count tables, every join co-partitioned on its gram
+    * key; the two scalar totals ride a broadcast. The eval docs
+    * (doc_id % 10 ≥ 8) exercise every backoff branch. */
+  def knTrigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val len = greatest(n - 2, lit(0))
+    val tris = zip_with(
+      zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(toks, lit(3), len),
+      (p, c) => struct(p.getField("w1").as("w1"),
+        p.getField("w2").as("w2"), c.as("w3")))
+    val docTri = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tris).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"),
+        col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+    val train = docTri.filter(col("doc_id") % 10 < 8)
+    val c3 = train.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("cnt")).as("c3"))
+    val c3x = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c3ctx"), count(lit(1)).as("n3b"))
+    val cc2 = c3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cc2"))
+    val cc2x = cc2.groupBy(col("w2"))
+      .agg(sum(col("cc2")).as("cc2ctx"), count(lit(1)).as("n2b"))
+    val cc1 = cc2.groupBy(col("w3")).agg(count(lit(1)).as("cc1"))
+    val tots = cc1.agg(sum(col("cc1")).as("tt"), count(lit(1)).as("uu"))
+    val p1 = (coalesce(col("cc1"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("tt").cast("double") + col("uu").cast("double"))
+    val p2 = when(col("cc2ctx").isNull, p1)
+      .otherwise((greatest(coalesce(col("cc2"), lit(0L)).cast("double") - 0.75,
+        lit(0.0)) + lit(0.75) * col("n2b").cast("double") * p1) /
+        col("cc2ctx").cast("double"))
+    val p3 = when(col("c3ctx").isNull, p2)
+      .otherwise((greatest(coalesce(col("c3"), lit(0L)).cast("double") - 0.75,
+        lit(0.0)) + lit(0.75) * col("n3b").cast("double") * p2) /
+        col("c3ctx").cast("double"))
+    docTri
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c3x, Seq("w1", "w2"), "left")
+      .join(cc2, Seq("w2", "w3"), "left")
+      .join(cc2x, Seq("w2"), "left")
+      .join(cc1, Seq("w3"), "left")
+      .crossJoin(broadcast(tots))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tri"),
+        round(sum(col("cnt").cast("double") * log(p3)) /
+          sum(col("cnt")).cast("double"), 6).as("kn_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generated oracle for [[knTrigramScore]]: the backoff cascade nests
+    * P1 inside P2 inside P3, so the SQL is assembled from one expression
+    * per level rather than hand-expanded three times. */
+  def knTrigramSql: String = {
+    val p1 = """(CAST(coalesce(s.cc1, 0) AS DOUBLE) + 1.0)
+      |      / (CAST(s.tt AS DOUBLE) + CAST(s.uu AS DOUBLE))""".stripMargin
+    val p2 =
+      s"""CASE WHEN s.cc2ctx IS NULL THEN $p1
+         |    ELSE (GREATEST(CAST(coalesce(s.cc2, 0) AS DOUBLE) - 0.75, 0.0)
+         |          + 0.75 * CAST(s.n2b AS DOUBLE) * $p1)
+         |         / CAST(s.cc2ctx AS DOUBLE) END""".stripMargin
+    val p3 =
+      s"""CASE WHEN s.c3ctx IS NULL THEN $p2
+         |    ELSE (GREATEST(CAST(coalesce(s.c3, 0) AS DOUBLE) - 0.75, 0.0)
+         |          + 0.75 * CAST(s.n3b AS DOUBLE) * $p2)
+         |         / CAST(s.c3ctx AS DOUBLE) END""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM tok),
+       |tg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 FROM idx),
+       |dt AS MATERIALIZED (SELECT doc_id, w1, w2, w3, count(*) AS cnt
+       |                    FROM tg GROUP BY 1, 2, 3, 4),
+       |c3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(sum(cnt) AS BIGINT) AS c3
+       |                    FROM dt WHERE doc_id % 10 < 8 GROUP BY 1, 2, 3),
+       |c3x AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c3ctx,
+       |               count(*) AS n3b FROM c3 GROUP BY 1, 2),
+       |cc2 AS MATERIALIZED (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc2
+       |                     FROM c3 GROUP BY 1, 2),
+       |cc2x AS (SELECT w2, CAST(sum(cc2) AS BIGINT) AS cc2ctx,
+       |                count(*) AS n2b FROM cc2 GROUP BY 1),
+       |cc1 AS MATERIALIZED (SELECT w3, CAST(count(*) AS BIGINT) AS cc1
+       |                     FROM cc2 GROUP BY 1),
+       |tots AS (SELECT CAST(sum(cc1) AS BIGINT) AS tt, count(*) AS uu FROM cc1),
+       |s AS (SELECT d.doc_id, d.cnt, c3.c3, c3x.c3ctx, c3x.n3b,
+       |             cc2.cc2, cc2x.cc2ctx, cc2x.n2b, cc1.cc1, tots.tt, tots.uu
+       |      FROM dt d
+       |      LEFT JOIN c3 ON c3.w1 = d.w1 AND c3.w2 = d.w2 AND c3.w3 = d.w3
+       |      LEFT JOIN c3x ON c3x.w1 = d.w1 AND c3x.w2 = d.w2
+       |      LEFT JOIN cc2 ON cc2.w2 = d.w2 AND cc2.w3 = d.w3
+       |      LEFT JOIN cc2x ON cc2x.w2 = d.w2
+       |      LEFT JOIN cc1 ON cc1.w3 = d.w3
+       |      CROSS JOIN tots)
+       |SELECT s.doc_id, CAST(sum(s.cnt) AS BIGINT) AS n_tri,
+       |  round(sum(CAST(s.cnt AS DOUBLE) * ln($p3))
+       |        / CAST(sum(s.cnt) AS DOUBLE), 6) AS kn_logprob
+       |FROM s GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+  }
+
   /** Bigram language-model quality score: train bigram counts on the whole
     * corpus (the classic cheap perplexity proxy — KenLM-shaped, one order),
     * then score every document by its mean bigram log-probability

@@ -491,4 +491,24 @@ class TextPipelineSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
     assert(rows.map(_._7).max >= deployedF1, "sweep found no better cut")
   }
+
+  test("KN trigram: proper distribution (all logprobs < 0), train docs score above held-out") {
+    val rows = TextAnalysis.knTrigramScore(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    // one row per doc with >= 3 tokens, trigram counts line up
+    val nDocs = graft.util.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) >= 3).count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.forall(_._2 > 0))
+    // P sums to 1 over the vocab at every backoff level (continuation
+    // unigram is normalized), so every per-token probability is < 1 and
+    // every mean log-probability strictly negative
+    assert(rows.forall(_._3 < 0.0), "a doc scored a non-negative logprob")
+    // train docs contain their own counts; held-out docs back off more
+    val (train, eval) = rows.partition(_._1 % 10 < 8)
+    val mt = train.map(_._3).sum / train.length
+    val me = eval.map(_._3).sum / eval.length
+    assert(mt > me, s"train mean $mt should exceed held-out mean $me")
+  }
 }
