@@ -186,6 +186,8 @@ object SparkEntry {
     "q_bigram_lm" -> (TextAnalysis.bigramLmScore _),
     // interpolated Kneser–Ney trigram: continuation-count backoff
     "q_kn_trigram" -> (TextAnalysis.knTrigramScore _),
+    // S x S cross-source NLL matrix from one vocab-bounded fan-out
+    "q_domain_shift" -> (TextAnalysis.domainShift _),
     "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
@@ -2111,6 +2113,27 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_kn_trigram" -> TextAnalysis.knTrigramSql,
+
+    "q_domain_shift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |cnt AS MATERIALIZED (SELECT source, w, count(*) AS c
+        |                     FROM tok GROUP BY 1, 2),
+        |ntot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |         FROM cnt GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM cnt),
+        |sc AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca,
+        |              cb.c AS cb, b.n, voc.v
+        |       FROM cnt a
+        |       CROSS JOIN ntot b
+        |       LEFT JOIN cnt cb ON cb.source = b.source AND cb.w = a.w
+        |       CROSS JOIN voc)
+        |SELECT src_a, src_b, CAST(sum(ca) AS BIGINT) AS n_tok,
+        |  round(-sum(CAST(ca AS DOUBLE)
+        |    * ln((CAST(coalesce(cb, 0) AS DOUBLE) + 1.0)
+        |          / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))))
+        |    / CAST(sum(ca) AS DOUBLE), 6) AS mean_nll
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

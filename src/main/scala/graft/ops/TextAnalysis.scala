@@ -717,6 +717,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source domain-shift matrix: every source's token stream
+    * scored under every source's Laplace-smoothed unigram model — mean
+    * NLL of corpus A under model B for all S² pairs. The mixing-weight
+    * prerequisite: before q_mix_temperature / q_unimax allocate budget
+    * across sources, this matrix says which sources are interchangeable
+    * (low symmetric NLL gap) and which are genuine domains — and its
+    * row-vs-diagonal gaps are the drift alarm when a source's crawler
+    * starts emitting a different distribution.
+    *
+    * Scale shape: ONE token-count aggregate (map-side combinable) is
+    * the only corpus-scale pass; the S-way fan-out happens on the
+    * (source, word) COUNT table (vocab-bounded, not token-bounded),
+    * joined gram-co-partitioned against itself, with the S model totals
+    * and the vocab size riding broadcasts. Output is S² rows. */
+  def domainShift(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // spine, model side, and totals all read it
+    val ntot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val voc = cnt.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val p = (coalesce(col("cb"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n").cast("double") + col("v").cast("double"))
+    cnt.select(col("source").as("src_a"), col("w"), col("c").as("ca"))
+      .crossJoin(broadcast(ntot.select(col("source").as("src_b"), col("n"))))
+      .join(cnt.select(col("source").as("src_b"), col("w"), col("c").as("cb")),
+        Seq("src_b", "w"), "left")
+      .crossJoin(broadcast(voc))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca")).as("n_tok"),
+        round(-sum(col("ca").cast("double") * log(p)) /
+          sum(col("ca")).cast("double"), 6).as("mean_nll"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Generated oracle for [[knTrigramScore]]: the backoff cascade nests
     * P1 inside P2 inside P3, so the SQL is assembled from one expression
     * per level rather than hand-expanded three times. */

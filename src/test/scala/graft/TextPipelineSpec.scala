@@ -511,4 +511,33 @@ class TextPipelineSpec extends SparkSpec {
     val me = eval.map(_._3).sum / eval.length
     assert(mt > me, s"train mean $mt should exceed held-out mean $me")
   }
+
+  test("domain shift: disjoint-vocab sources produce a dominant off-diagonal NLL") {
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "alpha" else "beta"
+      val words = if (i % 2 == 0) Seq("ore", "vein", "smelt", "ingot")
+        else Seq("tide", "reef", "coral", "brine")
+      val text = Seq.tabulate(12)(j => words((i * 7 + j) % 4)).mkString(" ")
+      (i.toLong, text, "en", src, text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dshift").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.domainShift(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(m.size === 4)
+    // self-model NLL is far below the cross-model NLL for both sources
+    assert(m(("alpha", "alpha")) < m(("alpha", "beta")) - 1.0)
+    assert(m(("beta", "beta")) < m(("beta", "alpha")) - 1.0)
+    // real corpus: every source fits its own model at least as well as
+    // the row average (the drift-alarm invariant)
+    val real = TextAnalysis.domainShift(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    real.groupBy(_._1).foreach { case (src, row) =>
+      val diag = row.find(_._2 == src).get._4
+      val avg = row.map(_._4).sum / row.length
+      assert(diag <= avg, s"$src: diagonal $diag above row mean $avg")
+    }
+  }
 }
