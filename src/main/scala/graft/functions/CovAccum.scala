@@ -64,3 +64,15 @@ class CovAccum(d: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
+
+object CovAccum {
+  /** SQL-path registration: `SELECT cov_accum_<d>(q) FROM ...` for the
+    * dimensioned instance — UDAFs carry state shape in the function, so
+    * each d registers its own name (the engine's query builders pass the
+    * Aggregator directly; this face exists for plain-SQL users and is
+    * smoke-checked in FunctionsSpec). */
+  def register(spark: org.apache.spark.sql.SparkSession, d: Int): Unit =
+    spark.udf.register(s"cov_accum_$d",
+      org.apache.spark.sql.functions.udaf(new CovAccum(d),
+        ExpressionEncoder[Seq[Long]]()))
+}

@@ -137,4 +137,14 @@ class FunctionsSpec extends SparkSpec {
     probe.collect()
     assert(probe.queryExecution.executedPlan.toString.contains("*("))
   }
+
+  test("cov_accum UDAF via plain SQL: packed sums match hand arithmetic") {
+    graft.functions.CovAccum.register(spark, 2)
+    Seq((Seq(1L, 2L)), (Seq(3L, 5L)), (Seq(-2L, 4L)))
+      .toDF("q").createOrReplaceTempView("cov_in")
+    val m = spark.sql("SELECT cov_accum_2(q) FROM cov_in")
+      .head().getSeq[Long](0)
+    // layout: [n | s0 s1 | s00 s01 s11]
+    assert(m === Seq(3L, 2L, 11L, 1 + 9 + 4L, 2 + 15 - 8L, 4 + 25 + 16L))
+  }
 }
