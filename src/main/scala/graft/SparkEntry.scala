@@ -250,6 +250,8 @@ object SparkEntry {
     // real 24bpp BMP files built AND parsed as column algebra; the
     // oracle replays the pixel formulas closed-form, never touching bytes
     "q_bmp_decode" -> ((s, d) => Multimodal.bmpDecodeFeatures(s, d)),
+    // 2x2 box-filter thumbnail: cell-exact integer downsample
+    "q_bmp_thumb" -> ((s, d) => Multimodal.bmpThumb(s, d)),
     // real PCM16 WAV files built AND parsed as column algebra (signed
     // little-endian samples); oracle replays the sample formula
     "q_wav_decode" -> ((s, d) => Multimodal.wavDecodeFeatures(s, d)),
@@ -3026,6 +3028,36 @@ object SparkEntry {
         |  AND x.x < d.doc_id % 16 + 1 AND y.y < d.doc_id % 12 + 1
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // closed-form thumbnail replay: same generator formulas, grouped
+    // into 2x2 cells, integer floor-division averages
+    "q_bmp_thumb" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id % 16 + 1) AS w, (d.doc_id % 12 + 1) AS h,
+        |    x.x // 2 AS cx, y.y // 2 AS cy,
+        |    (d.doc_id + x.x * 7 + y.y * 13) % 256 AS r,
+        |    (d.doc_id * 2 + x.x * 5 + y.y * 11) % 256 AS g,
+        |    (d.doc_id * 3 + x.x * 3 + y.y * 17) % 256 AS b
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
+        |  WHERE d.doc_id < 2000
+        |    AND x.x < d.doc_id % 16 + 1 AND y.y < d.doc_id % 12 + 1),
+        |cells AS (
+        |  SELECT doc_id, max(w) AS w, max(h) AS h, cy, cx,
+        |    sum(r) // count(*) AS ar, sum(g) // count(*) AS ag,
+        |    sum(b) // count(*) AS ab
+        |  FROM px GROUP BY doc_id, cy, cx)
+        |SELECT doc_id,
+        |  CAST(max((w + 1) // 2) AS BIGINT) AS out_w,
+        |  CAST(max((h + 1) // 2) AS BIGINT) AS out_h,
+        |  count(*) AS n_cells,
+        |  CAST(sum(ar) AS BIGINT) AS tsum_r,
+        |  CAST(sum(ag) AS BIGINT) AS tsum_g,
+        |  CAST(sum(ab) AS BIGINT) AS tsum_b,
+        |  CAST(sum((cy * ((w + 1) // 2) + cx + 1) * ar) AS BIGINT) AS twsum_r
+        |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // closed-form replay of the WAV sample formula: signed value
     // reconstruction, data-size-driven sample count — no byte work

@@ -183,7 +183,10 @@ object Multimodal {
     * map-side-combinable groupBy on doc_id; header fields are plain
     * projections. Heights here are positive (bottom-up) 24bpp BI_RGB —
     * the filter asserts exactly that contract rather than nulling. */
-  def bmpDecode(media: DataFrame): DataFrame = {
+  /** Header parse + per-pixel explode shared by [[bmpDecode]] and
+    * [[bmpThumb]]: (doc_id, width, height, x, y, r, g, b) in IMAGE
+    * coordinates, honoring the 4-byte row stride and bottom-up rows. */
+  private def bmpPixels(media: DataFrame): DataFrame = {
     graft.functions.ByteAt.register(media.sparkSession)
     val p = col("payload")
     val withHdr = media
@@ -205,11 +208,17 @@ object Multimodal {
       .withColumn("idx", // stored bottom-up: row j = h-1-y
         col("pix_off") + (col("height") - 1 - col("y")) * col("stride") +
           col("x") * 3)
-      .select(col("doc_id"), col("width"), col("height"),
-        (col("y") * col("width") + col("x") + 1).as("wgt"),
+      .select(col("doc_id"), col("width"), col("height"), col("x"), col("y"),
         byteAt(col("payload"), col("idx")).as("b"),
         byteAt(col("payload"), col("idx") + 1).as("g"),
         byteAt(col("payload"), col("idx") + 2).as("r"))
+  }
+
+  def bmpDecode(media: DataFrame): DataFrame =
+    bmpPixels(media)
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("y") * col("width") + col("x") + 1).as("wgt"),
+        col("b"), col("g"), col("r"))
       .groupBy(col("doc_id"))
       .agg(max(col("width")).as("width"), max(col("height")).as("height"),
         count(lit(1)).as("n_px"),
@@ -217,7 +226,6 @@ object Multimodal {
         sum(col("b")).as("sum_b"),
         sum(col("wgt") * col("r")).as("wsum_r"))
       .orderBy(col("doc_id"))
-  }
 
   /** The gated encode→decode roundtrip (q_bmp_decode). Sliced to
     * doc_id < 2000 like q_holt: replica key offsets put ScaleUp copies
@@ -233,6 +241,40 @@ object Multimodal {
     * production. Same pattern as knnGraph's signature pass. */
   def bmpDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     bmpDecode(bmpTable(spark, dir).localCheckpoint(eager = false))
+
+  /** 2×2 box-filter downsample (the thumbnail pass of an image
+    * pipeline) in pure column algebra: pixels bucket into
+    * (⌊x/2⌋, ⌊y/2⌋) cells, each cell averages its 1–4 members with
+    * integer floor division (edge cells at odd widths/heights keep
+    * their true member count — the off-by-one every resize bug lives
+    * in), and the gate aggregates the thumbnail back to per-doc
+    * features including a cell-position-weighted sum that any cell
+    * mis-assignment shifts. The oracle replays the whole thing
+    * closed-form from the generator formulas — no byte work.
+    *
+    * Scale shape: the same one-explode decode as [[bmpDecode]], one
+    * extra map-side-combinable (doc, cell) aggregate before the per-doc
+    * rollup; all integer, all codegen. */
+  def bmpThumb(spark: SparkSession, dir: String): DataFrame = {
+    val cells = bmpPixels(bmpTable(spark, dir).localCheckpoint(eager = false))
+      .withColumn("cx", floor(col("x") / 2).cast("long"))
+      .withColumn("cy", floor(col("y") / 2).cast("long"))
+      .groupBy(col("doc_id"), col("cy"), col("cx"))
+      .agg(max(col("width")).as("w"), max(col("height")).as("h"),
+        expr("sum(r) div count(1)").as("ar"),
+        expr("sum(g) div count(1)").as("ag"),
+        expr("sum(b) div count(1)").as("ab"))
+    cells.groupBy(col("doc_id"))
+      .agg(max(expr("(w + 1) div 2")).as("out_w"),
+        max(expr("(h + 1) div 2")).as("out_h"),
+        count(lit(1)).as("n_cells"),
+        sum(col("ar")).as("tsum_r"),
+        sum(col("ag")).as("tsum_g"),
+        sum(col("ab")).as("tsum_b"),
+        sum((col("cy") * expr("(w + 1) div 2") + col("cx") + 1) * col("ar"))
+          .as("twsum_r"))
+      .orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------------
   // Real audio decode: PCM16 WAV (RIFF) as pure column algebra — same

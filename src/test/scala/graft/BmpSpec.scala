@@ -63,4 +63,32 @@ class BmpSpec extends SparkSpec {
     // junk rows fail the magic/bpp contract filter and simply drop out
     assert(Multimodal.bmpDecode(junk).count() === 0L)
   }
+
+  test("2x2 thumbnail agrees with a plain-Scala box filter over javax.imageio pixels") {
+    val engine = Multimodal.bmpThumb(spark, sf)
+      .filter($"doc_id" < 64)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    payloads.foreach { case (id, bytes) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val ow = (w + 1) / 2
+      val oh = (h + 1) / 2
+      val sums = scala.collection.mutable.Map[(Int, Int), (Long, Long, Long, Long)]()
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val k = (y / 2, x / 2)
+        val (r0, g0, b0, n0) = sums.getOrElse(k, (0L, 0L, 0L, 0L))
+        sums(k) = (r0 + ((rgb >> 16) & 0xff), g0 + ((rgb >> 8) & 0xff),
+          b0 + (rgb & 0xff), n0 + 1)
+      }
+      var (tr, tg, tb, twr) = (0L, 0L, 0L, 0L)
+      sums.foreach { case ((cy, cx), (r0, g0, b0, n0)) =>
+        tr += r0 / n0; tg += g0 / n0; tb += b0 / n0
+        twr += (cy.toLong * ow + cx + 1) * (r0 / n0)
+      }
+      assert(engine(id) === ((id, ow.toLong, oh.toLong, sums.size.toLong,
+        tr, tg, tb, twr)), s"doc $id")
+    }
+  }
 }
