@@ -252,6 +252,8 @@ object SparkEntry {
     "q_bmp_decode" -> ((s, d) => Multimodal.bmpDecodeFeatures(s, d)),
     // 2x2 box-filter thumbnail: cell-exact integer downsample
     "q_bmp_thumb" -> ((s, d) => Multimodal.bmpThumb(s, d)),
+    // loudest-frame selection: integer frame energies, struct-argmax
+    "q_wav_frames" -> ((s, d) => Multimodal.wavFrames(s, d)),
     // real PCM16 WAV files built AND parsed as column algebra (signed
     // little-endian samples); oracle replays the sample formula
     "q_wav_decode" -> ((s, d) => Multimodal.wavDecodeFeatures(s, d)),
@@ -3075,6 +3077,29 @@ object SparkEntry {
         |WHERE d.doc_id < 2000 AND i.i < d.doc_id % 64 + 16
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // closed-form frame replay: 20-sample frames from the generator
+    // formula, loudest frame via a deterministic rank
+    "q_wav_frames" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, i.i // 20 AS frame,
+        |    ((d.doc_id * 31 + i.i * 97) % 2048 - 1024) AS s
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 80)) AS i) i
+        |  WHERE d.doc_id < 2000 AND i.i < d.doc_id % 64 + 16),
+        |f AS (SELECT doc_id, frame, CAST(sum(s * s) AS BIGINT) AS e,
+        |             CAST(max(abs(s)) AS BIGINT) AS peak
+        |      FROM s GROUP BY doc_id, frame),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY e DESC, frame) AS rn,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_frames,
+        |        sum(e) OVER (PARTITION BY doc_id) AS sum_energy
+        |      FROM f)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(sum_energy AS BIGINT) AS sum_energy,
+        |  frame AS top_frame, e AS top_energy, peak AS top_peak
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // same planted-marker injection, RE2-compatible patterns, 'g' flag
     "q_pii_scan" ->

@@ -318,7 +318,10 @@ object Multimodal {
     * features — sum, |sum|, max |s|, Σs² — that the oracle recomputes
     * closed-form from the generator formula. Same scale shape as
     * [[bmpDecode]]: narrow explode, map-side-combinable groupBy. */
-  def wavDecode(media: DataFrame): DataFrame = {
+  /** Header contract + per-sample explode shared by [[wavDecode]] and
+    * [[wavFrames]]: (doc_id, sample_rate, i, s) with signed PCM16
+    * reconstruction. */
+  private def wavSamples(media: DataFrame): DataFrame = {
     graft.functions.ByteAt.register(media.sparkSession)
     val p = col("payload")
     media
@@ -338,6 +341,10 @@ object Multimodal {
           byteAt(p, lit(45L) + col("i") * 2) * 256L)
       .withColumn("s", when(col("vu") >= 32768L, col("vu") - 65536L)
         .otherwise(col("vu")))
+  }
+
+  def wavDecode(media: DataFrame): DataFrame =
+    wavSamples(media)
       .groupBy(col("doc_id"))
       .agg(max(col("sample_rate")).as("sample_rate"),
         count(lit(1)).as("n_samples"),
@@ -345,12 +352,36 @@ object Multimodal {
         max(abs(col("s"))).as("max_abs"),
         sum(col("s") * col("s")).as("sum_sq"))
       .orderBy(col("doc_id"))
-  }
 
   /** The gated WAV roundtrip (q_wav_decode) — see [[bmpDecodeFeatures]]
     * for the doc_id slice rationale and the encode barrier. */
   def wavDecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     wavDecode(wavTable(spark, dir).localCheckpoint(eager = false))
+
+  /** Frame-level energy analysis (the audio face of frame sampling /
+    * the VAD primitive): samples bucket into fixed 20-sample frames,
+    * each frame gets its integer energy Σs² and peak |s|, and the gate
+    * reports per-doc frame count, total energy, and the LOUDEST frame —
+    * argmax as max(struct(energy, −frame, peak)), never a rank window,
+    * with lowest-frame tiebreak. This is the selection pass a speech
+    * pipeline runs before expensive transcription: at 100 TB you decode
+    * once, keep per-frame integers, and ship only the frames that beat
+    * the energy gate. Same scale shape as the decode: one explode, two
+    * map-side-combinable aggregates. */
+  def wavFrames(spark: SparkSession, dir: String): DataFrame = {
+    val fr = wavSamples(wavTable(spark, dir).localCheckpoint(eager = false))
+      .withColumn("frame", floor(col("i") / 20).cast("long"))
+      .groupBy(col("doc_id"), col("frame"))
+      .agg(sum(col("s") * col("s")).as("e"), max(abs(col("s"))).as("peak"))
+    fr.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("e")).as("sum_energy"),
+        max(struct(col("e"), (-col("frame")).as("nf"), col("peak"))).as("top"))
+      .select(col("doc_id"), col("n_frames"), col("sum_energy"),
+        (-col("top.nf")).as("top_frame"), col("top.e").as("top_energy"),
+        col("top.peak").as("top_peak"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Frame sampling shape: every k-th fixed-size byte window of the
     * payload becomes a "frame" row — the video-frame-extraction dataflow

@@ -63,4 +63,24 @@ class WavSpec extends SparkSpec {
     ).toDF("doc_id", "payload")
     assert(Multimodal.wavDecode(junk).count() === 0L)
   }
+
+  test("frame energies agree with a plain-Scala pass over codec samples") {
+    val engine = Multimodal.wavFrames(spark, sf)
+      .filter($"doc_id" < 48)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    payloads.foreach { case (id, bytes) =>
+      val frames = codecSamples(bytes).zipWithIndex
+        .groupBy(_._2 / 20).toSeq
+        .map { case (f, xs) =>
+          (f.toLong, xs.map(x => x._1.toLong * x._1).sum,
+            xs.map(x => math.abs(x._1).toLong).max)
+        }
+      val (tf, te, tp) = frames.maxBy(fr => (fr._2, -fr._1)) match {
+        case (f, e, p) => (f, e, p)
+      }
+      assert(engine(id) === ((id, frames.length.toLong,
+        frames.map(_._2).sum, tf, te, tp)), s"doc $id")
+    }
+  }
 }
