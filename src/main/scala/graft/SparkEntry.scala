@@ -89,6 +89,8 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q_dedup_minhash_lsh" -> (Dedup.lshCandidates _),
     "q_dedup_simhash" -> (Dedup.simhashGroups _),
+    // SimHash estimator-accuracy census (the q_minhash_acc twin)
+    "q_simhash_acc" -> ((s, d) => Dedup.simhashAccuracy(s, d)),
     // Dedup.simhashNeighbors stays a library op (DedupSpec): on this
     // shared-vocabulary synthetic corpus its 16-bit signature space
     // concentrates, so the exact-recall banded join degenerates toward
@@ -2337,6 +2339,32 @@ object SparkEntry {
          |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM fp GROUP BY simhash HAVING count(*) >= 2
          |ORDER BY simhash""".stripMargin,
+
+    // fingerprint replay + exact Jaccard on the C(probes,2) pair slice
+    "q_simhash_acc" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+         |              FROM documents WHERE doc_id < 100),
+         |fp AS MATERIALIZED (SELECT doc_id,
+         |    $simhashBitsSql AS sig
+         |  FROM toks GROUP BY doc_id),
+         |base AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |  FROM documents WHERE doc_id < 100),
+         |ph AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    CAST(sum(CASE WHEN substr(a.sig, p.p, 1) <> substr(b.sig, p.p, 1)
+         |             THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p
+         |  GROUP BY 1, 2),
+         |jc AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    CAST(round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+         |      * 1e6) AS BIGINT) AS jq
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id)
+         |SELECT hamming, count(*) AS n_pairs,
+         |  round(CAST(sum(jq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_jacc
+         |FROM ph JOIN jc USING (ida, idb)
+         |GROUP BY hamming ORDER BY hamming""".stripMargin,
 
     "q_dedup_survivors" ->
       s"""WITH $shingleCte,

@@ -536,6 +536,44 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SimHash estimator-accuracy census — the [[simhashNeighbors]] family's
+    * q_minhash_acc twin: on a fixed probe slice, every pair's 16-bit
+    * fingerprint Hamming distance against its EXACT distinct-token
+    * Jaccard, bucketed by distance. The SimHash guarantee is that
+    * fingerprint bits disagree with probability proportional to the
+    * angle between token sets, so mean Jaccard must fall monotonically
+    * as Hamming grows — this census is the one-look table that says
+    * whether a 16-bit fingerprint separates your corpus's similarity
+    * range BEFORE you trust identical-fingerprint dedup with it.
+    *
+    * Probe slice is fixed-size, so the pair space is C(probes, 2) at
+    * any SF — census cost does not grow with the corpus (the fingerprint
+    * pass it evaluates does, linearly). Per-pair Jaccard quantizes to
+    * 1e-6 integers before the bucket mean, engine-portable. */
+  def simhashAccuracy(spark: SparkSession, dir: String,
+      probes: Long = 100L): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < probes)
+      .select(col("doc_id"), simhash(col("text")).as("sig"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .localCheckpoint(eager = false) // both pair sides read it
+    val a = base.select(col("doc_id").as("ida"), col("sig").as("siga"),
+      col("toks").as("ta"))
+    val b = base.select(col("doc_id").as("idb"), col("sig").as("sigb"),
+      col("toks").as("tb"))
+    a.join(b, col("ida") < col("idb"))
+      .select(
+        graft.functions.StrHamming(spark, col("siga"), col("sigb")).as("hamming"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double") * 1e6)
+          .cast("long").as("jq"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jq")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_jacc"))
+      .orderBy(col("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (the
     * pre-clustering key) so the pair space is per-block, not global.
     * The cosine is exact; blocking is what scales it.
