@@ -190,6 +190,8 @@ object SparkEntry {
     "q_kn_trigram" -> (TextAnalysis.knTrigramScore _),
     // S x S cross-source NLL matrix from one vocab-bounded fan-out
     "q_domain_shift" -> (TextAnalysis.domainShift _),
+    // language-ID accuracy: gold-vs-predicted confusion cells
+    "q_lid_confusion" -> (TextAnalysis.lidConfusion _),
     "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_data_prep" -> ((s, d) => TextAnalysis.dataPrep(s, d)),
@@ -2119,6 +2121,28 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_kn_trigram" -> TextAnalysis.knTrigramSql,
+
+    // marker-count replay with the same fixed argmax precedence
+    "q_lid_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'and'))) AS en,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('el', 'la', 'los'))) AS es,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('le', 'les', 'et'))) AS fr,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('der', 'die', 'und'))) AS de
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+        |       WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+        |       WHEN fr >= de AND fr > 0 THEN 'fr'
+        |       WHEN de > 0 THEN 'de'
+        |       ELSE 'unknown' END AS pred,
+        |  count(*) AS n_docs
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_domain_shift" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w

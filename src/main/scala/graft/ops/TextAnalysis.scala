@@ -717,6 +717,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix: the accuracy gate for [[langId]]
+    * against the corpus's gold `lang` labels — (gold, predicted, count)
+    * cells. The marker-word heuristic has a known blind spot (no zh
+    * markers → 'unknown'), and this census quantifies exactly that
+    * before anyone trusts q_lang_quota / q_unimax budgets keyed on
+    * predicted language. One zero-shuffle projection + one
+    * map-side-combinable count — the cheapest eval in the repo. */
+  def lidConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+
   /** Cross-source domain-shift matrix: every source's token stream
     * scored under every source's Laplace-smoothed unigram model — mean
     * NLL of corpus A under model B for all S² pairs. The mixing-weight

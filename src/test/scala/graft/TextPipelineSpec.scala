@@ -540,4 +540,27 @@ class TextPipelineSpec extends SparkSpec {
       assert(diag <= avg, s"$src: diagonal $diag above row mean $avg")
     }
   }
+
+  test("LID confusion: cells cover every doc; planted markers classify perfectly") {
+    val cells = TextAnalysis.lidConfusion(spark, sf)
+      .as[(String, String, Long)].collect()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(cells.map(_._3).sum === nDocs)
+    assert(cells.map(_._2).toSet.subsetOf(Set("en", "es", "fr", "de", "unknown")))
+    // planted corpus: marker-dominated docs must land on the diagonal
+    val planted = Seq(
+      (0L, "the cat and the dog saw a bird", "en"),
+      (1L, "el perro la casa los gatos", "es"),
+      (2L, "le chat et les chiens le parc", "fr"),
+      (3L, "der hund die katze und der park", "de"),
+      (4L, "xyzzy plugh quux", "zz"))
+    val dir = java.nio.file.Files.createTempDirectory("lid").toString
+    planted.map { case (id, t, l) => (id, t, l, "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.lidConfusion(spark, dir)
+      .as[(String, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got === Map("en" -> "en", "es" -> "es", "fr" -> "fr",
+      "de" -> "de", "zz" -> "unknown"))
+  }
 }
