@@ -47,4 +47,36 @@ class StreamCovSpec extends SparkSpec {
     assert(oneBatch === batch)
     assert(fourBatches === batch)
   }
+
+  test("crash-replay: covariance state resumes from checkpoint, no double-fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("cov_ck").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    def start(name: String) = StreamCov.packed(
+        in.toDF().toDF("vec_id", "embedding")
+          .withColumn("embedding", $"embedding".cast("array<float>")), d)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val q1 = start("cov_r1")
+    try { in.addData(rows.take(25)); q1.processAllAvailable() }
+    finally q1.stop() // "crash" between micro-batches
+    in.addData(rows.drop(25)) // arrives while the query is down
+    val q2 = start("cov_r2")
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("cov_r2").as[(Int, Seq[Long])].collect().toMap
+      val batch = StreamCov.packed(
+          rows.toDF("vec_id", "embedding")
+            .withColumn("embedding", $"embedding".cast("array<float>")), d)
+        .as[(Int, Seq[Long])].collect().toMap
+      // resumed state + new rows == batch over the union: batch-1 rows
+      // folded exactly once despite the restart
+      assert(got === batch)
+    } finally {
+      q2.stop()
+      spark.sql("DROP TABLE IF EXISTS cov_r1")
+      spark.sql("DROP TABLE IF EXISTS cov_r2")
+    }
+  }
 }
