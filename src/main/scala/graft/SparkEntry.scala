@@ -91,6 +91,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashGroups _),
     // SimHash estimator-accuracy census (the q_minhash_acc twin)
     "q_simhash_acc" -> ((s, d) => Dedup.simhashAccuracy(s, d)),
+    // engine-portable bloom (rows, not a blob) + exact FP census
+    "q_bloom_fpr" -> ((s, d) => Dedup.bloomFpr(s, d)),
     // Dedup.simhashNeighbors stays a library op (DedupSpec): on this
     // shared-vocabulary synthetic corpus its 16-bit signature space
     // concentrates, so the exact-recall banded join degenerates toward
@@ -2363,6 +2365,38 @@ object SparkEntry {
          |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM fp GROUP BY simhash HAVING count(*) >= 2
          |ORDER BY simhash""".stripMargin,
+
+    // portable-hash bloom replay: same md5 positions, same distinct bit
+    // set, all-k-present probe rule, load-factor theory multiplied out
+    "q_bloom_fpr" ->
+      """WITH fps AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('bf' || j.j || '|' || fp), 1, 8))::BIGINT
+        |      % 65536 AS pos
+        |  FROM fps CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j),
+        |bits AS MATERIALIZED (
+        |  SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0),
+        |per_probe AS (
+        |  SELECT p.doc_id,
+        |    sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_present
+        |  FROM pos p LEFT JOIN bits b ON b.pos = p.pos
+        |  WHERE p.doc_id % 2 = 1 GROUP BY p.doc_id),
+        |agg AS (SELECT
+        |  (SELECT count(*) FROM fps WHERE doc_id % 2 = 0) AS n_train,
+        |  (SELECT count(*) FROM per_probe) AS n_probes,
+        |  (SELECT count(*) FROM bits) AS bits_set,
+        |  (SELECT count(*) FROM per_probe WHERE n_present = 3) AS fp_count)
+        |SELECT CAST(n_train AS BIGINT) AS n_train,
+        |  CAST(n_probes AS BIGINT) AS n_probes,
+        |  CAST(bits_set AS BIGINT) AS bits_set,
+        |  CAST(fp_count AS BIGINT) AS fp_count,
+        |  round(CAST(fp_count AS DOUBLE) / CAST(n_probes AS DOUBLE), 6) AS fp_rate,
+        |  round(CAST(bits_set AS DOUBLE) / 65536.0, 6) AS load,
+        |  round(CAST(bits_set AS DOUBLE) / 65536.0
+        |    * (CAST(bits_set AS DOUBLE) / 65536.0)
+        |    * (CAST(bits_set AS DOUBLE) / 65536.0), 6) AS fp_theory
+        |FROM agg""".stripMargin,
 
     // fingerprint replay + exact Jaccard on the C(probes,2) pair slice
     "q_simhash_acc" ->

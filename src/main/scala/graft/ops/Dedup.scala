@@ -536,6 +536,58 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Engine-portable Bloom filter + exact false-positive census — the
+    * replayable complement to the native BloomFilterAggregate used by
+    * q_incremental_bloom (whose bit layout is Spark-internal and
+    * therefore only rows-checkable). Here the filter IS a DataFrame:
+    * k md5-derived positions per key (the repo's portable hash family),
+    * the bit set is `SELECT DISTINCT pos` over the member keys, and a
+    * probe passes iff all k of its positions are present. Train = even
+    * doc fingerprints, probes = odd — the corpus is exactly-clean
+    * (DedupSpec), so every probe hit is a FALSE POSITIVE by
+    * construction, and the census compares the measured FP rate to the
+    * load-factor theory (bits_set/m)^k computed from the SAME exact
+    * integers (no e^-formula, no libm pow — multiplied out).
+    *
+    * Scale shape: one projection + k-explode per side, one distinct on
+    * positions (≤ m rows — the filter is m-bounded no matter the
+    * corpus), one broadcast-able join of probes against the bit set.
+    * This is how you ship a bloom BETWEEN engines at 100 TB: the bit
+    * set is rows, not an opaque binary blob. */
+  def bloomFpr(spark: SparkSession, dir: String, m: Long = 65536L,
+      k: Int = 3): DataFrame = {
+    def posArr(fp: org.apache.spark.sql.Column) = array((1 to k).map { j =>
+      conv(substring(md5(concat(lit(s"bf$j|"), fp)), 1, 8), 16, 10)
+        .cast("long") % m
+    }: _*)
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+    val bits = fps.filter(col("doc_id") % 2 === 0)
+      .select(explode(posArr(col("fp"))).as("pos")).distinct()
+      .localCheckpoint(eager = false) // the count and the probe join read it
+    val probeRows = fps.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(posArr(col("fp"))).as("pos"))
+    val perProbe = probeRows
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_present"))
+    val nTrain = fps.filter(col("doc_id") % 2 === 0)
+      .agg(count(lit(1)).as("n_train"))
+    val nProbes = perProbe.agg(count(lit(1)).as("n_probes"))
+    val nBits = bits.agg(count(lit(1)).as("bits_set"))
+    val nFp = perProbe.filter(col("n_present") === k)
+      .agg(count(lit(1)).as("fp_count"))
+    val md = m.toDouble
+    nTrain.crossJoin(nProbes).crossJoin(nBits).crossJoin(nFp)
+      .select(col("n_train"), col("n_probes"), col("bits_set"), col("fp_count"),
+        round(col("fp_count").cast("double") / col("n_probes").cast("double"), 6)
+          .as("fp_rate"),
+        round(col("bits_set").cast("double") / md, 6).as("load"),
+        round(col("bits_set").cast("double") / md
+          * (col("bits_set").cast("double") / md)
+          * (col("bits_set").cast("double") / md), 6).as("fp_theory"))
+  }
+
   /** SimHash estimator-accuracy census — the [[simhashNeighbors]] family's
     * q_minhash_acc twin: on a fixed probe slice, every pair's 16-bit
     * fingerprint Hamming distance against its EXACT distinct-token

@@ -332,4 +332,20 @@ class DedupSpec extends SparkSpec {
     assert(wmean(lo) > wmean(hi),
       s"low-hamming mean ${wmean(lo)} not above high-hamming ${wmean(hi)}")
   }
+
+  test("portable bloom: measured FP rate tracks load-factor theory at two sizes") {
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    // saturated filter: real false positives, rate within 5pp of theory
+    val tight = Dedup.bloomFpr(spark, sf, m = 256L)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(tight._1 + tight._2 === nDocs)
+    assert(tight._3 <= 256L && tight._4 > 0L)
+    assert(math.abs(tight._5 - tight._7) < 0.05,
+      s"measured ${tight._5} vs theory ${tight._7}")
+    // roomy filter: zero false positives, tiny predicted rate
+    val roomy = Dedup.bloomFpr(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(roomy._3 <= 3L * roomy._1) // k positions per member at most
+    assert(roomy._4 === 0L && roomy._7 < 1e-4)
+  }
 }
