@@ -316,6 +316,12 @@ object SparkEntry {
     "q_ticker_agg" -> (graft.sources.TickerQueries.aggCensus _),
     // the transformWithState fold in batch mode over the same feed
     "q_state_v2" -> (graft.streaming.StateV2.tickerPartials _),
+    // round 7 (cont. 4): web-crawl curation + feature selection
+    "q_url_canon" -> (graft.ops.Web.urlCanon _),
+    "q_domain_stats" -> (graft.ops.Web.domainStats _),
+    "q_domain_cap" -> ((s, d) => graft.ops.Web.domainCap(s, d)),
+    "q_chi2_terms" -> ((s, d) => TextAnalysis.chi2Terms(s, d)),
+    "q_misra_gries" -> ((s, d) => TextAnalysis.misraGries(s, d)),
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document
@@ -4323,5 +4329,182 @@ object SparkEntry {
         |FROM v
         |GROUP BY coin_id
         |ORDER BY coin_id""".stripMargin,
+
+    // round 7 (cont. 4): web-crawl curation pack. The synthetic URL CTE
+    // mirrors Web.urlOf literally; everything downstream (parse,
+    // canonicalize, registered domain, quota) is the operator under test.
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |    || 'sub' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.' || source
+        |    || CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |            WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END
+        |    || '/' || lang || '/page-' || CAST(doc_id % 40 AS VARCHAR)
+        |    || '?'
+        |    || CASE WHEN doc_id % 2 = 0
+        |        THEN 'utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=x'
+        |        ELSE 'id=' || CAST(doc_id % 100 AS VARCHAR) || '&q=' || lang END
+        |    || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(lower(regexp_extract(url, '^https://([^/]+)', 1)),
+        |                   '^www\.', '') AS host,
+        |    regexp_extract(url, '^https://[^/]+([^?#]*)', 1) AS path,
+        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&') AS params
+        |  FROM u),
+        |k AS (
+        |  SELECT doc_id, url, host, path, params,
+        |    list_filter(params, pp -> NOT (starts_with(pp, 'utm_')
+        |                                   OR starts_with(pp, 'ref='))) AS kept
+        |  FROM p)
+        |SELECT doc_id, url, host, path,
+        |  CAST(len(params) AS BIGINT) AS n_params,
+        |  CAST(len(params) - len(kept) AS BIGINT) AS n_dropped,
+        |  'https://' || host || path ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |         ELSE '' END AS canon_url
+        |FROM k
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    'https://'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |    || 'sub' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.' || source
+        |    || CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |            WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END
+        |    || '/' || lang || '/page-' || CAST(doc_id % 40 AS VARCHAR)
+        |    || '?'
+        |    || CASE WHEN doc_id % 2 = 0
+        |        THEN 'utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=x'
+        |        ELSE 'id=' || CAST(doc_id % 100 AS VARCHAR) || '&q=' || lang END
+        |    || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    regexp_replace(lower(regexp_extract(url, '^https://([^/]+)', 1)),
+        |                   '^www\.', '') AS host
+        |  FROM u),
+        |r AS (SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS nl
+        |      FROM h),
+        |d AS (
+        |  SELECT doc_id, lang, n_chars, host,
+        |    CASE WHEN ls[nl-1] || '.' || ls[nl] IN ('co.uk', 'com.au')
+        |         THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
+        |         ELSE ls[nl-1] || '.' || ls[nl] END AS registered_domain
+        |  FROM r)
+        |SELECT registered_domain,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM d
+        |GROUP BY registered_domain
+        |ORDER BY registered_domain""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |    || 'sub' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.' || source
+        |    || CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |            WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END
+        |    || '/' || lang || '/page-' || CAST(doc_id % 40 AS VARCHAR)
+        |    || '?'
+        |    || CASE WHEN doc_id % 2 = 0
+        |        THEN 'utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=x'
+        |        ELSE 'id=' || CAST(doc_id % 100 AS VARCHAR) || '&q=' || lang END
+        |    || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(lower(regexp_extract(url, '^https://([^/]+)', 1)),
+        |                   '^www\.', '') AS host
+        |  FROM u),
+        |r AS (SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS nl
+        |      FROM h),
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN ls[nl-1] || '.' || ls[nl] IN ('co.uk', 'com.au')
+        |         THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
+        |         ELSE ls[nl-1] || '.' || ls[nl] END AS registered_domain
+        |  FROM r),
+        |rk AS (
+        |  SELECT registered_domain, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY registered_domain
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM d),
+        |kept AS (
+        |  SELECT registered_domain, count(*) AS n_kept,
+        |    CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |  FROM rk WHERE rn <= 3 GROUP BY registered_domain),
+        |tot AS (
+        |  SELECT registered_domain, count(*) AS n_total,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM d GROUP BY registered_domain)
+        |SELECT t.registered_domain, n_total, n_kept,
+        |  n_total - n_kept AS n_dropped, kept_chars, total_chars
+        |FROM tot t JOIN kept k ON t.registered_domain = k.registered_domain
+        |ORDER BY t.registered_domain""".stripMargin,
+
+    // χ² feature selection: doc-level 2x2 contingency per (term, lang);
+    // double-precision factor order mirrors TextAnalysis.chi2Terms exactly
+    "q_chi2_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |aa AS (SELECT term, lang, count(*) AS a FROM tok GROUP BY term, lang),
+        |tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM aa GROUP BY term),
+        |cl AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT aa.lang, aa.term, aa.a, tt.t, cl.c, nn.n,
+        |    tt.t - aa.a AS b, cl.c - aa.a AS cc,
+        |    nn.n - tt.t - cl.c + aa.a AS dd
+        |  FROM aa JOIN tt USING (term) JOIN cl USING (lang) CROSS JOIN nn),
+        |sc AS (
+        |  SELECT lang, term, a AS docs_in_class, t AS docs_with_term,
+        |    CASE WHEN n = t OR n = c THEN 0.0
+        |         ELSE round(CAST(n AS DOUBLE)
+        |            * (CAST(a * dd - b * cc AS DOUBLE) ** 2)
+        |            / (CAST(a + b AS DOUBLE) * CAST(cc + dd AS DOUBLE)
+        |               * CAST(a + cc AS DOUBLE) * CAST(b + dd AS DOUBLE)), 4)
+        |    END AS chi2
+        |  FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |                                   ORDER BY chi2 DESC, term) AS rnk
+        |      FROM sc)
+        |SELECT lang, rnk, term, docs_in_class, docs_with_term, chi2
+        |FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
+
+    // Misra-Gries certification: the boolean columns are theorems of the
+    // summary (presence above N/(k+1), undercount bound, size cap) so the
+    // oracle emits literal 1s next to the replayed exact counts
+    "q_misra_gries" ->
+      """WITH ks AS (
+        |  SELECT CASE WHEN t IN ('join', 'hash', 'row') THEN t
+        |              ELSE t || '_' || CAST(doc_id % 97 AS VARCHAR) END AS key
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)),
+        |e AS (SELECT key, count(*) AS cnt FROM ks GROUP BY key)
+        |SELECT key AS term, cnt,
+        |  CAST(1 AS BIGINT) AS presence_ok,
+        |  CAST(1 AS BIGINT) AS le_exact_ok,
+        |  CAST(1 AS BIGINT) AS bound_ok,
+        |  CAST(1 AS BIGINT) AS tracked_le_k
+        |FROM e
+        |WHERE key IN ('join', 'hash', 'row')
+        |ORDER BY term""".stripMargin,
   )
 }

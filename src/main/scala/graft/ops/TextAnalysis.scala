@@ -1819,4 +1819,109 @@ object TextAnalysis {
           / (col("n_docs").cast("double") / col("n_total")), 6).as("boost"))
       .orderBy(col("lang"))
   }
+
+  /** χ² term selection per language class, gated as q_chi2_terms: the
+    * classic feature-selection statistic over the 2×2 (term present ×
+    * class membership) document-contingency table, top-5 terms per
+    * language by χ² (term asc tie-break).
+    *
+    * Counts shape: one doc-distinct term explode → ONE (term, lang)
+    * map-side-combinable groupBy (the only corpus-scale shuffle); the
+    * per-term totals ride a vocab-bounded second aggregate joined back
+    * on term, class totals and N are broadcast 1-row/|lang|-row
+    * aggregates. χ² is computed in double with a fixed left-assoc
+    * factor order mirrored in the oracle (the four marginal factors
+    * reach ~N⁴, past int64 at 100× — doubles on both engines, so the
+    * products agree bit-for-bit before round(4)). A term present in
+    * every document (n−t = 0) or a class spanning the whole corpus
+    * (n−c = 0) has a zero marginal: χ² is defined as 0 there (no
+    * signal), guarded identically in the oracle. The final
+    * top-5-per-lang runs on the vocab-bounded scored frame — the
+    * spillable window form, |vocab|·|langs| rows, never the corpus. */
+  def chi2Terms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val present = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+    val a = present.groupBy(col("term"), col("lang"))
+      .agg(count(lit(1)).as("a"))
+    val byTerm = a.groupBy(col("term")).agg(sum(col("a")).as("t"))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    val scored = a
+      .join(byTerm, Seq("term"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("cc", col("c") - col("a"))
+      .withColumn("dd", col("n") - col("t") - col("c") + col("a"))
+      .withColumn("chi2",
+        when(col("n") === col("t") || col("n") === col("c"), lit(0.0)).otherwise(
+          round(col("n").cast("double")
+            * pow((col("a") * col("dd") - col("b") * col("cc")).cast("double"), 2)
+            / ((col("a") + col("b")).cast("double")
+              * (col("cc") + col("dd")).cast("double")
+              * (col("a") + col("cc")).cast("double")
+              * (col("b") + col("dd")).cast("double")), 4)))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("chi2").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("a").as("docs_in_class"), col("t").as("docs_with_term"),
+        col("chi2"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** Misra–Gries heavy-hitter certification, gated as q_misra_gries:
+    * runs the mergeable [[graft.functions.MisraGries]] summary (k
+    * counters, k ≪ keys) over a deterministically skewed key stream and
+    * certifies its guarantees as hash-stable boolean columns.
+    *
+    * The harness corpus is near-uniform over a 31-word vocabulary —
+    * useless for exercising a heavy-hitter summary — so the key stream
+    * keeps three head terms concentrated and fans every other
+    * occurrence out to `term_(doc_id mod 97)`: ~2.7k distinct keys of
+    * which exactly three exceed the N/(k+1) presence threshold. With
+    * k = 64 ≪ 2.7k keys the decrement/merge-cut paths genuinely fire.
+    *
+    * Certified properties (each a theorem of MG + the Agarwal-et-al
+    * merge, so deterministically 1 under ANY partitioning — the oracle
+    * emits literal 1s): head keys above threshold are present
+    * (`presence_ok`), estimates never exceed exact (`le_exact_ok`),
+    * undercount ≤ N/(k+1) checked in INTEGER arithmetic —
+    * (cnt−est)·(k+1) ≤ N — (`bound_ok`), and the summary held ≤ k
+    * counters (`tracked_le_k`). The exact-count side is the
+    * verification harness (affordable at oracle SF); the production
+    * artifact is the one k-entry summary from the single MG pass. */
+  def misraGries(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val headKeys = Seq("join", "hash", "row")
+    val keys = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(when(col("term").isin(headKeys: _*), col("term"))
+        .otherwise(concat(col("term"), lit("_"),
+          (col("doc_id") % 97).cast("string"))).as("key"))
+    // the MG pass: one ObjectHashAggregate, ≤ k counters per partial,
+    // one k-entry map on the driver (bounded by construction)
+    val summary: Map[String, Long] =
+      keys.as[String]
+        .select(new graft.functions.MisraGries(k).toColumn.name("mg")).head()
+    val est = typedlit(summary)
+    val exact = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val total = exact.agg(sum(col("cnt")).as("n"))
+    exact.filter(col("key").isin(headKeys: _*))
+      .crossJoin(broadcast(total))
+      .select(col("key").as("term"), col("cnt"),
+        coalesce(element_at(est, col("key")), lit(0L)).as("e"), col("n"))
+      .select(col("term"), col("cnt"),
+        when(col("cnt") * (k + 1) <= col("n") || col("e") > 0, 1L)
+          .otherwise(0L).as("presence_ok"),
+        when(col("e") <= col("cnt"), 1L).otherwise(0L).as("le_exact_ok"),
+        when((col("cnt") - col("e")) * (k + 1) <= col("n"), 1L)
+          .otherwise(0L).as("bound_ok"),
+        lit(if (summary.size <= k) 1L else 0L).as("tracked_le_k"))
+      .orderBy(col("term"))
+  }
 }
