@@ -307,6 +307,9 @@ object SparkEntry {
     "q_seasonality" -> (Temporal.seasonality _),
     "q_weighted_median" -> (Temporal.weightedMedian _),
     "q_rolling_slope" -> ((s, d) => Temporal.rollingSlope(s, d)),
+    "q_realized_vol" -> (Temporal.realizedVol _),
+    "q_market_beta" -> (Temporal.marketBeta _),
+    "q_lead_lag" -> ((s, d) => Temporal.leadLag(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
@@ -4506,5 +4509,98 @@ object SparkEntry {
         |FROM e
         |WHERE key IN ('join', 'hash', 'row')
         |ORDER BY term""".stripMargin,
+
+    // daily realized volatility: 1e-6-quantized log returns make the
+    // variance sum an exact BIGINT; 4*ln2 pinned as a literal
+    "q_realized_vol" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    CAST(round((ln(value) - ln(lag(value) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))) * 1e6)
+        |      AS BIGINT) AS r_u
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    count(r_u) AS n_returns,
+        |    CAST(sum(r_u * r_u) AS BIGINT) AS rv_units,
+        |    max(value) AS high, min(value) AS low
+        |  FROM r GROUP BY user_id, day)
+        |SELECT user_id, day, n_returns,
+        |  round(CAST(rv_units AS DOUBLE) / 1e12, 6) AS rv,
+        |  round(sqrt(CAST(rv_units AS DOUBLE) / 1e12), 6) AS vol,
+        |  round(sqrt(
+        |    CAST(CAST(round(ln(high / low) * 1e6) AS BIGINT) AS DOUBLE) ** 2
+        |    / 1e12 / 2.772588722239781), 6) AS park
+        |FROM g
+        |ORDER BY user_id, day""".stripMargin,
+
+    // CAPM beta / correlation vs the inclusive market-sum return; all
+    // sums exact BIGINT cents, two final double divisions
+    "q_market_beta" ->
+      """WITH cl AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS close,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    close - lag(close) OVER (PARTITION BY user_id ORDER BY day) AS x
+        |  FROM cl WHERE rn = 1),
+        |rr AS (SELECT user_id, day, x FROM r WHERE x IS NOT NULL),
+        |mk AS (SELECT day, CAST(sum(x) AS BIGINT) AS m FROM rr GROUP BY day),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm,
+        |    CAST(sum(x * m) AS BIGINT) AS sxm,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(m * m) AS BIGINT) AS smm
+        |  FROM rr JOIN mk USING (day) GROUP BY user_id)
+        |SELECT user_id, n_days,
+        |  CASE WHEN n_days * smm - sm * sm = 0 THEN NULL
+        |       ELSE round(CAST(n_days * sxm - sx * sm AS DOUBLE)
+        |            / CAST(n_days * smm - sm * sm AS DOUBLE), 6) END AS beta,
+        |  CASE WHEN n_days * smm - sm * sm = 0 OR n_days * sxx - sx * sx = 0
+        |       THEN NULL
+        |       ELSE round(CAST(n_days * sxm - sx * sm AS DOUBLE)
+        |            / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n_days * smm - sm * sm AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM g
+        |ORDER BY user_id""".stripMargin,
+
+    // lead-lag cross-correlation vs the market return shifted k days
+    "q_lead_lag" ->
+      """WITH cl AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS close,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    close - lag(close) OVER (PARTITION BY user_id ORDER BY day) AS x
+        |  FROM cl WHERE rn = 1),
+        |rr AS (SELECT user_id, day, x FROM r WHERE x IS NOT NULL),
+        |mk AS (SELECT day, CAST(sum(x) AS BIGINT) AS m FROM rr GROUP BY day),
+        |sh AS (
+        |  SELECT mk.day - CAST(k.k AS INTEGER) AS day, CAST(k.k AS BIGINT) AS lag, mk.m
+        |  FROM mk CROSS JOIN (SELECT unnest(range(-2, 3)) AS k) k),
+        |g AS (
+        |  SELECT user_id, lag, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm,
+        |    CAST(sum(x * m) AS BIGINT) AS sxm,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(m * m) AS BIGINT) AS smm
+        |  FROM rr JOIN sh USING (day) GROUP BY user_id, lag)
+        |SELECT user_id, lag, n_days,
+        |  CASE WHEN n_days * smm - sm * sm = 0 OR n_days * sxx - sx * sx = 0
+        |       THEN NULL
+        |       ELSE round(CAST(n_days * sxm - sx * sm AS DOUBLE)
+        |            / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n_days * smm - sm * sm AS DOUBLE))), 6)
+        |  END AS xcorr
+        |FROM g
+        |ORDER BY user_id, lag""".stripMargin,
   )
 }

@@ -242,4 +242,133 @@ object Temporal {
               col("slope_cents"))
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
   }
+
+  /** Daily realized volatility + Parkinson range estimator per series,
+    * gated as q_realized_vol — the volatility measurements a trading
+    * pipeline derives from tick data (the reference stops at RSI/MACD,
+    * `spark-batch-processing.py:60-97`; RV is the standard next step).
+    *
+    * Realized variance Σ r² is an ORDER-SENSITIVE double sum, so the
+    * log-returns are quantized to 1e-6 integer units first (the
+    * [[graft.functions.CovAccum]] convention): Σ r_u² is an exact
+    * BIGINT — associative, partitioning-invariant, engine-exact — and
+    * the one 1e-12 division at the end is the same IEEE op in both
+    * engines. Parkinson's σ_P = √(ln²(H/L) / 4ln2) uses the day's
+    * exact max/min and a hardcoded 4·ln2 double so no libm constant
+    * can drift.
+    *
+    * One window shuffle on the series key for the lag, then one
+    * map-side-combinable (user, day) aggregate that shares the same
+    * hash distribution prefix. Per-day return counts are bounded by
+    * tick rate — no unbounded frames anywhere. */
+  def realizedVol(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    val fourLn2 = 2.772588722239781 // 4*ln(2), pinned so libm can't drift
+    Tables.events(spark, dir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("r_u",
+        round((log(col("value")) - log(col("prev"))) * 1e6).cast("long"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(col("r_u")).as("n_returns"),
+        sum(col("r_u") * col("r_u")).as("rv_units"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"))
+      .select(col("user_id"), col("day"), col("n_returns"),
+        round(col("rv_units").cast("double") / 1e12, 6).as("rv"),
+        round(sqrt(col("rv_units").cast("double") / 1e12), 6).as("vol"),
+        round(sqrt(
+          pow(round(log(col("high") / col("low")) * 1e6).cast("long")
+            .cast("double"), 2) / 1e12 / fourLn2), 6).as("park"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Per-(user, day) close in exact cents (rn=1 of the day-descending
+    * order) and the day-over-day integer return vs the previous
+    * OBSERVED day — the shared spine of [[marketBeta]] and [[leadLag]].
+    * Two same-key window layers (Catalyst collapses them onto one
+    * user-keyed shuffle); everything downstream is days × users
+    * bounded. */
+  private def dailyReturns(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wSeries = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ev.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), cents().as("close"))
+      .withColumn("prev", lag(col("close"), 1).over(wSeries))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("day"), (col("close") - col("prev")).as("x"))
+  }
+
+  /** CAPM-style β and correlation of each series against the market
+    * aggregate return, gated as q_market_beta. The market return per
+    * day is the INTEGER sum of that day's user returns (inclusive of
+    * the user — documented choice), broadcast back onto the per-user
+    * frame; β = (nΣxm − ΣxΣm) / (nΣmm − (Σm)²) from exact BIGINT sums
+    * with the two final divisions in double. Zero-variance series emit
+    * null. Everything after the one user-keyed window shuffle is
+    * days-bounded. */
+  def marketBeta(spark: SparkSession, dir: String): DataFrame = {
+    val rets = dailyReturns(spark, dir)
+    val market = rets.groupBy(col("day")).agg(sum(col("x")).as("m"))
+    rets.join(broadcast(market), Seq("day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("m") * col("m")).as("smm"))
+      .select(col("user_id"), col("n_days"),
+        when(col("n_days") * col("smm") - col("sm") * col("sm") === 0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_days") * col("sxm") - col("sx") * col("sm")).cast("double")
+              / (col("n_days") * col("smm") - col("sm") * col("sm")).cast("double"),
+            6)).as("beta"),
+        when((col("n_days") * col("smm") - col("sm") * col("sm")) === 0
+            || (col("n_days") * col("sxx") - col("sx") * col("sx")) === 0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_days") * col("sxm") - col("sx") * col("sm")).cast("double")
+              / (sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("n_days") * col("smm") - col("sm") * col("sm")).cast("double"))),
+            6)).as("corr"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Lead–lag cross-correlation, gated as q_lead_lag: corr of each
+    * series' daily return x(d) against the market return m(d+k) for
+    * k ∈ [−2, 2] — does the series LEAD (k>0 correlates) or FOLLOW the
+    * market. The shifted joins fan the |days|-bounded market frame out
+    * five ways (still broadcast-sized); sums are exact BIGINTs as in
+    * [[marketBeta]]. 750 output rows at any corpus size — the classic
+    * bounded-result quant diagnostic. */
+  def leadLag(spark: SparkSession, dir: String, maxLag: Int = 2): DataFrame = {
+    val rets = dailyReturns(spark, dir)
+    val market = rets.groupBy(col("day")).agg(sum(col("x")).as("m"))
+    val lags = spark.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("k"))
+    val shifted = market.crossJoin(broadcast(lags))
+      .select(date_add(col("day"), -col("k")).as("day"),
+        col("k").cast("long").as("lag"), col("m"))
+    rets.join(broadcast(shifted), Seq("day"))
+      .groupBy(col("user_id"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("m") * col("m")).as("smm"))
+      .select(col("user_id"), col("lag"), col("n_days"),
+        when((col("n_days") * col("smm") - col("sm") * col("sm")) === 0
+            || (col("n_days") * col("sxx") - col("sx") * col("sx")) === 0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_days") * col("sxm") - col("sx") * col("sm")).cast("double")
+              / (sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("n_days") * col("smm") - col("sm") * col("sm")).cast("double"))),
+            6)).as("xcorr"))
+      .orderBy(col("user_id"), col("lag"))
+  }
 }

@@ -173,4 +173,52 @@ class TemporalSpec extends SparkSpec {
       assert(c._1 >= 1 && c._1 <= 7 && c._2 >= 0 && c._2 <= 23)
     }
   }
+
+  test("realizedVol: vol = sqrt(rv), park >= 0, counts bounded by ticks") {
+    val rows = Temporal.realizedVol(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rv = Option(r.getAs[java.lang.Double]("rv")).map(_.doubleValue)
+      val vol = Option(r.getAs[java.lang.Double]("vol")).map(_.doubleValue)
+      (rv, vol) match {
+        case (Some(a), Some(v)) =>
+          assert(a >= 0 && math.abs(v - math.sqrt(a)) < 1e-4)
+        case (None, None) => // first-tick-only day: no returns
+        case other => fail(s"rv/vol null mismatch: $other")
+      }
+      assert(r.getAs[Double]("park") >= 0.0)
+    }
+    val ticks = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_returns")).sum < ticks)
+  }
+
+  test("marketBeta: beta of the summed market against itself is ~1") {
+    val rows = Temporal.marketBeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Double]("corr")).foreach(c =>
+        assert(c >= -1.0000001 && c <= 1.0000001))
+    }
+    // the market is the sum of members: average beta over users is near
+    // 1/|users| x |users| = 1 in aggregate terms; assert betas are finite
+    assert(rows.flatMap(r => Option(r.getAs[java.lang.Double]("beta")))
+      .forall(b => !b.isNaN && !b.isInfinite))
+  }
+
+  test("leadLag: lag 0 equals marketBeta's corr, all lags in [-1,1]") {
+    val ll = Temporal.leadLag(spark, sf).collect()
+    assert(ll.map(_.getAs[Long]("lag")).distinct.sorted.sameElements(Seq(-2L, -1L, 0L, 1L, 2L)))
+    ll.foreach { r =>
+      Option(r.getAs[java.lang.Double]("xcorr")).foreach(c =>
+        assert(c >= -1.0000001 && c <= 1.0000001))
+    }
+    val beta = Temporal.marketBeta(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    ll.filter(_.getAs[Long]("lag") == 0L).foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(Option(r.getAs[java.lang.Double]("xcorr")) == beta(u),
+        s"lag-0 corr disagrees with marketBeta for user $u")
+    }
+  }
 }
