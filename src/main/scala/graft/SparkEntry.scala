@@ -310,6 +310,7 @@ object SparkEntry {
     "q_realized_vol" -> (Temporal.realizedVol _),
     "q_market_beta" -> (Temporal.marketBeta _),
     "q_lead_lag" -> ((s, d) => Temporal.leadLag(s, d)),
+    "q_item_pairs" -> ((s, d) => Relational.itemPairs(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
@@ -4602,5 +4603,30 @@ object SparkEntry {
         |  END AS xcorr
         |FROM g
         |ORDER BY user_id, lag""".stripMargin,
+
+    // Apriori first two passes: frequent item pairs with lift; exact
+    // integer supports, one double division at the end
+    "q_item_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey, count(*) AS f FROM b
+        |      GROUP BY l_partkey HAVING count(*) >= 3),
+        |p AS (
+        |  SELECT b1.l_partkey AS p1, b2.l_partkey AS p2, count(*) AS support
+        |  FROM b b1
+        |  JOIN b b2 ON b1.l_orderkey = b2.l_orderkey
+        |            AND b1.l_partkey < b2.l_partkey
+        |  JOIN f f1 ON b1.l_partkey = f1.l_partkey
+        |  JOIN f f2 ON b2.l_partkey = f2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |n AS (SELECT count(*) AS n_orders FROM orders)
+        |SELECT p1, p2, support, f1.f AS f1, f2.f AS f2,
+        |  round(CAST(support * n_orders AS DOUBLE)
+        |        / CAST(f1.f * f2.f AS DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN f f1 ON p.p1 = f1.l_partkey
+        |JOIN f f2 ON p.p2 = f2.l_partkey
+        |CROSS JOIN n
+        |ORDER BY support DESC, p1, p2
+        |LIMIT 20""".stripMargin,
   )
 }

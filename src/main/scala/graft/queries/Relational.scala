@@ -231,4 +231,48 @@ object Relational {
         coalesce(col("n_no_urgent"), lit(0L)).as("n_no_urgent"))
       .orderBy(col("nation"))
   }
+
+  /** Frequent item pairs (market-basket, the Apriori first two passes),
+    * gated as q_item_pairs: top-20 part pairs by co-occurrence support
+    * across orders, with lift against the independence baseline.
+    *
+    * Scale shape — the three classic guards against the quadratic
+    * blow-up:
+    *   1. per-basket distinct first (an order listing a part twice is
+    *      one incidence), so the pair fan-out is C(distinct items, 2)
+    *      per basket — bounded by basket width, never by corpus;
+    *   2. Apriori pruning: a pair can reach `minSupport` only if BOTH
+    *      items do (anti-monotonicity), so the frequent-item semi-join
+    *      (broadcast: |frequent items| ≤ |parts|) shrinks baskets
+    *      BEFORE the self-join fan-out;
+    *   3. the pair aggregate is map-side-combinable on the (p1, p2)
+    *      key, and the final top-20 is a TakeOrdered k-row reduction,
+    *      not a global sort.
+    * Lift's one double division happens after exact integer counts. */
+  def itemPairs(spark: SparkSession, dir: String,
+      minSupport: Long = 3, k: Int = 20): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minSupport)
+    val pruned = baskets
+      .join(broadcast(freq.select(col("l_partkey"))), Seq("l_partkey"))
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("p1"), col("f").as("f1"))), Seq("p1"))
+      .join(broadcast(freq.select(col("l_partkey").as("p2"), col("f").as("f2"))), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("support"), col("f1"), col("f2"),
+        round((col("support") * col("n_orders")).cast("double")
+          / (col("f1") * col("f2")).cast("double"), 6).as("lift"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
 }
