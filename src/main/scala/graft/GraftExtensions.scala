@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ByteAt].getName, "byte_at"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ByteAt.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("url_part"),
+      new ExpressionInfo(classOf[graft.functions.UrlPart].getName, "url_part"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.UrlPart.build(exprs)))
     // logical rewrite: banded levenshtein for threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }

@@ -75,9 +75,11 @@ object Web {
     * — zero shuffles; the whole gate is one codegen stage over the scan. */
   def urlCanon(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).withColumn("url", urlOf)
-    val host = parse_url(col("url"), lit("HOST"))
-    val path = parse_url(col("url"), lit("PATH"))
-    val query = parse_url(col("url"), lit("QUERY"))
+    // url_part = graft's codegen'd single-scan decomposition; parse_url
+    // is its non-codegen regex twin (parity pinned in FunctionsSpec)
+    val host = graft.functions.UrlPart(spark, col("url"), "HOST")
+    val path = graft.functions.UrlPart(spark, col("url"), "PATH")
+    val query = graft.functions.UrlPart(spark, col("url"), "QUERY")
     val params = split(query, "&")
     val kept = filter(params, p =>
       !p.startsWith("utm_") && !p.startsWith("ref="))
@@ -101,7 +103,7 @@ object Web {
     * aggregate. */
   def domainStats(spark: SparkSession, dir: String): DataFrame = {
     val host = hostNorm(
-      parse_url(urlOf, lit("HOST")))
+      graft.functions.UrlPart(spark, urlOf, "HOST"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         host.as("host"),
@@ -129,7 +131,8 @@ object Web {
   def domainCap(spark: SparkSession, dir: String, cap: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        registeredDomain(hostNorm(parse_url(urlOf, lit("HOST"))))
+        registeredDomain(hostNorm(
+          graft.functions.UrlPart(spark, urlOf, "HOST")))
           .as("registered_domain"))
     val kept = graft.plans.Graft.topKPerKey(docs,
         keyCols = Seq("registered_domain"),

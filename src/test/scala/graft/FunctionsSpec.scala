@@ -138,6 +138,37 @@ class FunctionsSpec extends SparkSpec {
     assert(probe.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("url_part: bit-parity with parse_url on the corpus, codegen stays whole") {
+    import org.apache.spark.sql.functions._
+    val urls = graft.ops.Web.urlCanon(spark, sf).select($"url")
+    for (part <- Seq("HOST", "PATH", "QUERY")) {
+      val cmp = urls.select(
+        graft.functions.UrlPart(spark, $"url", part).as("fast"),
+        parse_url($"url", lit(part)).as("slow"))
+      assert(cmp.filter(not($"fast" <=> $"slow")).count() === 0, s"part=$part")
+    }
+    // edge semantics: no '?': QUERY null both ways; no '://': all null;
+    // fragment directly after host: empty PATH, null QUERY
+    val edge = Seq("https://h.com/p", "not a url", "https://h.com#f").toDF("url")
+    val got = edge.select(
+      graft.functions.UrlPart(spark, $"url", "HOST").as("h"),
+      graft.functions.UrlPart(spark, $"url", "PATH").as("p"),
+      graft.functions.UrlPart(spark, $"url", "QUERY").as("q")).collect()
+    assert(got(0).getString(0) == "h.com" && got(0).getString(1) == "/p" && got(0).isNullAt(2))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(2).getString(0) == "h.com" && got(2).getString(1) == "" && got(2).isNullAt(2))
+    // documented divergence: url_part keeps the full authority (port),
+    // parse_url strips it — no ports exist in a canonicalized corpus
+    val port = Seq("https://h.com:8080/p").toDF("url").select(
+      graft.functions.UrlPart(spark, $"url", "HOST").as("fast"),
+      parse_url($"url", lit("HOST")).as("slow")).head()
+    assert(port.getString(0) == "h.com:8080" && port.getString(1) == "h.com")
+    // the single-scan expression stays inside whole-stage codegen
+    val probe = urls.select(graft.functions.UrlPart(spark, $"url", "HOST").as("h"))
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("cov_accum UDAF via plain SQL: packed sums match hand arithmetic") {
     graft.functions.CovAccum.register(spark, 2)
     Seq((Seq(1L, 2L)), (Seq(3L, 5L)), (Seq(-2L, 4L)))
