@@ -310,6 +310,10 @@ object SparkEntry {
     "q_realized_vol" -> (Temporal.realizedVol _),
     "q_market_beta" -> (Temporal.marketBeta _),
     "q_lead_lag" -> ((s, d) => Temporal.leadLag(s, d)),
+    "q_roll_spread" -> (Temporal.rollSpread _),
+    "q_amihud" -> (Temporal.amihud _),
+    "q_tick_rule" -> (Temporal.tickRule _),
+    "q_kyle_lambda" -> (Temporal.kyleLambda _),
     "q_item_pairs" -> ((s, d) => Relational.itemPairs(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
@@ -4603,6 +4607,135 @@ object SparkEntry {
         |  END AS xcorr
         |FROM g
         |ORDER BY user_id, lag""".stripMargin,
+
+    // Roll implied spread: serial covariance of cent price changes from
+    // exact BIGINT sums; spread only when the covariance is negative
+    "q_roll_spread" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      - lag(CAST(round(value * 100) AS BIGINT)) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |  FROM events),
+        |t2 AS (
+        |  SELECT user_id, d,
+        |    lag(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dprev
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_pairs,
+        |    CAST(sum(d) AS BIGINT) AS sa,
+        |    CAST(sum(dprev) AS BIGINT) AS sb,
+        |    CAST(sum(d * dprev) AS BIGINT) AS sab
+        |  FROM t2 WHERE d IS NOT NULL AND dprev IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n_pairs,
+        |  round(CAST(n_pairs * sab - sa * sb AS DOUBLE)
+        |        / CAST(n_pairs * n_pairs AS DOUBLE), 6) AS serial_cov,
+        |  CASE WHEN n_pairs * sab - sa * sb < 0
+        |       THEN round(2.0 * sqrt(
+        |              CAST(-(n_pairs * sab - sa * sb) AS DOUBLE)
+        |              / CAST(n_pairs * n_pairs AS DOUBLE)) / 100.0, 6)
+        |  END AS roll_spread
+        |FROM g
+        |ORDER BY user_id""".stripMargin,
+
+    // Amihud illiquidity: per-day |return|/volume ratio quantized to
+    // 1e-9 BIGINT units so the cross-day mean is an exact integer sum
+    "q_amihud" ->
+      """WITH cl AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS close,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    close - lag(close) OVER (PARTITION BY user_id ORDER BY day) AS x
+        |  FROM cl WHERE rn = 1),
+        |rr AS (SELECT user_id, day, x FROM r WHERE x IS NOT NULL),
+        |v AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |  HAVING sum(CAST(round(value * 100) AS BIGINT)) > 0),
+        |j AS (
+        |  SELECT rr.user_id,
+        |    CAST(round(CAST(abs(x) AS DOUBLE) * 1e9
+        |               / CAST(vol_cents AS DOUBLE)) AS BIGINT) AS ratio_nanos
+        |  FROM rr JOIN v ON rr.user_id = v.user_id AND rr.day = v.day)
+        |SELECT user_id, count(*) AS n_days,
+        |  round(CAST(CAST(sum(ratio_nanos) AS BIGINT) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) / 1e9, 6) AS amihud
+        |FROM j GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Tick-rule signs with zero-tick carry-forward (IGNORE NULLS running
+    // last); daily order-flow imbalance from exact BIGINT cent sums
+    "q_tick_rule" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS p,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      - lag(CAST(round(value * 100) AS BIGINT)) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, p,
+        |    last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END
+        |               IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+        |  FROM t)
+        |SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ticks,
+        |  CAST(sum(CASE WHEN sign = 1 THEN p ELSE 0 END) AS BIGINT)
+        |    AS buy_cents,
+        |  CAST(sum(CASE WHEN sign = -1 THEN p ELSE 0 END) AS BIGINT)
+        |    AS sell_cents,
+        |  CASE WHEN sum(CASE WHEN sign = 1 THEN p ELSE 0 END)
+        |          + sum(CASE WHEN sign = -1 THEN p ELSE 0 END) > 0
+        |       THEN round(
+        |         CAST(sum(CASE WHEN sign = 1 THEN p ELSE 0 END)
+        |            - sum(CASE WHEN sign = -1 THEN p ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(CASE WHEN sign = 1 THEN p ELSE 0 END)
+        |              + sum(CASE WHEN sign = -1 THEN p ELSE 0 END) AS DOUBLE),
+        |         6)
+        |  END AS ofi
+        |FROM s WHERE sign IS NOT NULL
+        |GROUP BY user_id, CAST(ts AS DATE)
+        |ORDER BY user_id, day""".stripMargin,
+
+    // Kyle lambda: OLS slope of cent price change on tick-signed cent
+    // volume; exact BIGINT moments, one final double division
+    "q_kyle_lambda" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS p,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      - lag(CAST(round(value * 100) AS BIGINT)) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, p, d,
+        |    last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END
+        |               IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_ticks,
+        |    CAST(sum(sign * p) AS BIGINT) AS sx,
+        |    CAST(sum(d) AS BIGINT) AS sy,
+        |    CAST(sum(sign * p * d) AS BIGINT) AS sxy,
+        |    CAST(sum(sign * p * sign * p) AS BIGINT) AS sxx
+        |  FROM s WHERE sign IS NOT NULL AND d IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n_ticks,
+        |  CASE WHEN n_ticks * sxx - sx * sx = 0 THEN NULL
+        |       ELSE round(CAST(n_ticks * sxy - sx * sy AS DOUBLE)
+        |            / CAST(n_ticks * sxx - sx * sx AS DOUBLE), 6)
+        |  END AS kyle_lambda
+        |FROM g
+        |ORDER BY user_id""".stripMargin,
 
     // Apriori first two passes: frequent item pairs with lift; exact
     // integer supports, one double division at the end

@@ -371,4 +371,143 @@ object Temporal {
             6)).as("xcorr"))
       .orderBy(col("user_id"), col("lag"))
   }
+
+  // --------------------------------------------------------------------
+  // Market microstructure — spread, illiquidity, order flow, price impact
+  // --------------------------------------------------------------------
+
+  /** Roll (1984) implied effective spread per series, gated as
+    * q_roll_spread: spread = 2·√(−cov(Δp_t, Δp_{t−1})) when the serial
+    * covariance of price changes is negative (bid–ask bounce), null
+    * otherwise. The reference's pipeline stops at rolling indicators
+    * (`spark-batch-processing.py:60-97`); spread estimation is the
+    * standard microstructure companion.
+    *
+    * Exactness: Δp in integer cents, so n·Σab − Σa·Σb is an exact
+    * BIGINT; the only doubles are the final division and √. One
+    * user-keyed window shuffle (two stacked lags collapse onto one
+    * sort), then a map-side-combinable per-user aggregate. */
+  def rollSpread(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    Tables.events(spark, dir)
+      .withColumn("p", cents())
+      .withColumn("d", col("p") - lag(col("p"), 1).over(w))
+      .withColumn("dprev", lag(col("d"), 1).over(w))
+      .filter(col("d").isNotNull && col("dprev").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d")).as("sa"), sum(col("dprev")).as("sb"),
+        sum(col("d") * col("dprev")).as("sab"))
+      .select(col("user_id"), col("n_pairs"),
+        round((col("n_pairs") * col("sab") - col("sa") * col("sb")).cast("double")
+            / (col("n_pairs") * col("n_pairs")).cast("double"), 6)
+          .as("serial_cov"),
+        when(col("n_pairs") * col("sab") - col("sa") * col("sb") < 0,
+          round(lit(2.0) * sqrt(
+            -(col("n_pairs") * col("sab") - col("sa") * col("sb")).cast("double")
+              / (col("n_pairs") * col("n_pairs")).cast("double")) / 100.0, 6))
+          .as("roll_spread"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Amihud (2002) illiquidity per series, gated as q_amihud: the mean
+    * over days of |daily return| / daily dollar volume — how much the
+    * price moves per unit traded. Reuses the [[dailyReturns]] spine.
+    *
+    * The per-day ratio is two BIGINTs (|Δclose| cents over Σ|value|
+    * cents) divided once in double, quantized to 1e-9 units (BIGINT) so
+    * the cross-day mean is an exact integer sum — the averaging step
+    * can never be order-sensitive. Daily volume shares the (user, day)
+    * hash distribution with the close extraction; the final aggregate
+    * is user-keyed and map-side combinable. */
+  def amihud(spark: SparkSession, dir: String): DataFrame = {
+    val rets = dailyReturns(spark, dir)
+    val vol = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(cents()).as("vol_cents"))
+      .filter(col("vol_cents") > 0)
+    rets.join(vol, Seq("user_id", "day"))
+      .withColumn("ratio_nanos",
+        round(abs(col("x")).cast("double") * 1e9
+          / col("vol_cents").cast("double")).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ratio_nanos")).as("sr"))
+      .select(col("user_id"), col("n_days"),
+        round(col("sr").cast("double") / col("n_days").cast("double") / 1e9, 6)
+          .as("amihud"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Tick-rule trade classification + daily order-flow imbalance, gated
+    * as q_tick_rule: each tick is signed by the direction of its price
+    * change, with zero-ticks inheriting the LAST NONZERO direction
+    * (`last(ignoreNulls)` over the preceding frame — the Lee–Ready
+    * zero-tick convention); ticks before any direction is known drop.
+    * OFI_day = (buy$ − sell$) / (buy$ + sell$) over tick-signed dollar
+    * volume.
+    *
+    * One user-keyed window shuffle (lag + running last collapse onto a
+    * single sort), then a (user, day) aggregate on the same key prefix.
+    * Buy/sell sums are exact BIGINT cents; OFI is one final division. */
+  def tickRule(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    Tables.events(spark, dir)
+      .withColumn("p", cents())
+      .withColumn("d", col("p") - lag(col("p"), 1).over(w))
+      .withColumn("raw_sign",
+        when(col("d") > 0, 1L).when(col("d") < 0, -1L))
+      .withColumn("sign",
+        last(col("raw_sign"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("sign").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("sign") === 1, col("p")).otherwise(0L)).as("buy_cents"),
+        sum(when(col("sign") === -1, col("p")).otherwise(0L)).as("sell_cents"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("user_id"), col("day"), col("n_ticks"),
+        col("buy_cents"), col("sell_cents"),
+        when(col("buy_cents") + col("sell_cents") > 0,
+          round((col("buy_cents") - col("sell_cents")).cast("double")
+            / (col("buy_cents") + col("sell_cents")).cast("double"), 6))
+          .as("ofi"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Kyle (1985) lambda per series, gated as q_kyle_lambda: the OLS
+    * slope of price change on signed dollar volume — the price impact
+    * per traded dollar. Signs come from the same tick rule as
+    * [[tickRule]]; the regression uses only ticks where both the price
+    * change and a direction are defined.
+    *
+    * Exactness: x = sign·cents and y = Δcents are BIGINTs, so the OLS
+    * numerator/denominator (nΣxy − ΣxΣy, nΣxx − (Σx)²) are exact; one
+    * double division at the end, null on a degenerate (constant-x)
+    * series. Same single-shuffle shape as [[marketBeta]]. */
+  def kyleLambda(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    Tables.events(spark, dir)
+      .withColumn("p", cents())
+      .withColumn("d", col("p") - lag(col("p"), 1).over(w))
+      .withColumn("raw_sign",
+        when(col("d") > 0, 1L).when(col("d") < 0, -1L))
+      .withColumn("sign",
+        last(col("raw_sign"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("sign").isNotNull && col("d").isNotNull)
+      .withColumn("x", col("sign") * col("p"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("x")).as("sx"), sum(col("d")).as("sy"),
+        sum(col("x") * col("d")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n_ticks"),
+        when(col("n_ticks") * col("sxx") - col("sx") * col("sx") === 0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_ticks") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n_ticks") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6)).as("kyle_lambda"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -221,4 +221,54 @@ class TemporalSpec extends SparkSpec {
         s"lag-0 corr disagrees with marketBeta for user $u")
     }
   }
+
+  test("tickRule: signs carry through zero-ticks; OFI matches brute force") {
+    // Brute-force the Lee-Ready zero-tick convention per user
+    val brute = events.groupBy(_._1).map { case (u, evs) =>
+      val p = evs.sortBy(e => (e._2, e._3)).map(e => math.round(e._4 * 100))
+      var sign = 0L
+      var b, s = 0L
+      p.zipWithIndex.foreach { case (pc, i) =>
+        if (i > 0) {
+          val d = pc - p(i - 1)
+          if (d > 0) sign = 1 else if (d < 0) sign = -1
+        }
+        if (sign == 1) b += pc else if (sign == -1) s += pc
+      }
+      u -> (b, s)
+    }
+    val got = Temporal.tickRule(spark, sf)
+      .groupBy($"user_id")
+      .agg(sum($"buy_cents").as("b"), sum($"sell_cents").as("s"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    brute.foreach { case (u, (b, s)) =>
+      assert(got.get(u).contains((b, s)), s"tick totals diverge for user $u")
+    }
+  }
+
+  test("rollSpread: spread only on negative serial covariance, else null") {
+    Temporal.rollSpread(spark, sf).collect().foreach { r =>
+      val cov = r.getAs[Double]("serial_cov")
+      val spr = Option(r.getAs[java.lang.Double]("roll_spread"))
+      if (cov < 0) {
+        assert(spr.isDefined && spr.get >= 0)
+        // spread in dollars recovers 2*sqrt(-cov)/100 (cov is in cents^2)
+        assert(math.abs(spr.get - 2 * math.sqrt(-cov) / 100) < 1e-5)
+      } else assert(spr.isEmpty, s"spread emitted on cov=$cov")
+    }
+  }
+
+  test("amihud is non-negative; kyleLambda finite on every series") {
+    val amihud = Temporal.amihud(spark, sf).collect()
+    amihud.foreach { r =>
+      assert(r.getAs[Double]("amihud") >= 0, "illiquidity must be >= 0")
+    }
+    val kl = Temporal.kyleLambda(spark, sf).collect()
+    assert(kl.length > 0)
+    kl.foreach { r =>
+      Option(r.getAs[java.lang.Double]("kyle_lambda")).foreach(v =>
+        assert(!v.isNaN && !v.isInfinite))
+    }
+  }
 }
