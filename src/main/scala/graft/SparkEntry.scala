@@ -314,6 +314,7 @@ object SparkEntry {
     "q_amihud" -> (Temporal.amihud _),
     "q_tick_rule" -> (Temporal.tickRule _),
     "q_kyle_lambda" -> (Temporal.kyleLambda _),
+    "q_km_conversion" -> ((s, d) => Temporal.kmConversion(s, d)),
     "q_item_pairs" -> ((s, d) => Relational.itemPairs(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
@@ -4703,6 +4704,55 @@ object SparkEntry {
         |FROM s WHERE sign IS NOT NULL
         |GROUP BY user_id, CAST(ts AS DATE)
         |ORDER BY user_id, day""".stripMargin,
+
+    // Kaplan-Meier time-to-conversion (48h administrative censoring):
+    // survival carried as an exact BIGINT cumsum of 1e-6-quantized log
+    // terms, one exp at the end
+    "q_km_conversion" ->
+      """WITH ud AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS conv_us
+        |  FROM events GROUP BY user_id),
+        |lt AS (
+        |  SELECT
+        |    CASE WHEN h IS NOT NULL AND h <= 48 THEN h ELSE 48 END AS dur,
+        |    CASE WHEN h IS NOT NULL AND h <= 48 THEN 1 ELSE 0 END AS observed
+        |  FROM (SELECT CAST(floor((conv_us - first_us) / 3600000000.0)
+        |                AS BIGINT) AS h FROM ud)),
+        |g AS (
+        |  SELECT dur, CAST(sum(observed) AS BIGINT) AS d,
+        |    CAST(sum(1 - observed) AS BIGINT) AS c_censored,
+        |    count(*) AS total
+        |  FROM lt GROUP BY dur),
+        |w AS (
+        |  SELECT dur, d, c_censored,
+        |    CAST(sum(total) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM g),
+        |l AS (
+        |  SELECT dur, d, c_censored, n_at_risk,
+        |    CASE WHEN d = 0 THEN 0
+        |         WHEN d < n_at_risk THEN CAST(round(
+        |           ln(CAST(n_at_risk - d AS DOUBLE)
+        |              / CAST(n_at_risk AS DOUBLE)) * 1e6) AS BIGINT)
+        |    END AS ln_units
+        |  FROM w),
+        |c AS (
+        |  SELECT dur, d, c_censored, n_at_risk,
+        |    CAST(sum(ln_units) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_ln
+        |  FROM l)
+        |SELECT dur, n_at_risk, d, c_censored,
+        |  round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+        |  CASE WHEN d = n_at_risk THEN 0.0
+        |       ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1e6), 6)
+        |  END AS survival
+        |FROM c
+        |ORDER BY dur""".stripMargin,
 
     // Kyle lambda: OLS slope of cent price change on tick-signed cent
     // volume; exact BIGINT moments, one final double division

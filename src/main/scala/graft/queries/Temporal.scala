@@ -474,6 +474,62 @@ object Temporal {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Kaplan–Meier time-to-conversion, gated as q_km_conversion: the
+    * duration is HOURS from a user's first event to their first
+    * 'purchase', administratively censored at a 48-hour observation
+    * window — a user converting later (or never) is censored at 48 h
+    * but still counts in every risk set up to the cut, which is exactly
+    * what a naive conversion-rate table gets wrong. S(t) = Π_{s≤t}
+    * (1 − d_s/n_s) over conversion times.
+    *
+    * Exactness: the product is carried in LOG space quantized to 1e-6
+    * integer units — each per-duration term round(ln((n−d)/n)·1e6) is
+    * one deterministic double op (the realized-vol quantized-ln
+    * convention), the running sum is an exact BIGINT, and one exp at
+    * the end recovers S(t). d=0 rows contribute exactly 0; a terminal
+    * row where every remaining user converts emits S=0 directly.
+    *
+    * Scale: the per-user reduction is map-side combinable; everything
+    * after lives on the per-duration table, bounded by the OBSERVATION
+    * WINDOW (≤ windowHours+1 rows at any corpus size), so the global
+    * ordered window over it is the documented bounded-table exception
+    * (the classifierAuc rationale), not an unbounded single-task sort. */
+  def kmConversion(spark: SparkSession, dir: String, windowHours: Int = 48): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val lifetimes = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("conv_us"))
+      .select(floor((col("conv_us") - col("first_us")) / hourUs).as("h"))
+      .select(
+        when(col("h").isNotNull && col("h") <= windowHours, col("h"))
+          .otherwise(lit(windowHours.toLong)).as("dur"),
+        when(col("h").isNotNull && col("h") <= windowHours, 1L)
+          .otherwise(0L).as("observed"))
+    val wAll = Window.orderBy(col("dur")) // bounded: one row per distinct duration
+    lifetimes.groupBy(col("dur"))
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c_censored"),
+        count(lit(1)).as("total"))
+      .withColumn("n_at_risk",
+        sum(col("total")).over(wAll.rowsBetween(0, Window.unboundedFollowing)))
+      .withColumn("ln_units",
+        when(col("d") === 0, 0L)
+          .when(col("d") < col("n_at_risk"),
+            round(log((col("n_at_risk") - col("d")).cast("double")
+              / col("n_at_risk").cast("double")) * 1e6).cast("long")))
+      .withColumn("cum_ln",
+        sum(col("ln_units")).over(wAll.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("dur"), col("n_at_risk"), col("d"), col("c_censored"),
+        round(col("d").cast("double") / col("n_at_risk").cast("double"), 6)
+          .as("hazard"),
+        when(col("d") === col("n_at_risk"), lit(0.0))
+          .otherwise(round(exp(col("cum_ln").cast("double") / 1e6), 6))
+          .as("survival"))
+      .orderBy(col("dur"))
+  }
+
   /** Kyle (1985) lambda per series, gated as q_kyle_lambda: the OLS
     * slope of price change on signed dollar volume — the price impact
     * per traded dollar. Signs come from the same tick rule as

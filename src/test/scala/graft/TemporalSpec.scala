@@ -259,6 +259,27 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("kmConversion: risk sets telescope; survival monotone; censor mass at cut") {
+    val rows = Temporal.kmConversion(spark, sf).collect()
+    assert(rows.length > 1)
+    // n_at_risk at row i+1 = n_at_risk at i minus everyone removed at i
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_at_risk") ==
+        a.getAs[Long]("n_at_risk") - a.getAs[Long]("d") - a.getAs[Long]("c_censored"))
+      assert(b.getAs[Double]("survival") <= a.getAs[Double]("survival") + 1e-9,
+        "survival must be non-increasing")
+    }
+    // censoring only at the administrative 48h cut
+    rows.dropRight(1).foreach(r => assert(r.getAs[Long]("c_censored") == 0L))
+    // uncensored prefix: KM == empirical survival (product telescopes)
+    val n0 = rows.head.getAs[Long]("n_at_risk")
+    rows.dropRight(1).foreach { r =>
+      val expect = (r.getAs[Long]("n_at_risk") - r.getAs[Long]("d")).toDouble / n0
+      assert(math.abs(r.getAs[Double]("survival") - expect) < 1e-4,
+        s"uncensored KM should equal empirical survival at dur=${r.getAs[Long]("dur")}")
+    }
+  }
+
   test("amihud is non-negative; kyleLambda finite on every series") {
     val amihud = Temporal.amihud(spark, sf).collect()
     amihud.foreach { r =>
