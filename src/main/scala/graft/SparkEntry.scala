@@ -315,6 +315,7 @@ object SparkEntry {
     "q_tick_rule" -> (Temporal.tickRule _),
     "q_kyle_lambda" -> (Temporal.kyleLambda _),
     "q_km_conversion" -> ((s, d) => Temporal.kmConversion(s, d)),
+    "q_hurst" -> (Temporal.hurst _),
     "q_item_pairs" -> ((s, d) => Relational.itemPairs(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
@@ -4753,6 +4754,71 @@ object SparkEntry {
         |  END AS survival
         |FROM c
         |ORDER BY dur""".stripMargin,
+
+    // Hurst exponent by R/S: within-block range and variance as exact
+    // BIGINTs (the block-size factors cancel in the ratio), per-block
+    // ln(R/S) quantized to 1e-6 units, slope closed-form over ln(s)
+    "q_hurst" ->
+      """WITH r0 AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round((ln(value) - ln(lag(value) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))) * 1e6)
+        |      AS BIGINT) AS r
+        |  FROM events),
+        |rets AS (
+        |  SELECT user_id, r,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM r0 WHERE r IS NOT NULL),
+        |b AS (
+        |  SELECT user_id, r, rn, CAST(sc.s AS BIGINT) AS s,
+        |    (rn - 1) // sc.s AS blk,
+        |    (rn - 1) % sc.s + 1 AS i
+        |  FROM rets CROSS JOIN (SELECT unnest([8, 16, 32]) AS s) sc),
+        |c AS (
+        |  SELECT user_id, s, blk, r, i,
+        |    CAST(sum(r) OVER (PARTITION BY user_id, s, blk ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(r) OVER (PARTITION BY user_id, s, blk)
+        |      AS BIGINT) AS tot
+        |  FROM b),
+        |pb AS (
+        |  SELECT user_id, s, blk, count(*) AS cnt,
+        |    max(s * cum - i * tot) AS max_sy,
+        |    min(s * cum - i * tot) AS min_sy,
+        |    CAST(sum(r * r) AS BIGINT) AS sum_r2, max(tot) AS tot
+        |  FROM c GROUP BY user_id, s, blk),
+        |rs AS (
+        |  SELECT user_id, s, count(*) AS n_blocks,
+        |    CAST(sum(CAST(round(ln(CAST(max_sy - min_sy AS DOUBLE)
+        |      / sqrt(CAST(s * sum_r2 - tot * tot AS DOUBLE))) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS su
+        |  FROM pb WHERE cnt = s AND s * sum_r2 - tot * tot > 0
+        |  GROUP BY user_id, s),
+        |m AS (
+        |  SELECT user_id, s, n_blocks,
+        |    CAST(round(CAST(su AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+        |      AS BIGINT) AS mu
+        |  FROM rs),
+        |p AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN s = 8 THEN n_blocks END) AS n8,
+        |    max(CASE WHEN s = 16 THEN n_blocks END) AS n16,
+        |    max(CASE WHEN s = 32 THEN n_blocks END) AS n32,
+        |    max(CASE WHEN s = 8 THEN mu END) AS m8u,
+        |    max(CASE WHEN s = 16 THEN mu END) AS m16u,
+        |    max(CASE WHEN s = 32 THEN mu END) AS m32u
+        |  FROM m GROUP BY user_id)
+        |SELECT user_id, n8, n16, n32,
+        |  CAST(m8u AS DOUBLE) / 1e6 AS rs8,
+        |  CAST(m16u AS DOUBLE) / 1e6 AS rs16,
+        |  CAST(m32u AS DOUBLE) / 1e6 AS rs32,
+        |  CAST(CAST(round(CAST(m32u - m8u AS DOUBLE)
+        |    / (2 * 0.6931471805599453)) AS BIGINT) AS DOUBLE) / 1e6 AS hurst
+        |FROM p
+        |WHERE n8 IS NOT NULL AND n16 IS NOT NULL AND n32 IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
 
     // Kyle lambda: OLS slope of cent price change on tick-signed cent
     // volume; exact BIGINT moments, one final double division

@@ -530,6 +530,82 @@ object Temporal {
       .orderBy(col("dur"))
   }
 
+  /** Hurst exponent by rescaled-range analysis, gated as q_hurst: for
+    * block sizes s ∈ {8,16,32}, each series' log-returns are cut into
+    * complete s-blocks, R/S = (range of cumulative deviations) / (block
+    * std) is averaged in log space per scale, and H is the slope of
+    * mean ln(R/S) against ln(s) — closed-form (y₃₂ − y₈)/(2·ln 2) since
+    * the three x-points are equally spaced in ln 2 units. H ≈ 0.5 for a
+    * random walk, > 0.5 trending, < 0.5 mean-reverting.
+    *
+    * Exactness: returns are 1e-6 log-units (BIGINT); within a block the
+    * scaled cumulative deviation s·Y_i = s·cum_i − i·Σr and the scaled
+    * variance s·Σr² − (Σr)² are exact BIGINTs (the s factors cancel in
+    * R/S), so each block's ln(R/S) is ONE double expression, quantized
+    * to 1e-6 units before the cross-block mean (exact integer sum).
+    * ln 2 is pinned so libm cannot drift the final slope.
+    *
+    * Scale: one user-keyed window for returns; the 3× scale fan-out
+    * stays in-row; block windows partition on (user, scale, block) with
+    * ≤ 32 rows per partition — bounded frames everywhere, and the final
+    * aggregate is user-keyed and map-side combinable. */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    val rets = Tables.events(spark, dir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("r",
+        round((log(col("value")) - log(col("prev"))) * 1e6).cast("long"))
+      .filter(col("r").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id"), col("rn"), col("r"))
+    val blocks = rets
+      .withColumn("s", explode(array(lit(8L), lit(16L), lit(32L))))
+      .withColumn("blk", expr("(rn - 1) DIV s"))
+      .withColumn("i", (col("rn") - 1) % col("s") + 1)
+    val wb = Window.partitionBy(col("user_id"), col("s"), col("blk"))
+    val perBlock = blocks
+      .withColumn("cum", sum(col("r")).over(wb.orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("r")).over(wb))
+      .withColumn("sy", col("s") * col("cum") - col("i") * col("tot"))
+      .groupBy(col("user_id"), col("s"), col("blk"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("sy")).as("max_sy"), min(col("sy")).as("min_sy"),
+        sum(col("r") * col("r")).as("sum_r2"), max(col("tot")).as("tot"))
+      .filter(col("cnt") === col("s"))
+      .filter(col("s") * col("sum_r2") - col("tot") * col("tot") > 0)
+      .withColumn("rs_units",
+        round(log((col("max_sy") - col("min_sy")).cast("double")
+          / sqrt((col("s") * col("sum_r2") - col("tot") * col("tot"))
+            .cast("double"))) * 1e6).cast("long"))
+    // Per-scale mean is re-quantized to integer 1e-6 units (round to
+    // INTEGER is engine-stable; round(x, 6) is not — Spark's BigDecimal
+    // path and DuckDB's multiply path disagree 1 ulp at .5 boundaries),
+    // so every reported double is an exact BIGINT / 1e6.
+    val perScale = perBlock.groupBy(col("user_id"), col("s"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs_units")).as("su"))
+      .withColumn("mu",
+        round(col("su").cast("double") / col("n_blocks").cast("double"))
+          .cast("long"))
+    perScale.groupBy(col("user_id"))
+      .agg(
+        max(when(col("s") === 8, col("n_blocks"))).as("n8"),
+        max(when(col("s") === 16, col("n_blocks"))).as("n16"),
+        max(when(col("s") === 32, col("n_blocks"))).as("n32"),
+        max(when(col("s") === 8, col("mu"))).as("m8u"),
+        max(when(col("s") === 16, col("mu"))).as("m16u"),
+        max(when(col("s") === 32, col("mu"))).as("m32u"))
+      .filter(col("n8").isNotNull && col("n16").isNotNull && col("n32").isNotNull)
+      .select(col("user_id"), col("n8"), col("n16"), col("n32"),
+        (col("m8u").cast("double") / 1e6).as("rs8"),
+        (col("m16u").cast("double") / 1e6).as("rs16"),
+        (col("m32u").cast("double") / 1e6).as("rs32"),
+        (round((col("m32u") - col("m8u")).cast("double") / (2 * ln2))
+          .cast("long").cast("double") / 1e6).as("hurst"))
+      .orderBy(col("user_id"))
+  }
+
   /** Kyle (1985) lambda per series, gated as q_kyle_lambda: the OLS
     * slope of price change on signed dollar volume — the price impact
     * per traded dollar. Signs come from the same tick rule as

@@ -280,6 +280,37 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("hurst: rs8 matches a brute-force R/S; block counts nest") {
+    val brute = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val v = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val r = v.sliding(2).map(p =>
+        math.round((math.log(p(1)) - math.log(p(0))) * 1e6)).toArray
+      val s = 8
+      val lns = r.grouped(s).filter(_.length == s).flatMap { blk =>
+        val tot = blk.sum
+        val sy = blk.scanLeft(0L)(_ + _).tail.zipWithIndex
+          .map { case (cum, i) => s * cum - (i + 1) * tot }
+        val varU = s * blk.map(x => x * x).sum - tot * tot
+        if (varU > 0)
+          Some(math.round(math.log(
+            (sy.max - sy.min).toDouble / math.sqrt(varU.toDouble)) * 1e6))
+        else None
+      }.toArray
+      if (lns.isEmpty) None
+      else Some(u -> math.round(lns.sum.toDouble / lns.length) / 1e6)
+    }
+    val got = Temporal.hurst(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("rs8"), r.getAs[Long]("n8"),
+         r.getAs[Long]("n16"), r.getAs[Long]("n32"))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (u, (rs8, n8, n16, n32)) =>
+      assert(n8 >= n16 && n16 >= n32 && n32 >= 1)
+      assert(math.abs(rs8 - brute(u)) < 1e-9,
+        s"rs8 diverges from brute force for user $u: $rs8 vs ${brute(u)}")
+    }
+  }
+
   test("amihud is non-negative; kyleLambda finite on every series") {
     val amihud = Temporal.amihud(spark, sf).collect()
     amihud.foreach { r =>
