@@ -316,6 +316,7 @@ object SparkEntry {
     "q_kyle_lambda" -> (Temporal.kyleLambda _),
     "q_km_conversion" -> ((s, d) => Temporal.kmConversion(s, d)),
     "q_hurst" -> (Temporal.hurst _),
+    "q_cusum" -> ((s, d) => graft.ops.Monitor.cusum(s, d)),
     "q_item_pairs" -> ((s, d) => Relational.itemPairs(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
@@ -4754,6 +4755,53 @@ object SparkEntry {
         |  END AS survival
         |FROM c
         |ORDER BY dur""".stripMargin,
+
+    // Two-sided CUSUM via the prefix-sum/running-extremum identity; all
+    // deviations scaled by n so the mean stays integer; argmax by
+    // struct-max with negated rn for earliest tie
+    "q_cusum" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, rn, n,
+        |    CAST(sum(n * x - tot) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p
+        |  FROM t),
+        |q AS (
+        |  SELECT user_id, rn, n,
+        |    p - rn * n * 5 AS p_pos, p + rn * n * 5 AS p_neg
+        |  FROM p),
+        |s AS (
+        |  SELECT user_id, rn, n,
+        |    p_pos - least(0, min(p_pos) OVER (PARTITION BY user_id
+        |      ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS s_pos,
+        |    greatest(0, max(p_neg) OVER (PARTITION BY user_id
+        |      ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      - p_neg AS s_neg
+        |  FROM q),
+        |g AS (
+        |  SELECT user_id, max(n) AS n,
+        |    max({'s': s_pos, 'nr': -rn}) AS pk_pos,
+        |    max({'s': s_neg, 'nr': -rn}) AS pk_neg
+        |  FROM s GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CAST(round(CAST(pk_pos.s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS peak_up_cents,
+        |  -pk_pos.nr AS peak_up_rn,
+        |  CAST(round(CAST(pk_neg.s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS peak_down_cents,
+        |  -pk_neg.nr AS peak_down_rn
+        |FROM g
+        |ORDER BY user_id""".stripMargin,
 
     // Hurst exponent by R/S: within-block range and variance as exact
     // BIGINTs (the block-size factors cancel in the ratio), per-block

@@ -12,6 +12,58 @@ import graft.util.Tables
   */
 object Monitor {
 
+  /** Two-sided CUSUM changepoint scan per series, gated as q_cusum:
+    * the classic sequential statistic S⁺_t = max(0, S⁺_{t−1} + (x_t −
+    * μ − k)) (and its downward mirror) — but computed WITHOUT the
+    * sequential recursion, via the identity S⁺_t = P_t − min_{j≤t}
+    * P_j where P is the prefix sum of slack-adjusted deviations: a
+    * cumsum plus a running min, both single-pass window frames. The
+    * peak of S⁺/S⁻ and its position locate the most likely upward /
+    * downward level shift.
+    *
+    * Exactness: deviations are scaled by n (d_i = n·x_i − Σx − n·k, all
+    * BIGINT cents) so the per-series mean never becomes a double;
+    * prefix sums, running extrema and argmax (max-of-struct with
+    * negated row number for earliest-tie) stay integer. The only
+    * doubles are the two final displays (peak/n cents). Needs
+    * n²·max|x| < 2⁶³ — fine to ~10⁷ rows per series at cent scale;
+    * past that, pre-aggregate to coarser bars first.
+    *
+    * One user-keyed window shuffle (all frames share the sort), one
+    * map-side-combinable per-user reduction. */
+  def cusum(spark: SparkSession, dir: String, slackCents: Long = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wStat = Window.partitionBy(col("user_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("x", round(col("value") * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(wStat))
+      .withColumn("tot", sum(col("x")).over(wStat))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("n") * col("x") - col("tot")).over(run))
+      .withColumn("p_pos", col("p") - col("rn") * col("n") * slackCents)
+      .withColumn("p_neg", col("p") + col("rn") * col("n") * slackCents)
+      .withColumn("s_pos",
+        col("p_pos") - least(lit(0L), min(col("p_pos")).over(run)))
+      .withColumn("s_neg",
+        greatest(lit(0L), max(col("p_neg")).over(run)) - col("p_neg"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"),
+        max(struct(col("s_pos").as("s"), (-col("rn")).as("neg_rn")))
+          .as("pk_pos"),
+        max(struct(col("s_neg").as("s"), (-col("rn")).as("neg_rn")))
+          .as("pk_neg"))
+      .select(col("user_id"), col("n"),
+        round(col("pk_pos.s").cast("double") / col("n").cast("double"))
+          .cast("long").as("peak_up_cents"),
+        (-col("pk_pos.neg_rn")).as("peak_up_rn"),
+        round(col("pk_neg.s").cast("double") / col("n").cast("double"))
+          .cast("long").as("peak_down_cents"),
+        (-col("pk_neg.neg_rn")).as("peak_down_rn"))
+      .orderBy(col("user_id"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic per event_type:
     * D = max_v |F_ref(v) − F_cur(v)| between the value distribution
     * before and after `split`.

@@ -8,6 +8,37 @@ import graft.util.Tables
 class MonitorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cusum: window identity equals the classic sequential recursion") {
+    val got = Monitor.cusum(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("peak_up_cents"), r.getAs[Long]("peak_up_rn"),
+         r.getAs[Long]("peak_down_cents"), r.getAs[Long]("peak_down_rn"))).toMap
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 100).cast("long").as("x"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      val x = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val n = x.length.toLong
+      val tot = x.sum
+      val k = 5L * n
+      // classic recursions: S_t = max(0, S_{t-1} + (n*x_t - tot -/+ k))
+      var sp, sn = 0L
+      var pkUp, pkDn = 0L
+      var rnUp, rnDn = 1L
+      x.zipWithIndex.foreach { case (xi, i) =>
+        sp = math.max(0L, sp + (n * xi - tot - k))
+        sn = math.max(0L, sn + (tot - n * xi - k))
+        if (sp > pkUp) { pkUp = sp; rnUp = i + 1 }
+        if (sn > pkDn) { pkDn = sn; rnDn = i + 1 }
+      }
+      val expect = (math.round(pkUp.toDouble / n), rnUp,
+        math.round(pkDn.toDouble / n), rnDn)
+      assert(got(u) == expect, s"cusum diverges for user $u: ${got(u)} vs $expect")
+    }
+  }
+
   test("ksDrift matches a driver-side exact recomputation") {
     val got = Monitor.ksDrift(spark, sf)
       .as[(String, Long, Long, Double)].collect()
