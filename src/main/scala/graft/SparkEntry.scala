@@ -317,6 +317,7 @@ object SparkEntry {
     "q_km_conversion" -> ((s, d) => Temporal.kmConversion(s, d)),
     "q_hurst" -> (Temporal.hurst _),
     "q_cusum" -> ((s, d) => graft.ops.Monitor.cusum(s, d)),
+    "q_attribution" -> ((s, d) => Temporal.attribution(s, d)),
     "q_item_pairs" -> ((s, d) => Relational.itemPairs(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
@@ -4755,6 +4756,38 @@ object SparkEntry {
         |  END AS survival
         |FROM c
         |ORDER BY dur""".stripMargin,
+
+    // Multi-touch attribution: dyadic decay weights (1e6 >> age-days),
+    // per-purchase credit units rounded once, exact channel sums
+    "q_attribution" ->
+      """WITH touches AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |purchases AS (
+        |  SELECT user_id, epoch_us(ts) AS pus, event_id AS pid,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT p.user_id, p.pid, p.v_cents, t.channel,
+        |    CAST(floor(1000000.0 / (1 << CAST(floor(
+        |      (p.pus - t.tus) / 86400000000.0) AS INTEGER))) AS BIGINT) AS wu
+        |  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+        |  WHERE t.tus < p.pus AND t.tus >= p.pus - 7 * 86400000000),
+        |c AS (
+        |  SELECT channel,
+        |    CAST(round(CAST(v_cents AS DOUBLE) * 1e6
+        |      / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS linear_units,
+        |    CAST(round(CAST(v_cents * wu AS DOUBLE) * 1e6
+        |      / CAST(sum(wu) OVER w AS DOUBLE)) AS BIGINT) AS decay_units
+        |  FROM pairs
+        |  WINDOW w AS (PARTITION BY user_id, pid))
+        |SELECT channel, count(*) AS n_credits,
+        |  CAST(CAST(sum(linear_units) AS BIGINT) AS DOUBLE) / 1e8
+        |    AS linear_rev,
+        |  CAST(CAST(sum(decay_units) AS BIGINT) AS DOUBLE) / 1e8
+        |    AS decay_rev
+        |FROM c GROUP BY channel
+        |ORDER BY channel""".stripMargin,
 
     // Two-sided CUSUM via the prefix-sum/running-extremum identity; all
     // deviations scaled by n so the mean stays integer; argmax by

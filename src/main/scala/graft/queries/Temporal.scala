@@ -530,6 +530,62 @@ object Temporal {
       .orderBy(col("dur"))
   }
 
+  /** Multi-touch attribution, gated as q_attribution: every 'purchase'
+    * distributes its revenue over the user's preceding touchpoints
+    * (click / view / signup) within a 7-day lookback, under two
+    * models at once — LINEAR (equal split) and TIME-DECAY (weight
+    * halves per whole day of age) — reported as credited revenue per
+    * channel. The credit a channel report assigns is the canonical
+    * warehouse query the reference's dashboard layer would need.
+    *
+    * Exactness: decay weights are DYADIC — w = 10⁶ / 2^⌊age days⌋,
+    * an exact integer for ages ≤ 6 days (15625·2⁶ = 10⁶) — so no
+    * transcendental appears anywhere; per-purchase credit units are
+    * one deterministic double division rounded to BIGINT, and the
+    * cross-purchase channel sums are exact integer adds. Display is a
+    * single BIGINT/1e8 division to dollars.
+    *
+    * Scale: one user-keyed equi-join (time predicate as a post-join
+    * filter on the same shuffle; AQE handles user skew), one window
+    * over per-purchase partitions (bounded by touches-per-7-days), one
+    * map-side-combinable channel aggregate. */
+  def attribution(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val ev = Tables.events(spark, dir)
+    val touches = ev
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"),
+        col("event_id").as("pid"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+    // (user_id, pid): event_id alone need not stay unique under corpus
+    // replication; the compound key keeps purchase partitions disjoint
+    val wp = Window.partitionBy(col("user_id"), col("pid"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("tus") < col("pus")
+        && col("tus") >= col("pus") - lookbackDays * dayUs)
+      .withColumn("age_days",
+        floor((col("pus") - col("tus")) / dayUs).cast("int"))
+      .withColumn("wu",
+        (lit(1000000L) / expr("shiftleft(1L, age_days)")).cast("long"))
+      .withColumn("n_t", count(lit(1)).over(wp))
+      .withColumn("swu", sum(col("wu")).over(wp))
+      .withColumn("linear_units",
+        round(col("v_cents").cast("double") * 1e6
+          / col("n_t").cast("double")).cast("long"))
+      .withColumn("decay_units",
+        round((col("v_cents") * col("wu")).cast("double") * 1e6
+          / col("swu").cast("double")).cast("long"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        (sum(col("linear_units")).cast("double") / 1e8).as("linear_rev"),
+        (sum(col("decay_units")).cast("double") / 1e8).as("decay_rev"))
+      .orderBy(col("channel"))
+  }
+
   /** Hurst exponent by rescaled-range analysis, gated as q_hurst: for
     * block sizes s ∈ {8,16,32}, each series' log-returns are cut into
     * complete s-blocks, R/S = (range of cumulative deviations) / (block

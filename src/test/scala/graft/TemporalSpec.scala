@@ -311,6 +311,28 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("attribution: both models conserve attributable purchase revenue") {
+    val got = Temporal.attribution(spark, sf).collect()
+    assert(got.map(_.getAs[String]("channel")).sorted
+      .sameElements(Array("click", "signup", "view")))
+    val linTotal = got.map(_.getAs[Double]("linear_rev")).sum
+    val decTotal = got.map(_.getAs[Double]("decay_rev")).sum
+    // independent total: purchases having >= 1 touch in the 7d lookback
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(Long, String, Long, Long)].collect()
+    val day = 86400L * 1000000
+    val expect = ev.filter(_._2 == "purchase").filter { p =>
+      ev.exists(t => t._1 == p._1
+        && Set("click", "view", "signup")(t._2)
+        && t._3 < p._3 && t._3 >= p._3 - 7 * day)
+    }.map(_._4).sum / 100.0
+    // rounding error bounded by 1e-8 dollars per credited pair
+    assert(math.abs(linTotal - expect) < 1.0, s"linear $linTotal vs $expect")
+    assert(math.abs(decTotal - expect) < 1.0, s"decay $decTotal vs $expect")
+  }
+
   test("amihud is non-negative; kyleLambda finite on every series") {
     val amihud = Temporal.amihud(spark, sf).collect()
     amihud.foreach { r =>
