@@ -212,6 +212,7 @@ object SparkEntry {
     "q_label_prop" -> ((s, d) => graft.ops.Graph.labelPropagation(s, d)),
     "q_semi_anti" -> ((s, d) => graft.queries.Relational.existenceJoins(s, d)),
     "q_dq_checks" -> ((s, d) => graft.ops.DataQuality.dqChecks(s, d)),
+    "q_benford" -> ((s, d) => graft.ops.DataQuality.benford(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
     "q_join_size" -> ((s, d) => graft.ops.Skew.joinSizeEstimate(s, d)),
@@ -4756,6 +4757,39 @@ object SparkEntry {
         |  END AS survival
         |FROM c
         |ORDER BY dur""".stripMargin,
+
+    // Benford first-digit census: digit from the exact integer-cents
+    // string prefix, pinned probabilities, chi2 parts re-quantized to
+    // 1e-6 units for engine-stable rounding
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |g AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+        |t AS (
+        |  SELECT digit, observed,
+        |    CAST(sum(observed) OVER () AS BIGINT) AS n,
+        |    CASE digit
+        |      WHEN 1 THEN 0.3010299956639812e0
+        |      WHEN 2 THEN 0.17609125905568124e0
+        |      WHEN 3 THEN 0.12493873660829993e0
+        |      WHEN 4 THEN 0.09691001300805642e0
+        |      WHEN 5 THEN 0.07918124604762482e0
+        |      WHEN 6 THEN 0.06694678963061322e0
+        |      WHEN 7 THEN 0.05799194697768673e0
+        |      WHEN 8 THEN 0.05115252244738129e0
+        |      WHEN 9 THEN 0.04575749056067514e0
+        |      ELSE 0.0 END AS expected_p
+        |  FROM g)
+        |SELECT digit, observed, n, expected_p,
+        |  CAST(CAST(round(
+        |    (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_p)
+        |    * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_p)
+        |    / (CAST(n AS DOUBLE) * expected_p) * 1e6) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS chi2_part
+        |FROM t
+        |ORDER BY digit""".stripMargin,
 
     // Multi-touch attribution: dyadic decay weights (1e6 >> age-days),
     // per-purchase credit units rounded once, exact channel sums

@@ -120,6 +120,51 @@ object DataQuality {
     * Scale shape: ONE map-side-combinable aggregate over the scan
     * (count + two-phase distinct on a bounded attribute); output is
     * |QI-space|-bounded, independent of corpus size. */
+  /** Benford first-digit conformance census, gated as q_benford: the
+    * leading-digit distribution of lineitem extended prices against
+    * Benford's law — the classic forensic screen for fabricated or
+    * truncated numeric columns (a synthetic or clipped price feed
+    * deviates sharply). Emits one row per digit with observed count,
+    * expected probability and the chi-square component, so the caller
+    * sums 9 bounded terms.
+    *
+    * Exactness: the digit comes from the integer-cents STRING prefix
+    * (BIGINT→VARCHAR is exact in both engines — no log10 anywhere),
+    * the nine Benford probabilities are pinned literals, and each
+    * chi-square component is one deterministic double expression from
+    * a BIGINT count. One map-side-combinable 9-group aggregate over
+    * the scan; output is 9 rows at any scale. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    // log10(1 + 1/d) for d = 1..9, pinned so libm cannot drift
+    val p = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val probExpr = p.zipWithIndex.reverse
+      .foldLeft(lit(0.0)) { case (acc, (v, i)) =>
+        when(col("digit") === (i + 1), v).otherwise(acc)
+      }
+    Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 0)
+      .withColumn("digit",
+        substring(round(col("l_extendedprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("observed"))
+      .withColumn("n", sum(col("observed")).over( // 9-row frame: bounded
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("expected_p", probExpr)
+      .withColumn("dev",
+        col("observed").cast("double")
+          - col("n").cast("double") * col("expected_p"))
+      // integer-unit re-quantization: round-to-BIGINT is engine-stable,
+      // round(x, 6) is not (Spark BigDecimal vs DuckDB multiply path)
+      .select(col("digit"), col("observed"), col("n"), col("expected_p"),
+        (round(col("dev") * col("dev")
+            / (col("n").cast("double") * col("expected_p")) * 1e6)
+          .cast("long").cast("double") / 1e6).as("chi2_part"))
+      .orderBy(col("digit"))
+  }
+
   def kAnonymity(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.documents(spark, dir)
       .select(col("lang"),

@@ -35,6 +35,21 @@ class DataQualitySpec extends SparkSpec {
     assert(rows("lineitem.l_orderkey.refers.orders")._2 === 0L)
   }
 
+  test("benford: 9 digits, counts partition the positive rows, probs sum to 1") {
+    val rows = DataQuality.benford(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === (1 to 9))
+    val positives = Tables.lineitem(spark, sf)
+      .filter(col("l_extendedprice") > 0).count()
+    assert(rows.map(_._2).sum === positives)   // digits partition the rows
+    rows.foreach { case (_, obs, n, p, chi2) =>
+      assert(n === positives)
+      assert(p > 0 && p < 1)
+      assert(chi2 >= 0, s"negative chi-square part $chi2 (obs=$obs)")
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+  }
+
   test("kAnonymity: classes partition the corpus; flags match their definitions") {
     val rows = DataQuality.kAnonymity(spark, sf, k = 10)
       .as[(String, Long, Long, Long, Double, Long, Long)].collect()
