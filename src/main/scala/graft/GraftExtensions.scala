@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.UrlPart].getName, "url_part"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.UrlPart.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNorm].getName, "unicode_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.UnicodeNorm.build(exprs)))
     // logical rewrite: banded levenshtein for threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }

@@ -331,6 +331,7 @@ object SparkEntry {
     "q_state_v2" -> (graft.streaming.StateV2.tickerPartials _),
     // round 7 (cont. 4): web-crawl curation + feature selection
     "q_url_canon" -> (graft.ops.Web.urlCanon _),
+    "q_unicode_norm" -> (graft.ops.TextAnalysis.unicodeNorm _),
     "q_domain_stats" -> (graft.ops.Web.domainStats _),
     "q_domain_cap" -> ((s, d) => graft.ops.Web.domainCap(s, d)),
     "q_chi2_terms" -> ((s, d) => TextAnalysis.chi2Terms(s, d)),
@@ -4342,6 +4343,29 @@ object SparkEntry {
         |FROM v
         |GROUP BY coin_id
         |ORDER BY coin_id""".stripMargin,
+
+    // Unicode-normalization census: DuckDB's own ICU recomputes the
+    // strip_accents and NFC-fixed-point counts (cross-engine check of
+    // the native unicode_norm expression); the NFD facts are closed-form
+    // (one extra codepoint per planted precomposed vowel) since DuckDB
+    // exposes no NFD
+    "q_unicode_norm" ->
+      """WITH a AS (
+        |  SELECT lang, text,
+        |    translate(text, 'aeiou', 'áéíöü') AS acc,
+        |    length(text) AS len,
+        |    length(text) - length(translate(text, 'aeiou', '')) AS vcnt
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(len) AS BIGINT) AS chars,
+        |  CAST(sum(vcnt) AS BIGINT) AS vowels,
+        |  CAST(sum(len + vcnt) AS BIGINT) AS nfd_chars,
+        |  CAST(sum(CASE WHEN nfc_normalize(acc) = acc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nfc_stable,
+        |  count(*) AS roundtrip,
+        |  CAST(sum(CASE WHEN strip_accents(acc) = text THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS restored
+        |FROM a GROUP BY lang ORDER BY lang""".stripMargin,
 
     // round 7 (cont. 4): web-crawl curation pack. The synthetic URL CTE
     // mirrors Web.urlOf literally; everything downstream (parse,

@@ -1924,4 +1924,53 @@ object TextAnalysis {
         lit(if (summary.size <= k) 1L else 0L).as("tracked_le_k"))
       .orderBy(col("term"))
   }
+
+  /** Unicode-normalization census, gated as q_unicode_norm: per
+    * language, the NFC/NFD/STRIP behavior of the corpus under the
+    * native [[graft.functions.UnicodeNorm]] expression. The synthetic
+    * corpus is pure ASCII (normalization-invariant by definition), so
+    * the census plants accents deterministically — `translate` swaps
+    * every lowercase vowel for its precomposed Latin-1 form — and then
+    * certifies, per language:
+    *
+    *  - `nfd_chars`: char mass after NFD, which must exceed the
+    *    original by exactly one combining mark per planted vowel
+    *    (each precomposed vowel decomposes into base + U+0301/0308);
+    *  - `nfc_stable`: precomposed text is an NFC fixed point;
+    *  - `roundtrip`: NFC∘NFD restores the precomposed form bit-exactly;
+    *  - `restored`: STRIP (NFD + drop `\p{M}`, DuckDB's
+    *    `strip_accents`) recovers the original ASCII text bit-exactly.
+    *
+    * The DuckDB oracle recomputes `nfc_stable`/`restored` with its own
+    * ICU (`nfc_normalize`/`strip_accents`) — a genuine cross-engine
+    * check of the expression — and the NFD facts closed-form (DuckDB
+    * exposes no NFD). Scale shape: one codegen'd projection pass over
+    * the scan plus a |languages|-row aggregate; the ASCII fast path in
+    * the expression never allocates, so the added cost on a real
+    * mostly-ASCII corpus is one sign-bit scan per row. */
+  def unicodeNorm(spark: SparkSession, dir: String): DataFrame = {
+    // precomposed NFC literals, pinned as escapes: a e i o u acute/uml
+    val accents = "\u00e1\u00e9\u00ed\u00f6\u00fc"
+    def norm(c: Column, f: String): Column =
+      graft.functions.UnicodeNorm(spark, c, f)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("text"),
+        translate(col("text"), "aeiou", accents).as("acc"),
+        length(col("text")).as("len"),
+        (length(col("text")) -
+          length(translate(col("text"), "aeiou", ""))).as("vcnt"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("len")).as("chars"),
+        sum(col("vcnt")).as("vowels"),
+        sum(length(norm(col("acc"), "NFD"))).as("nfd_chars"),
+        sum(when(norm(col("acc"), "NFC") === col("acc"), 1L).otherwise(0L))
+          .as("nfc_stable"),
+        sum(when(norm(norm(col("acc"), "NFD"), "NFC") === col("acc"), 1L)
+          .otherwise(0L)).as("roundtrip"),
+        sum(when(norm(col("acc"), "STRIP") === col("text"), 1L).otherwise(0L))
+          .as("restored"))
+      .orderBy(col("lang"))
+  }
 }

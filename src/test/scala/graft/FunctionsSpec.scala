@@ -138,6 +138,47 @@ class FunctionsSpec extends SparkSpec {
     assert(probe.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("unicode_norm: Normalizer contract on hard cases; ASCII identity; codegen'd") {
+    import org.apache.spark.sql.functions._
+    def un(c: org.apache.spark.sql.Column, f: String) =
+      graft.functions.UnicodeNorm(spark, c, f)
+    // decomposed e+COMBINING ACUTE, precomposed é, ligature ﬁ (NFKC→fi),
+    // full-width U+FF21 (NFKC->A), Greek U+0390 (NFD has two marks), ASCII
+    val decomposed = "caf" + "e\u0301"
+    val precomposed = "caf\u00e9"
+    val rows = Seq(decomposed, precomposed, "\ufb01le", "\uff21BC",
+      "\u0390", "plain ascii").toDF("s").repartition(2)
+    val got = rows.select(col("s"), un(col("s"), "NFC").as("nfc"),
+        un(col("s"), "NFD").as("nfd"), un(col("s"), "NFKC").as("nfkc"),
+        un(col("s"), "STRIP").as("strip"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(got(decomposed)._1 === precomposed)        // NFC composes
+    assert(got(precomposed)._2 === decomposed)        // NFD decomposes
+    assert(got(precomposed)._4 === "cafe")            // STRIP drops marks
+    assert(got("\ufb01le")._3 === "file")             // NFKC folds ligature
+    assert(got("\uff21BC")._3 === "ABC")              // NFKC folds width
+    assert(got("\u0390")._4 === "\u03b9")             // both Greek marks go
+    assert(got("plain ascii") ===
+      (("plain ascii", "plain ascii", "plain ascii", "plain ascii")))
+    // every form is identity on ASCII (fast path) and idempotent
+    val corpus = graft.util.Tables.documents(spark, sf).select(col("text"))
+    assert(corpus.filter(un(col("text"), "NFC") =!= col("text")).count() === 0)
+    val acc = corpus.select(
+      translate(col("text"), "aeiou", "\u00e1\u00e9\u00ed\u00f6\u00fc").as("a"))
+    assert(acc.filter(
+      un(un(col("a"), "NFD"), "NFD") =!= un(col("a"), "NFD")).count() === 0)
+    // unknown form fails analysis, not execution
+    val bad = intercept[Exception](rows.select(un(col("s"), "NFX")).collect())
+    assert(bad.getMessage.contains("unicode_norm"))
+    // stays inside whole-stage codegen
+    val probe = rows.select(un(col("s"), "STRIP").as("x"))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+  }
+
   test("url_part: bit-parity with parse_url on the corpus, codegen stays whole") {
     import org.apache.spark.sql.functions._
     val urls = graft.ops.Web.urlCanon(spark, sf).select($"url")
