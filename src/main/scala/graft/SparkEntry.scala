@@ -289,6 +289,7 @@ object SparkEntry {
     "q_robust_outliers" -> ((s, d) => Analytics.robustOutliers(s, d)),
     "q_temporal_split" -> ((s, d) => Analytics.temporalSplit(s, d)),
     "q_label_encode" -> (Analytics.labelEncode _),
+    "q_target_encode" -> ((s, d) => graft.ops.Prep.targetEncode(s, d)),
     "q_vwap" -> (Analytics.vwap _),
     "q_dedup_sorted" -> ((s, d) => Dedup.sortedNeighborhood(s, d)),
     "q_corr_matrix" -> (Analytics.corrMatrix _),
@@ -3978,6 +3979,41 @@ object SparkEntry {
         |SELECT event_id, e.event_type, CAST(code AS INTEGER) AS code
         |FROM events e JOIN codes c ON e.event_type = c.event_type
         |ORDER BY event_id""".stripMargin,
+
+    // Out-of-fold target encoding: fold ids and the target are exact
+    // integers, the encodes are ratios of BIGINT sums re-quantized to
+    // 1e-6 units; a level confined to one fold yields NULL oof
+    "q_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 5 AS fold,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    o_orderpriority AS priority,
+        |    strftime(o_orderdate, '%Y-%m') AS month
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'priority' AS feature, priority AS level, fold,
+        |    count(*) AS n_f, CAST(sum(y) AS BIGINT) AS sy_f
+        |  FROM o GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT 'month', month, fold, count(*), CAST(sum(y) AS BIGINT)
+        |  FROM o GROUP BY 2, 3),
+        |t AS (
+        |  SELECT feature, level, fold, n_f, sy_f,
+        |    CAST(sum(n_f) OVER (PARTITION BY feature, level) AS BIGINT) AS n,
+        |    CAST(sum(sy_f) OVER (PARTITION BY feature, level) AS BIGINT) AS sy,
+        |    CAST(sum(n_f) OVER (PARTITION BY feature) AS BIGINT) AS gn,
+        |    CAST(sum(sy_f) OVER (PARTITION BY feature) AS BIGINT) AS gsy
+        |  FROM u)
+        |SELECT feature, level, fold, n_f AS n, sy_f AS y_sum,
+        |  CASE WHEN n = n_f THEN NULL ELSE
+        |    CAST(CAST(round(CAST(sy - sy_f AS DOUBLE)
+        |      / CAST(n - n_f AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |  END AS oof,
+        |  CAST(CAST(round((CAST(sy AS DOUBLE)
+        |      + 20e0 * CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE))
+        |    / CAST(n + 20 AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS smoothed
+        |FROM t ORDER BY feature, level, fold""".stripMargin,
 
     "q_vwap" ->
       """WITH li AS (SELECT l_partkey,

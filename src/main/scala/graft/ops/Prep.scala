@@ -154,4 +154,63 @@ object Prep {
         md5(col("text").substr((col("start") * stride + 1).cast("int"),
           lit(width))).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Out-of-fold target encoding, gated as q_target_encode: the
+    * standard leakage-safe way to turn a categorical column into a
+    * model feature — each fold's rows are encoded with the target mean
+    * computed from the OTHER folds, plus an m-estimate smoothed
+    * encoding toward the global prior for rare levels.
+    *
+    * Features: order priority and order month (both bounded-cardinality
+    * categoricals of `orders`); target: order fully shipped
+    * (status = 'F'); folds: `o_orderkey % folds` — deterministic, so
+    * DuckDB replays them exactly.
+    *
+    * The leakage trick IS the scale story: out-of-fold means need no
+    * per-row re-aggregation or fold loop, because
+    * oof(level, fold) = (sy(level) − sy(level, fold)) /
+    * (n(level) − n(level, fold)) — ONE map-side-combinable
+    * groupBy(feature, level, fold) over the scan, then level totals as
+    * a window over the |levels|·|folds|-bounded census (never the fact
+    * table). A per-row encode is then a broadcast-join of this census
+    * back onto the scan, zero additional shuffles. Quantization: the
+    * encodes are ratios of exact BIGINT sums, re-quantized to 1e-6
+    * units the engine-stable way (round to BIGINT, not round(x, 6)).
+    *
+    * A level seen in only one fold has no out-of-fold evidence: oof is
+    * null there (guarded on both sides, never a division by zero). */
+  def targetEncode(spark: SparkSession, dir: String, m: Int = 20,
+      folds: Int = 5): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      (col("o_orderkey") % folds).as("fold"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+      col("o_orderpriority").as("priority"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val features = Seq("priority", "month")
+    val census = features.map { f =>
+      o.groupBy(col(f).as("level"), col("fold"))
+        .agg(count(lit(1)).as("n_f"), sum(col("y")).as("sy_f"))
+        .select(lit(f).as("feature"), col("level"), col("fold"),
+          col("n_f"), col("sy_f"))
+    }.reduce(_ unionAll _)
+    val lvl = Window.partitionBy(col("feature"), col("level"))
+    val all = Window.partitionBy(col("feature"))
+    def q6(c: Column): Column =
+      (round(c * 1e6).cast("long").cast("double") / 1e6)
+    census
+      .withColumn("n", sum(col("n_f")).over(lvl))     // bounded frames:
+      .withColumn("sy", sum(col("sy_f")).over(lvl))   // |levels|·|folds|
+      .withColumn("gn", sum(col("n_f")).over(all))    // rows, never the
+      .withColumn("gsy", sum(col("sy_f")).over(all))  // fact table
+      .select(col("feature"), col("level"), col("fold"),
+        col("n_f").as("n"), col("sy_f").as("y_sum"),
+        when(col("n") === col("n_f"), lit(null).cast("double"))
+          .otherwise(q6((col("sy") - col("sy_f")).cast("double")
+            / (col("n") - col("n_f")).cast("double"))).as("oof"),
+        q6((col("sy").cast("double")
+            + lit(m.toDouble) * col("gsy").cast("double")
+              / col("gn").cast("double"))
+          / (col("n") + m).cast("double")).as("smoothed"))
+      .orderBy(col("feature"), col("level"), col("fold"))
+  }
 }

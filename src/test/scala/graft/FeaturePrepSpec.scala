@@ -81,6 +81,34 @@ class FeaturePrepSpec extends SparkSpec {
     }
   }
 
+  test("targetEncode: oof excludes the fold's own rows; smoothed shrinks to the prior") {
+    val rows = graft.ops.Prep.targetEncode(spark, sf)
+      .as[(String, String, Long, Long, Long, Option[Double], Double)].collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double) = math.round(x * 1e6).toDouble / 1e6
+    val byFeat = rows.groupBy(_._1)
+    assert(byFeat.keySet === Set("priority", "month"))
+    byFeat.foreach { case (_, g) =>
+      val gn = g.map(_._4).sum
+      val gsy = g.map(_._5).sum
+      val prior = gsy.toDouble / gn
+      g.groupBy(_._2).foreach { case (_, lv) =>
+        val n = lv.map(_._4).sum
+        val sy = lv.map(_._5).sum
+        lv.foreach { case (_, _, _, nf, syf, oof, smoothed) =>
+          // leakage-free: the fold's own rows never enter its encode
+          if (n == nf) assert(oof.isEmpty)
+          else assert(oof.contains(r6((sy - syf).toDouble / (n - nf))))
+          // m-estimate sits between the level mean and the global prior
+          assert(smoothed === r6((sy + 20.0 * prior) / (n + 20.0)))
+          val lo = math.min(sy.toDouble / n, prior) - 1e-9
+          val hi = math.max(sy.toDouble / n, prior) + 1e-9
+          assert(smoothed >= lo - 5e-7 && smoothed <= hi + 5e-7)
+        }
+      }
+    }
+  }
+
   test("labelEncode: dense frequency-ordered codes") {
     val enc = Analytics.labelEncode(spark, sf)
       .as[(Long, String, Int)].collect()
