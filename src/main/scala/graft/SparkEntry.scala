@@ -320,6 +320,7 @@ object SparkEntry {
     "q_hurst" -> (Temporal.hurst _),
     "q_cusum" -> ((s, d) => graft.ops.Monitor.cusum(s, d)),
     "q_attribution" -> ((s, d) => Temporal.attribution(s, d)),
+    "q_ab_cuped" -> ((s, d) => Temporal.abCuped(s, d)),
     "q_item_pairs" -> ((s, d) => Relational.itemPairs(s, d)),
     // round 4 (cont. 3): record linkage + corpus novelty
     "q_fuzzy_pairs" -> ((s, d) => Linkage.fuzzyPairsByBrand(s, d)),
@@ -4882,6 +4883,73 @@ object SparkEntry {
         |    AS decay_rev
         |FROM c GROUP BY channel
         |ORDER BY channel""".stripMargin,
+
+    // CUPED A/B readout: per-user cent sums exact, pooled/per-variant
+    // moments as HUGEINT (decimal(38,0) on the Spark side), theta and
+    // the adjusted means/variances as symbol-identical double algebra
+    "q_ab_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT CAST((min(tus) + max(tus)) // 2 AS BIGINT) AS mid
+        |      FROM e),
+        |p AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN tus <= mid THEN cents ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN tus > mid THEN cents ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM e, m GROUP BY user_id),
+        |c AS (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS variant, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1),
+        |g AS (
+        |  SELECT variant, n, sx, sy, sxx, sxy, syy,
+        |    CAST(sum(n) OVER () AS DOUBLE) AS gn,
+        |    CAST(sum(sx) OVER () AS DOUBLE) AS gsx,
+        |    CAST(sum(sy) OVER () AS DOUBLE) AS gsy,
+        |    CAST(sum(sxx) OVER () AS DOUBLE) AS gsxx,
+        |    CAST(sum(sxy) OVER () AS DOUBLE) AS gsxy
+        |  FROM c),
+        |t AS (
+        |  SELECT variant, n, sx, sy, sxx, sxy, syy, gn, gsx,
+        |    (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx) AS theta,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_y,
+        |    (CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS var_y,
+        |    (CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS cov_xy,
+        |    (CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS var_x
+        |  FROM g),
+        |f AS (
+        |  SELECT variant, n, theta, mean_y,
+        |    (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - gsx / gn))
+        |      / 100.0 AS mean_cuped,
+        |    var_y,
+        |    var_y - 2.0 * theta * cov_xy + theta * theta * var_x AS var_cuped
+        |  FROM t)
+        |SELECT variant, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(round(theta * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS theta,
+        |  CAST(CAST(round(mean_y * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS mean_y,
+        |  CAST(CAST(round(mean_cuped * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS mean_cuped,
+        |  CAST(CAST(round(var_y * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS var_y,
+        |  CAST(CAST(round(var_cuped * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS var_cuped,
+        |  CAST(CAST(round((1.0 - var_cuped / var_y) * 1e6) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS var_reduction
+        |FROM f ORDER BY variant""".stripMargin,
 
     // Two-sided CUSUM via the prefix-sum/running-extremum identity; all
     // deviations scaled by n so the mean stays integer; argmax by

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -697,5 +697,94 @@ object Temporal {
               / (col("n_ticks") * col("sxx") - col("sx") * col("sx")).cast("double"),
             6)).as("kyle_lambda"))
       .orderBy(col("user_id"))
+  }
+
+  /** CUPED-adjusted A/B readout, gated as q_ab_cuped: the standard
+    * variance-reduction estimator for online experiments (Deng et al.,
+    * WSDM'13) — regress each user's experiment-period purchase value on
+    * their PRE-period value and report per-variant means/variances of
+    * the adjusted metric alongside the raw one.
+    *
+    * Setup on the synthetic corpus: variant = `user_id % 2` (the
+    * deterministic hash-bucket assignment an experimentation platform
+    * uses), pre/post split at the integer-microsecond midpoint of the
+    * corpus time range, metric = per-user purchase cents in each half.
+    * theta is the pooled OLS slope cov(x,y)/var(x).
+    *
+    * Exactness: per-user x/y are BIGINT cent sums; the pooled and
+    * per-variant moment sums (sx, sy, sxx, sxy, syy) accumulate as
+    * DECIMAL(38,0) — exact and order-independent at any scale (x·x for
+    * a whale user overflows BIGINT long before it dents a 38-digit
+    * decimal). theta, means and variances are then single double
+    * expressions over those integers, mirrored symbol-for-symbol in the
+    * oracle; CUPED algebra turns per-row adjustment into moment algebra
+    * (mean_adj = ȳ_v − θ(x̄_v − x̄); var_adj = var_y − 2θcov + θ²var_x),
+    * so NO per-row double ever exists.
+    *
+    * Scale shape: one groupBy(user) over the scan (the shuffle CUPED
+    * inherently needs), then a 2-key map-side-combinable census and
+    * 2-row window math. The midpoint is one min/max aggregate broadcast
+    * back — never a driver round-trip in the plan. */
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mid = e.agg(
+      ((min(col("tus")) + max(col("tus"))) / lit(2L)).cast("long").as("mid"))
+    val per = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("tus") <= col("mid"), col("cents")).otherwise(0L))
+          .as("x"),
+        sum(when(col("tus") > col("mid"), col("cents")).otherwise(0L))
+          .as("y"))
+      .select((col("user_id") % 2).cast("int").as("variant"),
+        col("x").cast(dec).as("x"), col("y").cast(dec).as("y"))
+    val cen = per.groupBy(col("variant")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val all = Window.partitionBy() // 2-row frame: one row per variant
+    def d(c: Column): Column = c.cast("double")
+    def q6(c: Column): Column =
+      round(c * 1e6).cast("long").cast("double") / 1e6
+    cen
+      .withColumn("gn", sum(col("n")).over(all))
+      .withColumn("gsx", sum(col("sx")).over(all))
+      .withColumn("gsy", sum(col("sy")).over(all))
+      .withColumn("gsxx", sum(col("sxx")).over(all))
+      .withColumn("gsxy", sum(col("sxy")).over(all))
+      // pooled OLS slope of y on x, cents domain
+      .withColumn("theta",
+        (d(col("gn")) * d(col("gsxy")) - d(col("gsx")) * d(col("gsy")))
+          / (d(col("gn")) * d(col("gsxx")) - d(col("gsx")) * d(col("gsx"))))
+      .withColumn("mean_y", d(col("sy")) / d(col("n")) / 100.0)
+      .withColumn("mean_cuped",
+        (d(col("sy")) / d(col("n"))
+          - col("theta") * (d(col("sx")) / d(col("n"))
+            - d(col("gsx")) / d(col("gn")))) / 100.0)
+      .withColumn("var_y",
+        (d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n")))
+          / (d(col("n")) - 1.0) / 10000.0)
+      .withColumn("cov_xy",
+        (d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n")))
+          / (d(col("n")) - 1.0) / 10000.0)
+      .withColumn("var_x",
+        (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n")))
+          / (d(col("n")) - 1.0) / 10000.0)
+      .withColumn("var_cuped",
+        col("var_y") - lit(2.0) * col("theta") * col("cov_xy")
+          + col("theta") * col("theta") * col("var_x"))
+      .select(col("variant"), col("n").cast("long").as("n"),
+        q6(col("theta")).as("theta"),
+        q6(col("mean_y")).as("mean_y"),
+        q6(col("mean_cuped")).as("mean_cuped"),
+        q6(col("var_y")).as("var_y"),
+        q6(col("var_cuped")).as("var_cuped"),
+        q6(lit(1.0) - col("var_cuped") / col("var_y")).as("var_reduction"))
+      .orderBy(col("variant"))
   }
 }

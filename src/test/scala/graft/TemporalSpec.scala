@@ -345,4 +345,47 @@ class TemporalSpec extends SparkSpec {
         assert(!v.isNaN && !v.isInfinite))
     }
   }
+
+  test("abCuped: matches a from-scratch recompute; CUPED preserves the pooled mean") {
+    val out = Temporal.abCuped(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0, 1))
+    // recompute from raw purchase rows
+    val raw = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val mid = (raw.map(_._2).min + raw.map(_._2).max) / 2
+    val per = raw.groupBy(_._1).map { case (u, g) =>
+      (u % 2, g.filter(_._2 <= mid).map(_._3).sum.toDouble,
+        g.filter(_._2 > mid).map(_._3).sum.toDouble)
+    }.toSeq
+    val n = per.size.toDouble
+    val (sx, sy) = (per.map(_._2).sum, per.map(_._3).sum)
+    val sxx = per.map(r => r._2 * r._2).sum
+    val sxy = per.map(r => r._2 * r._3).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def close(a: Double, b: Double, tol: Double = 2e-6) =
+      assert(math.abs(a - b) <= tol, s"$a vs $b")
+    out.foreach { case (v, nv, th, my, mc, vy, vc, vr) =>
+      val g = per.filter(_._1 == v)
+      assert(nv === g.size)
+      close(th, theta)
+      val (mx, myRaw) = (g.map(_._2).sum / g.size, g.map(_._3).sum / g.size)
+      close(my, myRaw / 100.0)
+      close(mc, (myRaw - theta * (mx - sx / n)) / 100.0)
+      val adj = g.map(r => r._3 - theta * (r._2 - mx)) // per-row twin
+      val varAdj = adj.map(a => math.pow(a - adj.sum / adj.size, 2)).sum /
+        (adj.size - 1)
+      close(vc, varAdj / 10000.0, 1e-3) // float-accumulation slack only
+      assert(vc <= vy + 1e-9, "CUPED must not inflate variance here")
+      close(vr, 1.0 - vc / vy, 1e-5)
+    }
+    // the adjustment is mean-zero pooled: weighted means agree
+    val pooledRaw = out.map(r => r._2 * r._4).sum / out.map(_._2).sum
+    val pooledAdj = out.map(r => r._2 * r._5).sum / out.map(_._2).sum
+    close(pooledAdj, pooledRaw, 1e-5)
+  }
 }
