@@ -192,6 +192,7 @@ object SparkEntry {
     "q_kn_trigram" -> (TextAnalysis.knTrigramScore _),
     // S x S cross-source NLL matrix from one vocab-bounded fan-out
     "q_domain_shift" -> (TextAnalysis.domainShift _),
+    "q_js_divergence" -> (TextAnalysis.jsDivergence _),
     // language-ID accuracy: gold-vs-predicted confusion cells
     "q_lid_confusion" -> (TextAnalysis.lidConfusion _),
     "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
@@ -2204,6 +2205,36 @@ object SparkEntry {
         |FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1)
         |GROUP BY db.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Pairwise Jensen-Shannon divergence: shared-support log terms are
+    // 1e-12-quantized BIGINT units (order-free), exclusive mass rides
+    // the 0.5*ln2 identity from exact integer masses
+    "q_js_divergence" ->
+      """WITH cnt AS MATERIALIZED (
+        |  SELECT source, w, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ntot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |         FROM cnt GROUP BY 1),
+        |t AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    a.c AS ca, b.c AS cb, na.n AS na, nb.n AS nb,
+        |    CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
+        |    CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q
+        |  FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+        |  JOIN ntot na ON na.source = a.source
+        |  JOIN ntot nb ON nb.source = b.source)
+        |SELECT src_a, src_b, count(*) AS shared_terms,
+        |  CAST(CAST(round((
+        |      CAST(sum(CAST(round((0.5 * p * ln(2.0 * p / (p + q))
+        |          + 0.5 * q * ln(2.0 * q / (p + q))) * 1e12) AS BIGINT))
+        |        AS DOUBLE) / 1e12
+        |      + 0.5 * ln(2.0) * (2.0
+        |        - CAST(sum(ca) AS DOUBLE) / CAST(max(na) AS DOUBLE)
+        |        - CAST(sum(cb) AS DOUBLE) / CAST(max(nb) AS DOUBLE))
+        |    ) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jsd
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -766,6 +766,58 @@ object TextAnalysis {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions, gated as q_js_divergence — the symmetric, bounded
+    * ([0, ln 2]) drift measure for "how different is source A's text
+    * from source B's", the standard corpus-mixing diagnostic next to
+    * [[domainShift]]'s directional NLL.
+    *
+    * The full-outer-join over each pair's union support is avoided by
+    * an identity: terms exclusive to one side contribute exactly
+    * `0.5·ln2·p(w)` each, so
+    * `JSD = 0.5·ln2·(2 − P∩ − Q∩) + Σ_{w∈both} t(w)`, where P∩/Q∩ are
+    * the shared-support probability masses — exact ratios of BIGINT
+    * sums — and `t(w)` needs only the INNER join. One equi-join of the
+    * (source, term) census with itself on term (≤ C(|sources|,2)
+    * fan-out per term), one map-side-combinable pair aggregate.
+    *
+    * Exactness: each shared term's contribution is one deterministic
+    * double expression from four BIGINTs, re-quantized to 1e-12 units
+    * and summed as BIGINT — order-independent under any partitioning —
+    * and the exclusive-mass correction is a single double expression
+    * from exact integer masses. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // both join sides read the census
+    val ntot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = cnt.select(col("source").as("src_a"), col("w"), col("c").as("ca"))
+      .join(broadcast(ntot.select(col("source").as("src_a"),
+        col("n").as("na"))), "src_a")
+    val b = cnt.select(col("source").as("src_b"), col("w"), col("c").as("cb"))
+      .join(broadcast(ntot.select(col("source").as("src_b"),
+        col("n").as("nb"))), "src_b")
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val term = lit(0.5) * p * log(lit(2.0) * p / (p + q)) +
+      lit(0.5) * q * log(lit(2.0) * q / (p + q))
+    val ln2 = log(lit(2.0))
+    a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(round(term * 1e12).cast("long")).as("units"),
+        sum(col("ca")).as("sca"), max(col("na")).as("na"),
+        sum(col("cb")).as("scb"), max(col("nb")).as("nb"))
+      .select(col("src_a"), col("src_b"), col("shared_terms"),
+        (round((col("units").cast("double") / 1e12
+          + lit(0.5) * ln2 * (lit(2.0)
+            - col("sca").cast("double") / col("na").cast("double")
+            - col("scb").cast("double") / col("nb").cast("double"))) * 1e6)
+          .cast("long").cast("double") / 1e6).as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Generated oracle for [[knTrigramScore]]: the backoff cascade nests
     * P1 inside P2 inside P3, so the SQL is assembled from one expression
     * per level rather than hand-expanded three times. */

@@ -44,6 +44,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.minBy(_._1)._4 === sylls)
   }
 
+  test("jsDivergence: brute-force twin on one pair; symmetric domain, [0, ln2] bound") {
+    val out = TextAnalysis.jsDivergence(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, shared, jsd) =>
+      assert(a < b, "each unordered pair exactly once, lexicographic")
+      assert(shared > 0)
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9, s"($a,$b): $jsd")
+    }
+    // from-scratch recompute (union support, textbook formula) for the
+    // first pair — the op's inner-join + exclusive-mass identity must
+    // agree with the naive full-support sum
+    val (pa, pb, _, got) = out.head
+    val counts = graft.util.Tables.documents(spark, sf)
+      .filter($"source".isin(pa, pb))
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .groupBy($"source", $"w").count()
+      .as[(String, String, Long)].collect()
+    def dist(src: String): Map[String, Double] = {
+      val g = counts.filter(_._1 == src)
+      val n = g.map(_._3).sum.toDouble
+      g.map(r => r._2 -> r._3 / n).toMap
+    }
+    val (dp, dq) = (dist(pa), dist(pb))
+    val naive = (dp.keySet ++ dq.keySet).toSeq.map { w =>
+      val p = dp.getOrElse(w, 0.0); val q = dq.getOrElse(w, 0.0)
+      val m = (p + q) / 2
+      (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+        (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+    }.sum
+    assert(math.abs(got - naive) < 1e-6, s"op $got vs naive $naive")
+  }
+
   test("mixTemperature: weights normalize; sqrt-temperature boosts rare langs") {
     val m = TextAnalysis.mixTemperature(spark, sf)
       .as[(String, Long, Double, Double)].collect()
