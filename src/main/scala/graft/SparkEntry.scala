@@ -318,6 +318,7 @@ object SparkEntry {
     "q_tick_rule" -> (Temporal.tickRule _),
     "q_kyle_lambda" -> (Temporal.kyleLambda _),
     "q_km_conversion" -> ((s, d) => Temporal.kmConversion(s, d)),
+    "q_var_es" -> ((s, d) => Temporal.varEs(s, d)),
     "q_hurst" -> (Temporal.hurst _),
     "q_cusum" -> ((s, d) => graft.ops.Monitor.cusum(s, d)),
     "q_attribution" -> ((s, d) => Temporal.attribution(s, d)),
@@ -4914,6 +4915,34 @@ object SparkEntry {
         |    AS decay_rev
         |FROM c GROUP BY channel
         |ORDER BY channel""".stripMargin,
+
+    // Historical VaR/ES: exact order statistic from a (type, cents)
+    // histogram running-count window; tail mean is integer algebra on
+    // the VaR bucket row (boundary ties counted exactly k times)
+    "q_var_es" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, cents, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt * cents)
+        |      OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT)
+        |      AS cumv,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |k AS (SELECT *, (n + 19) // 20 AS k FROM t)
+        |SELECT event_type, n, CAST(k AS BIGINT) AS k,
+        |  CAST(cents AS DOUBLE) / 100.0 AS var95,
+        |  CAST(CAST(round(CAST(cumv - cnt * cents
+        |      + (k - (cum - cnt)) * cents AS DOUBLE)
+        |    / CAST(k AS DOUBLE) / 100.0 * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS es95
+        |FROM k
+        |WHERE cum >= k AND cum - cnt < k
+        |ORDER BY event_type""".stripMargin,
 
     // CUPED A/B readout: per-user cent sums exact, pooled/per-variant
     // moments as HUGEINT (decimal(38,0) on the Spark side), theta and

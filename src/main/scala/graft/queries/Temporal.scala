@@ -699,6 +699,45 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Historical VaR and expected shortfall, gated as q_var_es: the
+    * 95% lower-tail order statistic of per-event value and the mean of
+    * the tail at/below it, per event type — the portfolio-risk readout
+    * every trading pipeline batch-computes nightly.
+    *
+    * Exact order statistics WITHOUT a per-key row sort: the rows
+    * collapse to a (type, cents) histogram first (one map-side
+    * combinable aggregate over the scan), and the k-th smallest is
+    * found by a running-count window over that histogram — a frame
+    * bounded by DISTINCT cent values per type (value-domain-sized,
+    * corpus-independent), the same shape the calibration/perplexity
+    * deciles use. ES is then integer algebra on the same row: tail sum
+    * = (cum value mass strictly below the VaR bucket) + (remaining k −
+    * n_below draws) · var_cents, so ties at the VaR boundary are
+    * handled exactly. k = ⌈αn⌉ computed in integers ((n+19)/20 for
+    * α=0.05); the only doubles are the two final divisions. */
+  def varEs(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("cents"))
+    h.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("cumv", sum(col("cnt") * col("cents")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("k", expr("(n + 19) div 20")) // integer ceil(n/20)
+      // the bucket holding the k-th smallest: first cum >= k
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("event_type"), col("n"), col("k"),
+        (col("cents").cast("double") / 100.0).as("var95"),
+        (round((col("cumv") - col("cnt") * col("cents")
+            + (col("k") - (col("cum") - col("cnt"))) * col("cents"))
+            .cast("double") / col("k").cast("double") / 100.0 * 1e6)
+          .cast("long").cast("double") / 1e6).as("es95"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUPED-adjusted A/B readout, gated as q_ab_cuped: the standard
     * variance-reduction estimator for online experiments (Deng et al.,
     * WSDM'13) — regress each user's experiment-period purchase value on

@@ -346,6 +346,27 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("varEs: matches a sort-based order-statistic recompute per type") {
+    val out = Temporal.varEs(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      .as[(String, Long)].collect()
+    val byType = raw.groupBy(_._1)
+    assert(out.map(_._1).toSet === byType.keySet)
+    out.foreach { case (et, n, k, v95, es95) =>
+      val sorted = byType(et).map(_._2).sorted
+      assert(n === sorted.length)
+      assert(k === (sorted.length + 19) / 20)
+      assert(v95 === sorted(k.toInt - 1).toDouble / 100.0)
+      val tail = sorted.take(k.toInt)
+      val expect = math.round(
+        tail.sum.toDouble / k / 100.0 * 1e6).toDouble / 1e6
+      assert(es95 === expect, s"$et: $es95 vs $expect")
+      assert(es95 <= v95 + 1e-12, "tail mean cannot exceed the quantile")
+    }
+  }
+
   test("abCuped: matches a from-scratch recompute; CUPED preserves the pooled mean") {
     val out = Temporal.abCuped(spark, sf)
       .as[(Int, Long, Double, Double, Double, Double, Double, Double)]
