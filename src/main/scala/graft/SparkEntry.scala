@@ -260,6 +260,7 @@ object SparkEntry {
     "q_bmp_decode" -> ((s, d) => Multimodal.bmpDecodeFeatures(s, d)),
     // 2x2 box-filter thumbnail: cell-exact integer downsample
     "q_bmp_thumb" -> ((s, d) => Multimodal.bmpThumb(s, d)),
+    "q_image_phash" -> ((s, d) => Multimodal.imagePhash(s, d)),
     // loudest-frame selection: integer frame energies, struct-argmax
     "q_wav_frames" -> ((s, d) => Multimodal.wavFrames(s, d)),
     // real PCM16 WAV files built AND parsed as column algebra (signed
@@ -3200,6 +3201,10 @@ object SparkEntry {
         |  CAST(sum(ab) AS BIGINT) AS tsum_b,
         |  CAST(sum((cy * ((w + 1) // 2) + cx + 1) * ar) AS BIGINT) AS twsum_r
         |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dHash near-dup census: generated oracle shares the bit-index
+    // loops with the Spark pack (Multimodal.imagePhashSql)
+    "q_image_phash" -> Multimodal.imagePhashSql(),
 
     // closed-form replay of the WAV sample formula: signed value
     // reconstruction, data-size-driven sample count — no byte work

@@ -383,6 +383,100 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual image hash (dHash) + near-dup census, gated as
+    * q_image_phash: the image-side twin of SimHash text dedup. Each
+    * decoded BMP downsamples to a `grid`×`grid` integer-luma thumbnail
+    * (area mapping `cell = ⌊p·grid/dim⌋`, BT.601 luma
+    * `(299r+587g+114b) div 1000`, floor-division means — all integer,
+    * so the hash is bit-reproducible across engines and partitionings),
+    * and the hash packs the 2·grid·(grid−1) horizontal+vertical
+    * brightness-gradient sign bits into one BIGINT. Images smaller than
+    * the grid on either axis are excluded by contract (an empty cell
+    * has no defined gradient); a production pipeline routes those to a
+    * smaller grid.
+    *
+    * Scale shape: the same one-explode decode as [[bmpDecode]], one
+    * (doc, cell) aggregate, then a 16-element collect per doc (fixed
+    * size, NOT data-bounded) unrolled into the 24-bit pack — and the
+    * near-dup census is one window count over the hash, i.e. exact-dup
+    * grouping in hash space exactly like q_dedup_exact. The oracle
+    * replays everything closed-form from the pixel generator.
+    *
+    * Cited shape: /root/reference/visualization/app.py serves coin logo
+    * assets verbatim; a crawl-scale image corpus dedups them first. */
+  def imagePhash(spark: SparkSession, dir: String, grid: Int = 4): DataFrame = {
+    val g = grid
+    val cells = bmpPixels(bmpTable(spark, dir).localCheckpoint(eager = false))
+      .filter(col("width") >= g && col("height") >= g)
+      .withColumn("ci", floor(col("x") * g / col("width")).cast("long"))
+      .withColumn("cj", floor(col("y") * g / col("height")).cast("long"))
+      .withColumn("gray", expr("(r * 299 + g * 587 + b * 114) div 1000"))
+      .groupBy(col("doc_id"), col("cj"), col("ci"))
+      .agg(max(col("width")).as("w"), max(col("height")).as("h"),
+        expr("sum(gray) div count(1)").as("cg"))
+    val packed = cells.groupBy(col("doc_id"))
+      .agg(max(col("w")).as("width"), max(col("h")).as("height"),
+        array_sort(collect_list(struct(col("cj"), col("ci"), col("cg"))))
+          .as("t")) // g*g fixed-size, row-major (cj, ci)
+    def at(i: Int, j: Int): Column =
+      element_at(col("t"), i * g + j + 1).getField("cg")
+    val hBits = for { i <- 0 until g; j <- 0 until g - 1 }
+      yield (at(i, j) > at(i, j + 1), i * (g - 1) + j)
+    val vBits = for { i <- 0 until g - 1; j <- 0 until g }
+      yield (at(i, j) > at(i + 1, j), g * (g - 1) + i * g + j)
+    val phash = (hBits ++ vBits)
+      .map { case (b, k) => when(b, lit(1L << k)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    packed
+      .select(col("doc_id"), col("width"), col("height"), phash.as("phash"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generated oracle for [[imagePhash]]: the 24 gradient-sign terms
+    * are emitted from the SAME index loops as the Spark pack, over a
+    * closed-form cell table replayed from the pixel generator. */
+  def imagePhashSql(grid: Int = 4): String = {
+    val g = grid
+    def cg(i: Int, j: Int) = s"max(CASE WHEN cj = $i AND ci = $j THEN cg END)"
+    val hBits = for { i <- 0 until g; j <- 0 until g - 1 }
+      yield (cg(i, j), cg(i, j + 1), i * (g - 1) + j)
+    val vBits = for { i <- 0 until g - 1; j <- 0 until g }
+      yield (cg(i, j), cg(i + 1, j), g * (g - 1) + i * g + j)
+    val terms = (hBits ++ vBits).map { case (a, b, k) =>
+      s"(CASE WHEN $a > $b THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH px AS (
+       |  SELECT d.doc_id,
+       |    (d.doc_id % 16 + 1) AS w, (d.doc_id % 12 + 1) AS h,
+       |    (x.x * $g) // (d.doc_id % 16 + 1) AS ci,
+       |    (y.y * $g) // (d.doc_id % 12 + 1) AS cj,
+       |    ((d.doc_id + x.x * 7 + y.y * 13) % 256 * 299
+       |     + (d.doc_id * 2 + x.x * 5 + y.y * 11) % 256 * 587
+       |     + (d.doc_id * 3 + x.x * 3 + y.y * 17) % 256 * 114) // 1000
+       |      AS gray
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+       |  CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
+       |  WHERE d.doc_id < 2000
+       |    AND d.doc_id % 16 + 1 >= $g AND d.doc_id % 12 + 1 >= $g
+       |    AND x.x < d.doc_id % 16 + 1 AND y.y < d.doc_id % 12 + 1),
+       |cells AS (
+       |  SELECT doc_id, cj, ci, max(w) AS w, max(h) AS h,
+       |    sum(gray) // count(*) AS cg
+       |  FROM px GROUP BY doc_id, cj, ci),
+       |hashes AS (
+       |  SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+       |    CAST(max(h) AS BIGINT) AS height,
+       |    CAST($terms AS BIGINT) AS phash
+       |  FROM cells GROUP BY doc_id)
+       |SELECT doc_id, width, height, phash,
+       |  count(*) OVER (PARTITION BY phash) AS bucket_size
+       |FROM hashes ORDER BY doc_id""".stripMargin
+  }
+
   /** Frame sampling shape: every k-th fixed-size byte window of the
     * payload becomes a "frame" row — the video-frame-extraction dataflow
     * (explode on a computed offset sequence; payload stays binary). */

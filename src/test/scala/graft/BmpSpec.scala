@@ -91,4 +91,43 @@ class BmpSpec extends SparkSpec {
         tr, tg, tb, twr)), s"doc $id")
     }
   }
+
+  test("imagePhash matches an ImageIO-decoded dHash; buckets count exact hash dups") {
+    val g = 4
+    val out = Multimodal.imagePhash(spark, sf)
+      .filter($"doc_id" < 64)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // only images at least grid-sized carry a hash
+    val expectIds = payloads.keySet.filter(id =>
+      (id % 16 + 1) >= g && (id % 12 + 1) >= g)
+    assert(out.keySet === expectIds)
+    out.foreach { case (id, (_, w, h, phash, _)) =>
+      val img = ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(id)))
+      assert((w, h) === ((img.getWidth.toLong, img.getHeight.toLong)))
+      // independent dHash: area-mapped 4x4 integer-luma thumbnail
+      val cell = Array.fill(g, g)((0L, 0L)) // (graySum, n)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val (ci, cj) = (x * g / img.getWidth, y * g / img.getHeight)
+        val (s0, n0) = cell(cj)(ci); cell(cj)(ci) = (s0 + gray, n0 + 1)
+      }
+      val cg = cell.map { row => row.map { case (s0, n0) => s0 / n0 } }
+      var expect = 0L
+      for (i <- 0 until g; j <- 0 until g - 1)
+        if (cg(i)(j) > cg(i)(j + 1)) expect |= 1L << (i * (g - 1) + j)
+      for (i <- 0 until g - 1; j <- 0 until g)
+        if (cg(i)(j) > cg(i + 1)(j)) expect |= 1L << (g * (g - 1) + i * g + j)
+      assert(phash === expect, s"doc $id")
+    }
+    // bucket sizes: exact count of equal hashes in the FULL gated slice
+    val full = Multimodal.imagePhash(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byHash = full.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    full.foreach { case (id, _, _, ph, bs) =>
+      assert(bs === byHash(ph), s"doc $id bucket")
+    }
+  }
 }
