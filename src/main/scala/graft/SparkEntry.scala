@@ -193,6 +193,7 @@ object SparkEntry {
     // S x S cross-source NLL matrix from one vocab-bounded fan-out
     "q_domain_shift" -> (TextAnalysis.domainShift _),
     "q_js_divergence" -> (TextAnalysis.jsDivergence _),
+    "q_kmv_overlap" -> ((s, d) => TextAnalysis.kmvOverlap(s, d)),
     // language-ID accuracy: gold-vs-predicted confusion cells
     "q_lid_confusion" -> (TextAnalysis.lidConfusion _),
     "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
@@ -2207,6 +2208,10 @@ object SparkEntry {
         |FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1)
         |GROUP BY db.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // KMV sketch overlap: generated oracle (TextAnalysis.kmvOverlapSql)
+    // replays the md5-derived sketches bit-exactly
+    "q_kmv_overlap" -> TextAnalysis.kmvOverlapSql(),
 
     // Pairwise Jensen-Shannon divergence: shared-support log terms are
     // 1e-12-quantized BIGINT units (order-free), exclusive mass rides

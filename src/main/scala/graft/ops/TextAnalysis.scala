@@ -766,6 +766,155 @@ object TextAnalysis {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** KMV (k-minimum-values) sketch overlap, gated as q_kmv_overlap:
+    * pairwise distinct-vocabulary union/intersection estimates between
+    * sources from 256-value sketches, verified in-row against the exact
+    * counts. This is the sketch that answers "how much does source A's
+    * vocabulary overlap source B's?" at 100 TB WITHOUT the gram-scale
+    * term self-join [[sourceOverlap]] pays: each source compresses to
+    * its k smallest term hashes (one [[graft.plans.TopKPerKey]] pass —
+    * partial heaps below the shuffle, |sources|·k rows out), and every
+    * pairwise estimate is algebra on that tiny census. The exact side
+    * here is the verification harness, affordable at oracle SF only.
+    *
+    * Estimators (Beyer et al., SIGMOD'07): with U the k-th smallest
+    * distinct hash of the merged pair sketch (60-bit uniform domain),
+    * union ≈ (k−1)·2⁶⁰/U; J ≈ |both-member values among those k|/k;
+    * intersection ≈ J·union. When the true union is smaller than k the
+    * sketch IS the exact distinct set and the estimate switches to that
+    * count. All hash material is md5-derived, so DuckDB replays the
+    * sketch bit-exactly; estimator doubles are single expressions over
+    * exact BIGINTs, 1e-6-requantized. */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+    val hv = conv(substring(md5(concat(lit("kmv|"), col("w"))), 1, 15),
+      16, 10).cast("long")
+    val sk = graft.plans.Graft.topKPerKey(
+        terms.select(col("source"), hv.as("hv")).distinct(),
+        Seq("source"), Seq(("hv", false)), k)
+      .localCheckpoint(eager = false) // |sources|*k rows feed both sides
+    val srcs = sk.select(col("source")).distinct()
+    // replicate each sketch against every partner source, tag membership
+    val entries = sk.crossJoin(srcs.select(col("source").as("other")))
+      .filter(col("source") =!= col("other"))
+      .select(
+        least(col("source"), col("other")).as("src_a"),
+        greatest(col("source"), col("other")).as("src_b"),
+        col("hv"),
+        when(col("source") < col("other"), 1L).otherwise(0L).as("in_a"),
+        when(col("source") > col("other"), 1L).otherwise(0L).as("in_b"))
+      .groupBy(col("src_a"), col("src_b"), col("hv"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val byPair = Window.partitionBy(col("src_a"), col("src_b"))
+    val est = entries
+      .withColumn("rn", row_number().over(byPair.orderBy(col("hv"))))
+      .filter(col("rn") <= k) // merged pair sketch: k smallest, bounded
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("u_k"),
+        sum(col("in_a") * col("in_b")).as("shared"))
+    // exact verification twin (oracle-SF only): one term self-join
+    val cnt = terms.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val inter = terms.select(col("source").as("src_a"), col("w"))
+      .join(terms.select(col("source").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val two60 = lit(1152921504606846976L).cast("double") // 2^60 exact
+    def q6(c: Column): Column =
+      round(c * 1e6).cast("long").cast("double") / 1e6
+    val uEst = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * two60 / col("u_k").cast("double"))
+    est
+      .join(broadcast(cnt.select(col("source").as("src_a"),
+        col("nd").as("n_a"))), "src_a")
+      .join(broadcast(cnt.select(col("source").as("src_b"),
+        col("nd").as("n_b"))), "src_b")
+      .join(inter, Seq("src_a", "src_b"))
+      .withColumn("exact_union",
+        col("n_a") + col("n_b") - col("exact_inter"))
+      .withColumn("kmv_union", uEst)
+      .withColumn("kmv_inter",
+        col("shared").cast("double") / col("n_kept").cast("double")
+          * col("kmv_union"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("exact_inter"), col("exact_union"),
+        q6(col("kmv_union")).as("kmv_union"),
+        q6(col("kmv_inter")).as("kmv_inter"),
+        q6(abs(col("kmv_union") - col("exact_union").cast("double"))
+          / col("exact_union").cast("double")).as("union_rel_err"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Generated oracle for [[kmvOverlap]] — the k literal is shared with
+    * the Spark pass so a parameter change cannot desynchronize them. */
+  def kmvOverlapSql(k: Int = 256): String =
+    s"""WITH terms AS MATERIALIZED (
+       |  SELECT DISTINCT source, w
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)),
+       |hv AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5('kmv|' || w), 1, 15))::BIGINT AS hv
+       |  FROM terms),
+       |sk AS MATERIALIZED (
+       |  SELECT source, hv FROM (
+       |    SELECT source, hv,
+       |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+       |    FROM hv)
+       |  WHERE rn <= $k),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |e AS (
+       |  SELECT least(s.source, o.source) AS src_a,
+       |    greatest(s.source, o.source) AS src_b, s.hv,
+       |    max(CASE WHEN s.source < o.source THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN s.source > o.source THEN 1 ELSE 0 END) AS in_b
+       |  FROM sk s CROSS JOIN srcs o WHERE s.source <> o.source
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT src_a, src_b, hv, in_a, in_b,
+       |        row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv)
+       |          AS rn
+       |      FROM e),
+       |est AS (
+       |  SELECT src_a, src_b, count(*) AS n_kept,
+       |    CAST(max(hv) AS BIGINT) AS u_k,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS shared
+       |  FROM r WHERE rn <= $k GROUP BY 1, 2),
+       |cnt AS (SELECT source, count(*) AS nd FROM terms GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*) AS exact_inter
+       |  FROM terms a JOIN terms b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT e.src_a, e.src_b, ca.nd AS n_a, cb.nd AS n_b,
+       |    i.exact_inter, ca.nd + cb.nd - i.exact_inter AS exact_union,
+       |    CASE WHEN e.n_kept < $k THEN CAST(e.n_kept AS DOUBLE)
+       |      ELSE ${(k - 1).toDouble}
+       |        * CAST(1152921504606846976 AS DOUBLE)
+       |        / CAST(e.u_k AS DOUBLE) END AS kmv_union_raw,
+       |    e.shared, e.n_kept
+       |  FROM est e
+       |  JOIN cnt ca ON ca.source = e.src_a
+       |  JOIN cnt cb ON cb.source = e.src_b
+       |  JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b),
+       |g AS (
+       |  SELECT src_a, src_b, n_a, n_b, exact_inter, exact_union,
+       |    kmv_union_raw,
+       |    CAST(shared AS DOUBLE) / CAST(n_kept AS DOUBLE)
+       |      * kmv_union_raw AS kmv_inter_raw
+       |  FROM f)
+       |SELECT src_a, src_b, n_a, n_b, exact_inter, exact_union,
+       |  CAST(CAST(round(kmv_union_raw * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+       |    AS kmv_union,
+       |  CAST(CAST(round(kmv_inter_raw * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+       |    AS kmv_inter,
+       |  CAST(CAST(round(abs(kmv_union_raw - CAST(exact_union AS DOUBLE))
+       |      / CAST(exact_union AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE)
+       |    / 1e6 AS union_rel_err
+       |FROM g ORDER BY src_a, src_b""".stripMargin
+
   /** Pairwise Jensen-Shannon divergence between per-source unigram
     * distributions, gated as q_js_divergence — the symmetric, bounded
     * ([0, ln 2]) drift measure for "how different is source A's text

@@ -61,4 +61,28 @@ class SketchSpec extends SparkSpec {
       assert(recount(term) === exact, s"'$term': probe exact count drifted")
     }
   }
+
+  test("kmv overlap: estimates track exact within sketch error; pairs complete") {
+    val rows = graft.ops.TextAnalysis.kmvOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    val sources = rows.flatMap(r => Seq(r._1, r._2)).distinct
+    assert(rows.length === sources.length * (sources.length - 1) / 2,
+      "every unordered source pair exactly once")
+    rows.foreach {
+      case (a, b, na, nb, exInter, exUnion, kmvU, kmvI, relErr) =>
+        assert(a < b)
+        assert(exInter <= math.min(na, nb) && exUnion >= math.max(na, nb))
+        assert(exUnion === na + nb - exInter)
+        assert(kmvI <= kmvU + 1e-9, s"($a,$b): inter est above union est")
+        // KMV with k=256 has relative std-err ~1/sqrt(254) ≈ 6.3%; a 4-σ
+        // band on the fixed corpus stays far from flaking
+        assert(relErr < 0.25, s"($a,$b): union rel err $relErr")
+        assert(math.abs(kmvI - exInter) <=
+          0.25 * math.max(exUnion.toDouble, 1.0) + 1e-9,
+          s"($a,$b): inter est $kmvI vs exact $exInter")
+        assert(math.abs(relErr -
+          math.abs(kmvU - exUnion) / exUnion) < 2e-6)
+    }
+  }
 }
