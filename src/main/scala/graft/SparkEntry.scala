@@ -236,6 +236,7 @@ object SparkEntry {
     "q_prep_funnel" -> ((s, d) => TextAnalysis.prepFunnel(s, d)),
     "q_ess" -> ((s, d) => TextAnalysis.effectiveSampleSize(s, d)),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(s, d)),
+    "q_isotonic" -> ((s, d) => TextAnalysis.isotonic(s, d)),
     // LLM-pipeline: dedup cluster resolution + profiling + Wilder RSI
     "q_dedup_clusters" -> ((s, d) => graft.ops.Graph.docClusters(s, d)),
     "q_cluster_sizes" -> ((s, d) => graft.ops.Graph.clusterSizes(s, d)),
@@ -1576,6 +1577,61 @@ object SparkEntry {
         |  round(CAST(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
         |    AS DOUBLE) / count(*) / 1000000, 6) AS mean_score
         |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // Isotonic (PAV) fit over the calibration deciles via the
+    // max-min segment-mean closed form on the bounded decile lattice
+    "q_isotonic" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS s,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS BIGINT) AS p
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
+        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |  FROM f),
+        |lab AS (
+        |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
+        |    ((length(text) - (len(t) - 1)) BETWEEN 3 * len(t) AND 10 * len(t)) AND
+        |    (len(list_intersect(t, ['the','a','and','of','to','in'])) >= 2) AND
+        |    (5 * len(list_distinct(t)) >= len(t)) AS BIGINT) AS y
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+        |j AS (SELECT q.doc_id, q.score, lab.y,
+        |        ntile(10) OVER (ORDER BY q.score, q.doc_id) AS decile
+        |      FROM q JOIN lab USING (doc_id)),
+        |cal AS (SELECT decile, count(*) AS n_docs,
+        |          CAST(sum(y) AS BIGINT) AS n_pos
+        |        FROM j GROUP BY decile),
+        |pre AS (SELECT decile, n_docs, n_pos,
+        |          CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cn,
+        |          CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cy
+        |        FROM cal),
+        |seg AS (SELECT a.decile AS a, b.decile AS b,
+        |          CAST(b.cy - (a.cy - a.n_pos) AS DOUBLE)
+        |            / CAST(b.cn - (a.cn - a.n_docs) AS DOUBLE) AS m
+        |        FROM pre a JOIN pre b ON b.decile >= a.decile),
+        |mins AS (SELECT i.decile AS decile, s.a, min(s.m) AS mm
+        |         FROM pre i JOIN seg s
+        |           ON s.a <= i.decile AND s.b >= i.decile
+        |         GROUP BY 1, 2),
+        |iso AS (SELECT decile, max(mm) AS iso_raw FROM mins GROUP BY 1),
+        |r AS (SELECT p.decile, p.n_docs, p.n_pos,
+        |        round(CAST(p.n_pos AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6)
+        |          AS pos_rate,
+        |        CAST(CAST(round(i.iso_raw * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |          AS iso_rate
+        |      FROM pre p JOIN iso i USING (decile))
+        |SELECT decile, n_docs, n_pos, pos_rate, iso_rate,
+        |  CASE WHEN lag(iso_rate) OVER (ORDER BY decile) IS NULL
+        |         OR iso_rate >= lag(iso_rate) OVER (ORDER BY decile)
+        |       THEN 1 ELSE 0 END AS monotone_ok
+        |FROM r ORDER BY decile""".stripMargin,
 
     // exact Mann-Whitney midrank AUC (integer numerator): classifier
     // logit scored against the Gopher all-rules label

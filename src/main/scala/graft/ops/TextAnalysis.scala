@@ -306,6 +306,58 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** Isotonic (PAV) calibration of the quality classifier, gated as
+    * q_isotonic: the monotone-non-decreasing keep-rate curve closest in
+    * L2 to the raw per-decile rates — what production pipelines fit
+    * before using a classifier logit as an acceptance probability
+    * (Zadrozny & Elkan, KDD'02; the calibrate step after
+    * [[calibration]]'s diagnostic).
+    *
+    * Instead of the sequential pool-adjacent-violators stack, the
+    * solution is computed by its closed form
+    * `iso(i) = max_{a≤i} min_{b≥i} mean(y over deciles a..b)` — every
+    * segment mean is a ratio of exact prefix-sum differences, and the
+    * max-min runs over the O(B³)-pair lattice of the B-row decile
+    * census (B=10 → ≤ 1000 rows), NEVER the corpus. The corpus-scale
+    * work is exactly [[calibration]]'s one histogram-ntile pass; the
+    * PAV itself is bounded algebra, which is why this stays declarative
+    * where the textbook algorithm is a driver loop. `monotone_ok` is a
+    * theorem of the construction (lag-checked, not assumed). */
+  def isotonic(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val cal = calibration(spark, dir, buckets)
+      .select(col("decile"), col("n_docs"), col("n_pos"))
+      .localCheckpoint(eager = false) // B rows; read by spine + lattice
+    val run = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = cal
+      .withColumn("cn", sum(col("n_docs")).over(run))
+      .withColumn("cy", sum(col("n_pos")).over(run))
+    val seg = pre.select(col("decile").as("a"),
+        (col("cn") - col("n_docs")).as("cn0"),
+        (col("cy") - col("n_pos")).as("cy0"))
+      .join(pre.select(col("decile").as("b"), col("cn").as("cnb"),
+        col("cy").as("cyb")), col("b") >= col("a"))
+      .select(col("a"), col("b"),
+        ((col("cyb") - col("cy0")).cast("double")
+          / (col("cnb") - col("cn0")).cast("double")).as("m"))
+    val iso = pre.select(col("decile"))
+      .join(seg, col("a") <= col("decile") && col("b") >= col("decile"))
+      .groupBy(col("decile"), col("a")).agg(min(col("m")).as("mm"))
+      .groupBy(col("decile")).agg(max(col("mm")).as("iso_raw"))
+    val ord = Window.orderBy(col("decile"))
+    pre.join(iso, "decile")
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pos_rate"),
+        (round(col("iso_raw") * 1e6).cast("long").cast("double") / 1e6)
+          .as("iso_rate"))
+      .withColumn("monotone_ok",
+        when(lag(col("iso_rate"), 1).over(ord).isNull ||
+          col("iso_rate") >= lag(col("iso_rate"), 1).over(ord), 1L)
+          .otherwise(0L))
+      .orderBy(col("decile"))
+  }
+
   /** Data-prep accounting funnel: document counts through the cleaning
     * chain (raw → Gopher rule filter → exact dedup of the survivors),
     * with per-stage drops and rates — the one-look answer to "where did

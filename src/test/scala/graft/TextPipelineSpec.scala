@@ -438,6 +438,41 @@ class TextPipelineSpec extends SparkSpec {
     assert(cal.last._4 > cal.head._4)
   }
 
+  test("isotonic: matches the classic PAV stack; monotone; pool mass preserved") {
+    val out = TextAnalysis.isotonic(spark, sf)
+      .as[(Int, Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1 to 10))
+    assert(out.forall(_._6 === 1L), "monotone_ok theorem flag")
+    // classic pool-adjacent-violators on the same (n, y) decile census
+    case class Pool(var n: Long, var y: Long) {
+      def rate: Double = y.toDouble / n
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Pool, Int)]
+    out.foreach { case (_, n, y, _, _, _) =>
+      stack += ((Pool(n, y), 1))
+      while (stack.length > 1 &&
+          stack(stack.length - 2)._1.rate >= stack.last._1.rate - 1e-15) {
+        val (p2, w2) = stack.remove(stack.length - 1)
+        val (p1, w1) = stack.remove(stack.length - 1)
+        stack += ((Pool(p1.n + p2.n, p1.y + p2.y), w1 + w2))
+      }
+    }
+    val pav = stack.flatMap { case (p, w) => Seq.fill(w)(p.rate) }
+    assert(pav.length === 10)
+    out.zip(pav).foreach { case ((d, _, _, _, iso, _), expect) =>
+      assert(math.abs(iso - expect) < 2e-6, s"decile $d: $iso vs $expect")
+    }
+    // isotonic projection preserves total positive mass
+    val mass = out.map { case (_, n, _, _, iso, _) => n * iso }.sum
+    assert(math.abs(mass - out.map(_._3).sum) < 1e-3)
+    // never worse than a constant fit: SSE against the raw rates
+    val grand = out.map(_._3).sum.toDouble / out.map(_._2).sum
+    def sse(f: Int => Double) = out.zipWithIndex.map { case (r, i) =>
+      r._2 * math.pow(r._4 - f(i), 2)
+    }.sum
+    assert(sse(i => pav(i)) <= sse(_ => grand) + 1e-9)
+  }
+
   test("effectiveSampleSize: uniform mixture keeps ESS = n; skew bites") {
     val Array((n, nSrc, ess, ratio)) = TextAnalysis.effectiveSampleSize(spark, sf)
       .as[(Long, Long, Double, Double)].collect()
