@@ -338,6 +338,7 @@ object SparkEntry {
     "q_state_v2" -> (graft.streaming.StateV2.tickerPartials _),
     // round 7 (cont. 4): web-crawl curation + feature selection
     "q_url_canon" -> (graft.ops.Web.urlCanon _),
+    "q_dedup_url" -> (graft.ops.Web.dedupUrl _),
     "q_unicode_norm" -> (graft.ops.TextAnalysis.unicodeNorm _),
     "q_domain_stats" -> (graft.ops.Web.domainStats _),
     "q_domain_cap" -> ((s, d) => graft.ops.Web.domainCap(s, d)),
@@ -4541,6 +4542,62 @@ object SparkEntry {
         |         ELSE '' END AS canon_url
         |FROM k
         |ORDER BY doc_id""".stripMargin,
+
+    // canonical-URL dedup: one row per registered domain; survivor =
+    // min doc_id per canonical URL, the repo-wide dedup convention
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |    || 'sub' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.' || source
+        |    || CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |            WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END
+        |    || '/' || lang || '/page-' || CAST(doc_id % 40 AS VARCHAR)
+        |    || '?'
+        |    || CASE WHEN doc_id % 2 = 0
+        |        THEN 'utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=x'
+        |        ELSE 'id=' || CAST(doc_id % 100 AS VARCHAR) || '&q=' || lang END
+        |    || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(lower(regexp_extract(url, '^https://([^/]+)', 1)),
+        |                   '^www\.', '') AS host,
+        |    regexp_extract(url, '^https://[^/]+([^?#]*)', 1) AS path,
+        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&') AS params
+        |  FROM u),
+        |k AS (
+        |  SELECT doc_id, host,
+        |    'https://' || host || path ||
+        |      CASE WHEN len(list_filter(params, pp ->
+        |               NOT (starts_with(pp, 'utm_') OR starts_with(pp, 'ref=')))) > 0
+        |           THEN '?' || array_to_string(list_filter(params, pp ->
+        |               NOT (starts_with(pp, 'utm_') OR starts_with(pp, 'ref='))), '&')
+        |           ELSE '' END AS canon_url
+        |  FROM p),
+        |per_url AS (
+        |  SELECT canon_url, count(*) AS n_copies,
+        |    CAST(min(doc_id) AS BIGINT) AS survivor, max(host) AS host
+        |  FROM k GROUP BY canon_url),
+        |r AS (SELECT *, string_split(host, '.') AS ls,
+        |             len(string_split(host, '.')) AS nl
+        |      FROM per_url),
+        |d AS (
+        |  SELECT n_copies, survivor,
+        |    CASE WHEN ls[nl-1] || '.' || ls[nl] IN ('co.uk', 'com.au')
+        |         THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
+        |         ELSE ls[nl-1] || '.' || ls[nl] END AS registered_domain
+        |  FROM r)
+        |SELECT registered_domain,
+        |  CAST(sum(n_copies) AS BIGINT) AS n_docs,
+        |  count(*) AS n_urls,
+        |  CAST(sum(n_copies) - count(*) AS BIGINT) AS dup_docs,
+        |  CAST(max(n_copies) AS BIGINT) AS max_copies,
+        |  CAST(min(survivor) AS BIGINT) AS first_survivor
+        |FROM d GROUP BY registered_domain
+        |ORDER BY registered_domain""".stripMargin,
 
     "q_domain_stats" ->
       """WITH u AS (

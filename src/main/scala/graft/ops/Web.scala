@@ -96,6 +96,37 @@ object Web {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-URL dedup census, gated as q_dedup_url: the crawl-side
+    * dedup that runs BEFORE any content hashing — documents whose URLs
+    * canonicalize identically (host case/www, fragments, tracking
+    * params stripped) are re-crawls of one page, so the pipeline keeps
+    * one survivor per canonical URL and charges the duplicates to their
+    * registered domain (re-crawl rate is a per-domain crawl-policy
+    * signal). Survivor rule: min doc_id, the repo-wide convention
+    * (ops/Dedup.scala survivors).
+    *
+    * Scale shape: one groupBy(canon_url) over [[urlCanon]]'s zero-
+    * shuffle projection — the string key is the only corpus-scale
+    * shuffle — then a map-side-combinable rollup on the bounded
+    * registered-domain key. min(survivor) per domain is a checksum that
+    * any survivor-selection mistake shifts. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val perUrl = urlCanon(spark, dir)
+      .select(col("doc_id"), col("host"), col("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor"),
+        max(col("host")).as("host")) // host is a function of canon_url
+    perUrl
+      .withColumn("registered_domain", registeredDomain(col("host")))
+      .groupBy(col("registered_domain"))
+      .agg(sum(col("n_copies")).as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        (sum(col("n_copies")) - count(lit(1))).as("dup_docs"),
+        max(col("n_copies")).as("max_copies"),
+        min(col("survivor")).as("first_survivor"))
+      .orderBy(col("registered_domain"))
+  }
+
   /** Registered-domain rollup, gated as q_domain_stats: docs, distinct
     * hosts, distinct languages, and char mass per registered domain.
     * One map-side-combinable groupBy on a low-cardinality key; the

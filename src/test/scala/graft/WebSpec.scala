@@ -6,6 +6,7 @@ import graft.ops.Web
 
 /** Properties of the web-crawl curation pack (ops/Web.scala). */
 class WebSpec extends SparkSpec {
+  import spark.implicits._
 
   test("urlCanon strips fragments and tracking params, lowercases host") {
     val rows = Web.urlCanon(spark, sf).collect()
@@ -70,5 +71,26 @@ class WebSpec extends SparkSpec {
       assert(r.getAs[Double]("chi2") >= 0.0)
       assert(r.getAs[Long]("docs_in_class") <= r.getAs[Long]("docs_with_term"))
     }
+  }
+
+  test("dedupUrl: domain census conserves docs; survivors are canonical-group minima") {
+    val rows = Web.dedupUrl(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val total = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "domains partition the corpus")
+    rows.foreach { case (dom, nDocs, nUrls, dup, maxC, _) =>
+      assert(nUrls >= 1 && nUrls <= nDocs)
+      assert(dup === nDocs - nUrls)
+      assert(maxC >= 1 && maxC <= nDocs)
+      assert(dom.count(_ == '.') >= 1)
+    }
+    // survivor rule cross-check against a per-URL recount
+    val perUrl = Web.urlCanon(spark, sf)
+      .select($"doc_id", $"canon_url")
+      .as[(Long, String)].collect().groupBy(_._2)
+    val expectedSurvivors = perUrl.values.map(_.map(_._1).min).toSet
+    val firstByDomain = rows.map(r => r._1 -> r._6).toMap
+    firstByDomain.values.foreach(s =>
+      assert(expectedSurvivors.contains(s), s"survivor $s not a group min"))
   }
 }
