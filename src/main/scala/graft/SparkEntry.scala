@@ -194,6 +194,7 @@ object SparkEntry {
     "q_domain_shift" -> (TextAnalysis.domainShift _),
     "q_js_divergence" -> (TextAnalysis.jsDivergence _),
     "q_kmv_overlap" -> ((s, d) => TextAnalysis.kmvOverlap(s, d)),
+    "q_key_sample" -> ((s, d) => TextAnalysis.keySample(s, d)),
     // language-ID accuracy: gold-vs-predicted confusion cells
     "q_lid_confusion" -> (TextAnalysis.lidConfusion _),
     "q_perplexity" -> (TextAnalysis.perplexityBuckets _),
@@ -322,6 +323,7 @@ object SparkEntry {
     "q_kyle_lambda" -> (Temporal.kyleLambda _),
     "q_km_conversion" -> ((s, d) => Temporal.kmConversion(s, d)),
     "q_var_es" -> ((s, d) => Temporal.varEs(s, d)),
+    "q_winsorize" -> ((s, d) => Temporal.winsorize(s, d)),
     "q_hurst" -> (Temporal.hurst _),
     "q_cusum" -> ((s, d) => graft.ops.Monitor.cusum(s, d)),
     "q_attribution" -> ((s, d) => Temporal.attribution(s, d)),
@@ -2269,6 +2271,20 @@ object SparkEntry {
     // KMV sketch overlap: generated oracle (TextAnalysis.kmvOverlapSql)
     // replays the md5-derived sketches bit-exactly
     "q_kmv_overlap" -> TextAnalysis.kmvOverlapSql(),
+
+    // exact-k per-stratum sample: md5 rank is the deterministic coin
+    "q_key_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5('ks|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rnk
+        |      FROM h)
+        |SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id
+        |FROM r WHERE rnk <= 8
+        |ORDER BY lang, rnk""".stripMargin,
 
     // Pairwise Jensen-Shannon divergence: shared-support log terms are
     // 1e-12-quantized BIGINT units (order-free), exclusive mass rides
@@ -5038,6 +5054,55 @@ object SparkEntry {
         |    AS decay_rev
         |FROM c GROUP BY channel
         |ORDER BY channel""".stripMargin,
+
+    // Winsorization: clip points from the histogram running count,
+    // winsorized sum as integer algebra (total - tails + clip*counts)
+    "q_winsorize" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, cents, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt * cents)
+        |      OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT)
+        |      AS cumv,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |lo AS (
+        |  SELECT event_type, cents AS p05c, cum - cnt AS nlo,
+        |    cumv - cnt * cents AS vlo
+        |  FROM t WHERE cum >= (n + 19) // 20
+        |    AND cum - cnt < (n + 19) // 20),
+        |hi AS (
+        |  SELECT event_type, cents AS p95c
+        |  FROM t WHERE cum >= (19 * n + 19) // 20
+        |    AND cum - cnt < (19 * n + 19) // 20),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(cnt * cents) AS BIGINT) AS sv
+        |  FROM h GROUP BY 1),
+        |ab AS (
+        |  SELECT h.event_type, CAST(sum(h.cnt) AS BIGINT) AS nhi,
+        |    CAST(sum(h.cnt * h.cents) AS BIGINT) AS vhi
+        |  FROM h JOIN hi ON h.event_type = hi.event_type
+        |  WHERE h.cents > hi.p95c GROUP BY 1)
+        |SELECT tot.event_type, tot.n,
+        |  CAST(lo.p05c AS DOUBLE) / 100.0 AS p05,
+        |  CAST(hi.p95c AS DOUBLE) / 100.0 AS p95,
+        |  CAST(lo.nlo AS BIGINT) AS clipped_low,
+        |  CAST(coalesce(ab.nhi, 0) AS BIGINT) AS clipped_high,
+        |  CAST(CAST(round(CAST(tot.sv - lo.vlo + lo.nlo * lo.p05c
+        |      - coalesce(ab.vhi, 0) + coalesce(ab.nhi, 0) * hi.p95c
+        |      AS DOUBLE) / CAST(tot.n AS DOUBLE) / 100.0 * 1e6) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS win_mean
+        |FROM tot
+        |JOIN lo ON lo.event_type = tot.event_type
+        |JOIN hi ON hi.event_type = tot.event_type
+        |LEFT JOIN ab ON ab.event_type = tot.event_type
+        |ORDER BY tot.event_type""".stripMargin,
 
     // Historical VaR/ES: exact order statistic from a (type, cents)
     // histogram running-count window; tail mean is integer algebra on

@@ -818,6 +818,34 @@ object TextAnalysis {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Exact-k deterministic per-stratum sample, gated as q_key_sample:
+    * k documents per language, uniform without replacement, chosen as
+    * the k smallest md5 ranks — the "give me 8 random-but-reproducible
+    * examples per class" primitive behind eval-set construction and
+    * data-card examples. Unlike Bernoulli/stratified sampling (gated
+    * separately), the output size is EXACTLY k per stratum at any
+    * corpus size, and re-running on a grown corpus changes the sample
+    * minimally (hash ranks are stable per doc — new docs displace at
+    * most as many as enter the top-k).
+    *
+    * Scale shape: one [[graft.plans.TopKPerKey]] pass — per-partition
+    * k-bounded heaps below the shuffle, so the exchange carries ≤
+    * k·partitions rows per language, never the corpus; the final
+    * row_number orders the |langs|·k survivors only. */
+  def keySample(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("ks|"), col("doc_id"))), 1, 15),
+      16, 10).cast("long")
+    val ranked = graft.plans.Graft.topKPerKey(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id"), hv.as("hv")),
+      Seq("lang"), Seq(("hv", false)), k)
+    ranked
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hv"))))
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** KMV (k-minimum-values) sketch overlap, gated as q_kmv_overlap:
     * pairwise distinct-vocabulary union/intersection estimates between
     * sources from 256-value sketches, verified in-row against the exact

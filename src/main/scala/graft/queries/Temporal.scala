@@ -738,6 +738,62 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorization census, gated as q_winsorize: per event type, the
+    * P05/P95 clip points and the winsorized mean — the standard
+    * heavy-tail taming step before feature scaling (metrics pipelines
+    * winsorize revenue-like columns so one whale doesn't own the
+    * gradient). Same exact-order-statistic histogram machinery as
+    * [[varEs]] (value-domain-bounded window, zero per-key row sorts);
+    * the winsorized SUM is then pure integer algebra over the same
+    * histogram — total − tail masses + clip · tail counts — so the mean
+    * is exact at any scale, not a resampled approximation. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // histogram feeds picks + rollup
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("cents"))
+    val marked = h
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("cumv", sum(col("cnt") * col("cents")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(byType))
+    def pick(kExpr: Column, name: String): DataFrame = marked
+      .withColumn("k", kExpr)
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("event_type"), col("cents").as(name),
+        // mass and value strictly below the clip point
+        (col("cum") - col("cnt")).as(s"${name}_nlo"),
+        (col("cumv") - col("cnt") * col("cents")).as(s"${name}_vlo"))
+    val lo = pick(expr("(n + 19) div 20"), "p05c")          // ceil(.05 n)
+    val hi = pick(expr("(19 * n + 19) div 20"), "p95c")     // ceil(.95 n)
+    val tot = h.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("cents")).as("sv"),
+        max(col("cents")).as("maxc"))
+    val above = h.join(broadcast(hi.select(col("event_type"), col("p95c"))),
+        "event_type")
+      .filter(col("cents") > col("p95c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("nhi"), sum(col("cnt") * col("cents")).as("vhi"))
+    tot.join(broadcast(lo), "event_type")
+      .join(broadcast(hi.select(col("event_type"), col("p95c"))), "event_type")
+      .join(above, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        (col("p05c").cast("double") / 100.0).as("p05"),
+        (col("p95c").cast("double") / 100.0).as("p95"),
+        col("p05c_nlo").as("clipped_low"),
+        coalesce(col("nhi"), lit(0L)).as("clipped_high"),
+        (round((col("sv") - col("p05c_vlo")
+            + col("p05c_nlo") * col("p05c")
+            - coalesce(col("vhi"), lit(0L))
+            + coalesce(col("nhi"), lit(0L)) * col("p95c"))
+            .cast("double") / col("n").cast("double") / 100.0 * 1e6)
+          .cast("long").cast("double") / 1e6).as("win_mean"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUPED-adjusted A/B readout, gated as q_ab_cuped: the standard
     * variance-reduction estimator for online experiments (Deng et al.,
     * WSDM'13) — regress each user's experiment-period purchase value on

@@ -367,6 +367,29 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: clip points and mean match a sort-based recompute") {
+    val out = Temporal.winsorize(spark, sf)
+      .as[(String, Long, Double, Double, Long, Long, Double)].collect()
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(out.map(_._1).toSet === raw.keySet)
+    out.foreach { case (et, n, p05, p95, clo, chi, wmean) =>
+      val sorted = raw(et).map(_._2).sorted
+      assert(n === sorted.length)
+      val k05 = (sorted.length + 19) / 20
+      val k95 = (19 * sorted.length + 19) / 20
+      val (v05, v95) = (sorted(k05 - 1), sorted(k95 - 1))
+      assert(p05 === v05.toDouble / 100.0 && p95 === v95.toDouble / 100.0)
+      assert(clo === sorted.count(_ < v05))
+      assert(chi === sorted.count(_ > v95))
+      val wsum = sorted.map(v => math.max(v05, math.min(v95, v))).sum
+      val expect = math.round(
+        wsum.toDouble / n / 100.0 * 1e6).toDouble / 1e6
+      assert(wmean === expect, s"$et: $wmean vs $expect")
+    }
+  }
+
   test("abCuped: matches a from-scratch recompute; CUPED preserves the pooled mean") {
     val out = Temporal.abCuped(spark, sf)
       .as[(Int, Long, Double, Double, Double, Double, Double, Double)]

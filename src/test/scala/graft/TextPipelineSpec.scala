@@ -438,6 +438,32 @@ class TextPipelineSpec extends SparkSpec {
     assert(cal.last._4 > cal.head._4)
   }
 
+  test("keySample: exactly k per language, the k smallest hash ranks, stable") {
+    val out = TextAnalysis.keySample(spark, sf)
+      .as[(String, Int, Long)].collect()
+    val langs = Tables.documents(spark, sf)
+      .select($"lang").distinct().as[String].collect()
+    assert(out.groupBy(_._1).keySet === langs.toSet)
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq === (1 to 8))
+    }
+    // selection rule: the 8 minimal md5 ranks per language
+    val ranked = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id",
+        expr("CAST(conv(substring(md5(concat('ks|', doc_id)), 1, 15), 16, 10) AS BIGINT)")
+          .as("hv"))
+      .as[(String, Long, Long)].collect()
+    ranked.groupBy(_._1).foreach { case (lang, g) =>
+      val expect = g.sortBy(r => (r._3, r._2)).take(8).map(_._2).toSet
+      assert(out.filter(_._1 == lang).map(_._3).toSet === expect, lang)
+    }
+    // deterministic: a rerun returns the identical sample
+    val again = TextAnalysis.keySample(spark, sf)
+      .as[(String, Int, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ===
+      out.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("isotonic: matches the classic PAV stack; monotone; pool mass preserved") {
     val out = TextAnalysis.isotonic(spark, sf)
       .as[(Int, Long, Long, Double, Double, Long)].collect().sortBy(_._1)
