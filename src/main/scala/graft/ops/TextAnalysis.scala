@@ -865,16 +865,21 @@ object TextAnalysis {
     * count. All hash material is md5-derived, so DuckDB replays the
     * sketch bit-exactly; estimator doubles are single expressions over
     * exact BIGINTs, 1e-6-requantized. */
-  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+  /** `truncate=false` keeps the sketch lineage in one inspectable plan
+    * (PlanSpec only — the production default materializes the
+    * |sources|·k sketch once for its two consumers, knnGraph pattern). */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256,
+      truncate: Boolean = true): DataFrame = {
     val terms = Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .distinct()
     val hv = conv(substring(md5(concat(lit("kmv|"), col("w"))), 1, 15),
       16, 10).cast("long")
-    val sk = graft.plans.Graft.topKPerKey(
-        terms.select(col("source"), hv.as("hv")).distinct(),
-        Seq("source"), Seq(("hv", false)), k)
-      .localCheckpoint(eager = false) // |sources|*k rows feed both sides
+    val sk0 = graft.plans.Graft.topKPerKey(
+      terms.select(col("source"), hv.as("hv")).distinct(),
+      Seq("source"), Seq(("hv", false)), k)
+    // |sources|*k rows feed both sides
+    val sk = if (truncate) sk0.localCheckpoint(eager = false) else sk0
     val srcs = sk.select(col("source")).distinct()
     // replicate each sketch against every partner source, tag membership
     val entries = sk.crossJoin(srcs.select(col("source").as("other")))

@@ -366,6 +366,57 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_target_encode / q_var_es: census aggregates are partial+final; windows ride bounded frames") {
+    val te = graft.ops.Prep.targetEncode(spark, sf)
+    te.collect()
+    val pte = plan(te)
+    assert(!pte.contains("CartesianProduct"), pte)
+    // the only corpus-scale work is the census aggregate; the window
+    // math must sit ABOVE an aggregate, never over the orders scan
+    val fmtTe = te.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("HashAggregate".r.findAllIn(fmtTe).size >= 2, fmtTe)
+    val ve = graft.queries.Temporal.varEs(spark, sf)
+    ve.collect()
+    val pve = plan(ve)
+    // the running-count window runs over the (type, cents) HISTOGRAM:
+    // an aggregate must appear below the Window operator
+    val winIdx = pve.indexOf("Window")
+    val aggBelow = pve.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"window not over the histogram aggregate:\n$pve")
+  }
+
+  test("q_kmv_overlap: sketch build is TopKPerKey partial+final; estimates ride broadcasts") {
+    // truncate=false keeps the sketch lineage visible (knnGraph pattern)
+    val df = graft.ops.TextAnalysis.kmvOverlap(spark, sf, truncate = false)
+    df.collect()
+    val p = plan(df)
+    assert(p.split("TopKPerKey").length - 1 >= 2, p)
+    // per-source distinct counts broadcast back onto the pair census
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_js_divergence: one gram self-join on the term key, never a cross product") {
+    val df = graft.ops.TextAnalysis.jsDivergence(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_unicode_norm / q_benford: single map-side-combinable aggregate over the scan") {
+    Seq(graft.ops.TextAnalysis.unicodeNorm(spark, sf),
+        graft.ops.DataQuality.benford(spark, sf)).foreach { df =>
+      df.collect()
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert("HashAggregate".r.findAllIn(fmt).size >= 2, fmt)
+    }
+  }
+
   test("q_dq_checks: per-table checks fold into partial+final aggregates; joins stay keyed") {
     val df = graft.ops.DataQuality.dqChecks(spark, sf)
     df.collect()
