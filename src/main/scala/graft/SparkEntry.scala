@@ -281,6 +281,7 @@ object SparkEntry {
     "q_mode" -> (Analytics.modePerUser _),
     "q_mad" -> (Analytics.madPerType _),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
+    "q_rfm" -> (Analytics.rfm _),
     // round 4 (cont.): resample/fill, chunking, triangles, incremental
     // dedup, exact-moment regression
     "q_gap_fill" -> (Analytics.gapFill _),
@@ -3495,6 +3496,34 @@ object SparkEntry {
         |       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
         |FROM events e JOIN med m USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // RFM quintiles: ntile(ORDER BY metric, user_id) is the same total
+    // order as the engine's histogram-decomposed distributed ntile
+    "q_rfm" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(tus) AS now_us FROM e),
+        |p AS (
+        |  SELECT user_id,
+        |    CAST((max(now_us) - max(tus)) // 86400000000 AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency, CAST(sum(cents) AS BIGINT) AS monetary
+        |  FROM e, a GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, monetary,
+        |    ntile(5) OVER (ORDER BY -recency_days, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+        |  FROM p)
+        |SELECT CAST(r_score AS INTEGER) AS r_score,
+        |  CAST(f_score AS INTEGER) AS f_score,
+        |  CAST(m_score AS INTEGER) AS m_score,
+        |  count(*) AS users,
+        |  CAST(sum(monetary) AS BIGINT) AS total_cents,
+        |  CAST(min(user_id) AS BIGINT) AS first_user
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH fs AS (SELECT user_id,

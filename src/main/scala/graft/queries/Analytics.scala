@@ -1551,4 +1551,73 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Distributed ntile without a global sort (shared by [[rfm]]; the
+    * same decomposition TextAnalysis.calibration inlines): global rank
+    * = (count of strictly smaller values, via the value-HISTOGRAM
+    * cumsum — bounded by distinct values) + (row_number within the tied
+    * value by `idCol` — partitioned by value, so no single task sorts
+    * the table). Closed-form ntile of rank r over n rows into b
+    * buckets: the first n mod b buckets hold ⌈n/b⌉ rows. */
+  private def distributedNtile(df: DataFrame, value: String, id: String,
+      buckets: Int, out: String): DataFrame = {
+    val hist = df.groupBy(col(value)).agg(count(lit(1)).as("n_v"))
+      .withColumn("cum", sum(col("n_v")).over(Window.orderBy(col(value))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(value), (col("cum") - col("n_v")).as("start0"))
+    val total = df.agg(count(lit(1)).as("n_tot"))
+    val b = lit(buckets.toLong)
+    val qsz = floor(col("n_tot") / b).cast("long")
+    val thr = (col("n_tot") % b) * (qsz + 1)
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(col(value)).orderBy(col(id))))
+      .join(broadcast(hist), Seq(value))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("start0") + col("rn"))
+      .withColumn(out,
+        when(col("rank") <= thr, floor((col("rank") - 1) / (qsz + 1)) + 1)
+          .otherwise((col("n_tot") % b)
+            + floor((col("rank") - 1 - thr) / qsz) + 1)
+          .cast("int"))
+      .drop("rn", "start0", "n_tot", "rank")
+  }
+
+  /** RFM segmentation, gated as q_rfm: the classic customer-value
+    * census — per user, days since last purchase (Recency), purchase
+    * count (Frequency) and cent volume (Monetary), each scored into
+    * quintiles, rolled up per (r, f, m) cell. The retention/LTV
+    * segment table every commerce pipeline batch-produces nightly.
+    *
+    * Scale shape: ONE groupBy(user) over the scan, then three
+    * [[distributedNtile]] passes over the per-user table — each is a
+    * histogram cumsum (bounded by distinct metric values) plus a
+    * value-partitioned row_number; no global sort anywhere. Recency
+    * anchors on max(ts) over the corpus (one broadcast row), in whole
+    * days, so the metric is integer-exact. Quintile direction follows
+    * the convention: HIGH score = good (recent, frequent, big). */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val anchor = e.agg(max(col("tus")).as("now_us"))
+    val per = e.crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(floor((max(col("now_us")) - max(col("tus")))
+          / lit(86400000000L)).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary"))
+      // negate recency so the shared ascending ntile gives high score =
+      // recent, matching frequency/monetary's direction
+      .withColumn("recency_neg", -col("recency_days"))
+    val scored = Seq(("recency_neg", "r_score"), ("frequency", "f_score"),
+      ("monetary", "m_score")).foldLeft(per) { case (d, (v, o)) =>
+      distributedNtile(d, v, "user_id", 5, o)
+    }
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("users"),
+        sum(col("monetary")).as("total_cents"),
+        min(col("user_id")).as("first_user"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
 }

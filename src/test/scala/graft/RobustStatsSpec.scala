@@ -90,4 +90,34 @@ class RobustStatsSpec extends SparkSpec {
     // retention never exceeds cohort size at any offset
     ret.foreach { case (w, _, n) => assert(n <= cohortSizes(w)) }
   }
+
+  test("rfm: cells partition purchasers; quintiles are balanced; monetary conserved") {
+    val cells = Analytics.rfm(spark, sf)
+      .as[(Int, Int, Int, Long, Long, Long)].collect()
+    val raw = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("f"), sum(round($"value" * 100).cast("long")).as("m"))
+      .as[(Long, Long, Long)].collect()
+    assert(cells.map(_._4).sum === raw.length, "cells partition purchasers")
+    assert(cells.map(_._5).sum === raw.map(_._3).sum, "monetary conserved")
+    cells.foreach { case (r, f, m, users, _, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(users > 0)
+    }
+    // each score axis is a balanced quintile of the purchaser set: the
+    // ntile contract says bucket sizes differ by at most one
+    Seq(cells.groupBy(_._1), cells.groupBy(_._2), cells.groupBy(_._3))
+      .foreach { ax =>
+        val sizes = ax.view.mapValues(_.map(_._4).sum).values.toSeq
+        assert(sizes.max - sizes.min <= 1, s"unbalanced quintiles: $sizes")
+      }
+    // high m_score cells cannot average below low m_score cells
+    val mAvg = cells.groupBy(_._3).view.mapValues { g =>
+      g.map(_._5).sum.toDouble / g.map(_._4).sum
+    }.toMap
+    (1 to 4).foreach(i =>
+      if (mAvg.contains(i) && mAvg.contains(i + 1))
+        assert(mAvg(i) <= mAvg(i + 1) + 1e-9, s"m quintile $i order"))
+  }
 }
