@@ -325,6 +325,7 @@ object SparkEntry {
     "q_km_conversion" -> ((s, d) => Temporal.kmConversion(s, d)),
     "q_var_es" -> ((s, d) => Temporal.varEs(s, d)),
     "q_winsorize" -> ((s, d) => Temporal.winsorize(s, d)),
+    "q_window_p95" -> ((s, d) => graft.streaming.StreamTail.windowTail(s, d)),
     "q_hurst" -> (Temporal.hurst _),
     "q_cusum" -> ((s, d) => graft.ops.Monitor.cusum(s, d)),
     "q_attribution" -> ((s, d) => Temporal.attribution(s, d)),
@@ -5083,6 +5084,10 @@ object SparkEntry {
         |    AS decay_rev
         |FROM c GROUP BY channel
         |ORDER BY channel""".stripMargin,
+
+    // Windowed tail monitor (batch face of streaming/StreamTail):
+    // per-window exact P95 + strict-tail mean from the cents histogram
+    "q_window_p95" -> graft.streaming.StreamTail.windowTailSql,
 
     // Winsorization: clip points from the histogram running count,
     // winsorized sum as integer algebra (total - tails + clip*counts)
