@@ -501,6 +501,54 @@ object Graph {
     * index and anti-join the edge list, all key-partitioned, nothing
     * driver-side. Expected output ≈ n·k minus hash self/edge collisions
     * — exact-count certainty is NOT a goal of negative sampling. */
+  /** Deterministic random walks, gated as q_random_walks: fixed-length
+    * walks over the (symmetrized) co-purchase graph — the corpus
+    * generator for DeepWalk/node2vec-style graph embeddings
+    * (Perozzi et al., KDD'14). The "coin" at each step is an
+    * md5-derived index into the node's rank-ordered neighbor list, so
+    * walks are reproducible across engines, partitionings and reruns —
+    * the same property every sampling op in this repo builds on.
+    *
+    * Scale shape: the adjacency is ranked once (per-node window —
+    * degree-bounded per partition; a hub-capped graph like this one
+    * keeps it tight) and pinned; each step is ONE equi-join of the
+    * frontier with the adjacency on the current node followed by the
+    * rank==pick filter — corpus-linear per step, `steps` is a small
+    * constant. Walk starts are a deterministic 1-in-4 node sample, so
+    * the output is Θ(|V|/4) rows at any scale. */
+  def randomWalks(edgesRaw: DataFrame, steps: Int = 4): DataFrame = {
+    val sym = edgesRaw.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edgesRaw.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val adj = sym
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(eager = false) // one ranking pass, `steps` readers
+    def h8(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val start = adj.select(col("src")).distinct()
+      .filter(pmod(h8(concat(lit("rws|"), col("src"))), lit(4L)) === 0)
+      .select(col("src").as("start"), col("src").as("cur"))
+    val walked = (1 to steps).foldLeft(start) { (front, s) =>
+      front.join(adj, col("src") === col("cur"))
+        .withColumn("pick",
+          pmod(h8(concat_ws("|", lit("rw"), col("start"), lit(s), col("cur"))),
+            col("deg")) + 1)
+        .filter(col("rank") === col("pick"))
+        .withColumn(s"step$s", col("dst"))
+        .drop("src", "dst", "rank", "deg", "pick", "cur")
+        .withColumn("cur", col(s"step$s"))
+    }
+    walked.select(col("start") +:
+        (1 to steps).map(s => col(s"step$s")): _*)
+      .orderBy(col("start"))
+  }
+
+  /** The gated entry: walks over [[copurchaseEdges]]. */
+  def copurchaseWalks(spark: SparkSession, dir: String): DataFrame =
+    randomWalks(copurchaseEdges(spark, dir))
+
   def negativeSample(edgesRaw: DataFrame, k: Int = 4,
       seed: String = "neg1"): DataFrame = {
     val edges = edgesRaw.localCheckpoint()

@@ -248,4 +248,38 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("randomWalks: every hop is a graph edge; picks match the hash rule; reruns identical") {
+    val edges = Graph.copurchaseEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    val adjSorted = und.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val walks = Graph.copurchaseWalks(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(walks.nonEmpty)
+    def md5mod(s: String, m: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16) % m
+    }
+    walks.foreach { case (start, s1, s2, s3, s4) =>
+      assert(md5mod(s"rws|$start", 4) === 0L, s"$start not in the start sample")
+      val hops = Seq(start -> s1, s1 -> s2, s2 -> s3, s3 -> s4)
+      hops.zipWithIndex.foreach { case ((from, to), i) =>
+        assert(und.contains(from -> to), s"walk $start hop ${i + 1} not an edge")
+        val nbrs = adjSorted(from)
+        val pick = md5mod(s"rw|$start|${i + 1}|$from", nbrs.length)
+        assert(nbrs(pick.toInt) === to,
+          s"walk $start step ${i + 1}: hash rule violated")
+      }
+    }
+    // every sampled node walks, and none walks twice
+    val expectStarts = adjSorted.keySet.filter(v => md5mod(s"rws|$v", 4) == 0L)
+    assert(walks.map(_._1).toSet === expectStarts)
+    assert(walks.map(_._1).distinct.length === walks.length)
+    val again = Graph.copurchaseWalks(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === walks.sortBy(_._1).toSeq)
+  }
 }
