@@ -277,6 +277,7 @@ object SparkEntry {
     // round 4: graph metric, true k-means, skyline, robust stats, cohorts
     "q_pagerank" -> ((s, d) => graft.ops.Graph.tradeRank(s, d)),
     "q_random_walks" -> ((s, d) => graft.ops.Graph.copurchaseWalks(s, d)),
+    "q_skipgram" -> ((s, d) => graft.ops.Graph.skipgramPairs(s, d)),
     "q_ivf_kmeans" -> ((s, d) => Similarity.kmeansQuantized(s, d)),
     "q_skyline" -> (Analytics.skyline _),
     "q_mode" -> (Analytics.modePerUser _),
@@ -4116,6 +4117,62 @@ object SparkEntry {
         |           % adj.deg + 1)
         |SELECT start, step1, step2, step3, step4
         |FROM w4 ORDER BY start""".stripMargin,
+
+    // skip-gram pairs over the same walk corpus: positions pair within
+    // each walk only (|i-j| <= 2), unordered, exact counts
+    "q_skipgram" ->
+      """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |            WHERE ord.o_orderdate >= TIMESTAMP '1995-01-01'
+        |              AND ord.o_orderdate < TIMESTAMP '1995-07-01'),
+        |ok AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 10),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      JOIN ok ON x.o = ok.o),
+        |adj AS MATERIALIZED (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM (SELECT a AS src, b AS dst FROM e
+        |        UNION SELECT b, a FROM e)),
+        |s0 AS (SELECT DISTINCT src AS start FROM adj
+        |       WHERE ('0x' || substr(md5('rws|' || CAST(src AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 4 = 0),
+        |w1 AS (SELECT s0.start, adj.dst AS step1
+        |       FROM s0 JOIN adj ON adj.src = s0.start
+        |         AND adj.rnk = ('0x' || substr(md5('rw|'
+        |           || CAST(s0.start AS VARCHAR) || '|1|'
+        |           || CAST(s0.start AS VARCHAR)), 1, 8))::BIGINT
+        |           % adj.deg + 1),
+        |w2 AS (SELECT w1.start, w1.step1, adj.dst AS step2
+        |       FROM w1 JOIN adj ON adj.src = w1.step1
+        |         AND adj.rnk = ('0x' || substr(md5('rw|'
+        |           || CAST(w1.start AS VARCHAR) || '|2|'
+        |           || CAST(w1.step1 AS VARCHAR)), 1, 8))::BIGINT
+        |           % adj.deg + 1),
+        |w3 AS (SELECT w2.start, w2.step1, w2.step2, adj.dst AS step3
+        |       FROM w2 JOIN adj ON adj.src = w2.step2
+        |         AND adj.rnk = ('0x' || substr(md5('rw|'
+        |           || CAST(w2.start AS VARCHAR) || '|3|'
+        |           || CAST(w2.step2 AS VARCHAR)), 1, 8))::BIGINT
+        |           % adj.deg + 1),
+        |w4 AS (SELECT w3.start, w3.step1, w3.step2, w3.step3,
+        |         adj.dst AS step4
+        |       FROM w3 JOIN adj ON adj.src = w3.step3
+        |         AND adj.rnk = ('0x' || substr(md5('rw|'
+        |           || CAST(w3.start AS VARCHAR) || '|4|'
+        |           || CAST(w3.step3 AS VARCHAR)), 1, 8))::BIGINT
+        |           % adj.deg + 1),
+        |pos AS (SELECT start, 0 AS pos, start AS node FROM w4
+        |        UNION ALL SELECT start, 1, step1 FROM w4
+        |        UNION ALL SELECT start, 2, step2 FROM w4
+        |        UNION ALL SELECT start, 3, step3 FROM w4
+        |        UNION ALL SELECT start, 4, step4 FROM w4)
+        |SELECT least(x.node, y.node) AS a,
+        |  greatest(x.node, y.node) AS b, count(*) AS n_pairs
+        |FROM pos x JOIN pos y ON x.start = y.start
+        |  AND x.pos < y.pos AND y.pos - x.pos <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p

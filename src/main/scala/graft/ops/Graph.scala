@@ -549,6 +549,33 @@ object Graph {
   def copurchaseWalks(spark: SparkSession, dir: String): DataFrame =
     randomWalks(copurchaseEdges(spark, dir))
 
+  /** Skip-gram training pairs from the walk corpus, gated as
+    * q_skipgram: (center, context) co-occurrences within a ±`win`
+    * position window over each walk — the stage between [[randomWalks]]
+    * and an SGNS embedding trainer. Pairs are unordered (skip-gram with
+    * symmetric context), counted exactly.
+    *
+    * Scale shape: walks explode to (walk, pos, node) — 5 rows per walk
+    * — and the windowed pairing is a self-join ON THE WALK ID with the
+    * |i−j| ≤ win predicate, so each walk pairs only with itself
+    * (C(5,2)-bounded fan-out per walk); the count is one map-side
+    * combinable aggregate on the pair key. */
+  def skipgramPairs(spark: SparkSession, dir: String, win: Int = 2): DataFrame = {
+    val walks = copurchaseWalks(spark, dir)
+    val pos = walks.select(col("start"),
+        posexplode(array(col("start"), col("step1"), col("step2"),
+          col("step3"), col("step4"))).as(Seq("pos", "node")))
+    pos.select(col("start"), col("pos").as("i"), col("node").as("na"))
+      .join(pos.select(col("start"), col("pos").as("j"), col("node").as("nb")),
+        Seq("start"))
+      .filter(col("i") < col("j") && col("j") - col("i") <= win)
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def negativeSample(edgesRaw: DataFrame, k: Int = 4,
       seed: String = "neg1"): DataFrame = {
     val edges = edgesRaw.localCheckpoint()

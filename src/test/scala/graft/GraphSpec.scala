@@ -282,4 +282,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(again.sortBy(_._1).toSeq === walks.sortBy(_._1).toSeq)
   }
+
+  test("skipgramPairs: counts equal a direct sliding-window recount of the walks") {
+    val walks = Graph.copurchaseWalks(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    walks.foreach { case (s0, s1, s2, s3, s4) =>
+      val w = Seq(s0, s1, s2, s3, s4)
+      for (i <- w.indices; j <- i + 1 until w.length if j - i <= 2) {
+        val key = (math.min(w(i), w(j)), math.max(w(i), w(j)))
+        expect(key) = expect.getOrElse(key, 0L) + 1L
+      }
+    }
+    val got = Graph.skipgramPairs(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expect.toMap)
+    // total pair mass: 7 windowed pairs per 5-node walk
+    assert(got.values.sum === walks.length * 7L)
+  }
 }
