@@ -3400,7 +3400,7 @@ object SparkEntry {
         |SELECT lang, shard, (cum - tok) // 512 AS bin,
         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_sum,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        |  round(CAST(sum(tok) AS DOUBLE) / 512.0, 6) AS fill_rate
+        |  CAST((sum(tok) * 1000000) // 512 AS BIGINT) AS fill_ppm
         |FROM c GROUP BY lang, shard, bin
         |ORDER BY lang, shard, bin""".stripMargin,
 

@@ -58,10 +58,17 @@ object Pca {
           / col("n").cast("double") / 1e10).as("covr"))
   }
 
-  /** Gated covariance matrix: (i0, j, cov) upper triangle, 6dp. */
+  /** Gated covariance matrix: (i0, j, cov_q6) upper triangle in exact
+    * 1e-6-quantized BIGINTs. A 6dp DOUBLE gate here failed the driver's
+    * hash on a single -0.0 cell (DuckDB rounds a tiny negative
+    * covariance to signed zero; Spark's BigDecimal HALF_UP has no
+    * signed zero) — integers have no signed zero, so the quantized
+    * gate is engine-portable. This is the same 1e6 quantization the
+    * power iteration already feeds on. */
   def embedCov(spark: SparkSession, dir: String, d: Int = 64): DataFrame =
     covCells(spark, dir, d)
-      .select(col("i0"), col("j"), round(col("covr"), 6).as("cov"))
+      .select(col("i0"), col("j"),
+        round(col("covr") * 1e6).cast("long").as("cov_q6"))
       .orderBy(col("i0"), col("j"))
 
   /** Top principal component by `iters` power-method steps from the
@@ -107,11 +114,18 @@ object Pca {
       .join(v.select(col("j"), col("vq").as("vb")), Seq("j"))
       .agg(sum((col("cq") * col("va") * col("vb")).cast("decimal(38,0)")).as("nu"))
     val den = v.agg(sum(col("vq") * col("vq")).as("de"))
+    // Gate in exact integers: v_q6 is the sign-fixed iterate itself
+    // (already a 1e-6-quantized BIGINT — no float on the comparison
+    // path), lambda_q6 = round(nu/de) is the Rayleigh quotient in the
+    // same 1e-6 units (the /1e6 display scale and *1e6 quantization
+    // cancel). The double division nu/de is IEEE-identical on both
+    // engines; quantizing to BIGINT removes the signed-zero /
+    // decimal-tie representation hazards a 6dp DOUBLE gate carries.
     v.crossJoin(sg).crossJoin(num).crossJoin(den)
       .select(col("j"),
-        round((col("vq") * col("sg")).cast("double") / 1e6, 6).as("v"),
-        round(col("nu").cast("double") / col("de").cast("double") / 1e6, 6)
-          .as("lambda"))
+        (col("vq") * col("sg")).as("v_q6"),
+        round(col("nu").cast("double") / col("de").cast("double"))
+          .cast("long").as("lambda_q6"))
       .orderBy(col("j"))
   }
 
@@ -140,6 +154,12 @@ object Pca {
       .filter(col("i0") <= col("j"))
       .withColumn("tri",
         col("i0") * d - col("i0") * (col("i0") - 1) / 2 + (col("j") - col("i0")))
+    // Quantize per-split covariances to 1e-6 BIGINTs at the source —
+    // the drift delta, its ordering, the Frobenius sum AND the gated
+    // columns are then all exact integers (the earlier 6dp DOUBLE
+    // cov_a/cov_b gate carried the same -0.0 / decimal-tie hazard
+    // embedCov hit; frob is gated as the exact squared sum rather than
+    // a rounded sqrt for the same reason).
     val c = pairs.crossJoin(packed) // 2-row aggregate side: broadcast NL, bounded
       .select(col("split"), col("i0"), col("j"),
         element_at(col("m"), lit(1)).as("n"),
@@ -149,20 +169,18 @@ object Pca {
       .select(col("split"), col("i0"), col("j"),
         round((col("sij").cast("double")
           - col("si").cast("double") * col("sj").cast("double") / col("n").cast("double"))
-          / col("n").cast("double") / 1e10, 6).as("cov"))
+          / col("n").cast("double") / 1e10 * 1e6).cast("long").as("covq"))
       .localCheckpoint(eager = false) // both split slices read it
     val ab = c.filter(col("split") === 0)
-      .select(col("i0"), col("j"), col("cov").as("cov_a"))
+      .select(col("i0"), col("j"), col("covq").as("cov_a_q6"))
       .join(c.filter(col("split") === 1)
-        .select(col("i0"), col("j"), col("cov").as("cov_b")), Seq("i0", "j"))
-      .withColumn("dq", abs(round(col("cov_a") * 1e6).cast("long")
-        - round(col("cov_b") * 1e6).cast("long")))
+        .select(col("i0"), col("j"), col("covq").as("cov_b_q6")), Seq("i0", "j"))
+      .withColumn("dq", abs(col("cov_a_q6") - col("cov_b_q6")))
     val fr = ab.agg(sum(col("dq") * col("dq")).as("s2"))
     ab.crossJoin(fr)
       .orderBy(col("dq").desc, col("i0"), col("j")).limit(topN)
-      .select(col("i0"), col("j"), col("cov_a"), col("cov_b"),
-        round(col("dq").cast("double") / 1e6, 6).as("drift"),
-        round(sqrt(col("s2").cast("double") / 1e12), 6).as("frob"))
+      .select(col("i0"), col("j"), col("cov_a_q6"), col("cov_b_q6"),
+        col("dq").as("drift_q6"), col("s2").as("frob_sq"))
   }
 
   /** The APPLY face: centered PC1 score per vector — the projection a
@@ -176,9 +194,9 @@ object Pca {
     * 1-row aggregate instead of a second d-sum pass. */
   def pcaScores(spark: SparkSession, dir: String, d: Int = 64,
       iters: Int = 8): DataFrame = {
-    // vq·sg in 1e-6 units, reconstructed losslessly from the 6dp output
+    // vq·sg in 1e-6 units — the gated v_q6 column IS the exact iterate
     val vfin = powerIter(spark, dir, d, iters)
-      .select(col("j"), round(col("v") * 1e6).cast("long").as("vqs"))
+      .select(col("j"), col("v_q6").as("vqs"))
     val varr = vfin
       .agg(array_sort(collect_list(struct(col("j"), col("vqs")))).as("p"))
       .select(transform(col("p"), s => s.getField("vqs")).as("varr"))
@@ -191,11 +209,15 @@ object Pca {
         aggregate(zip_with(col("q"), col("varr"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("raw"))
     val tot = scored.agg(sum(col("raw")).as("s"), count(lit(1)).as("n"))
+    // score_q6 = round((raw − mean)/1e5): the 6dp score in exact 1e-6
+    // BIGINT units ((…/1e11 display scale)·(1e6 quantization) = /1e5).
+    // Centered scores cross zero, so a 6dp DOUBLE gate would hit the
+    // -0.0 representation split embedCov hit — integers cannot.
     scored.crossJoin(tot)
       .select(col("vec_id"),
         round((col("raw").cast("double")
-          - col("s").cast("double") / col("n").cast("double")) / 1e11, 6)
-          .as("score"))
+          - col("s").cast("double") / col("n").cast("double")) / 1e5)
+          .cast("long").as("score_q6"))
       .orderBy(col("vec_id"))
   }
 
@@ -224,7 +246,7 @@ object Pca {
   def embedCovSql: String =
     s"""$oracleCtes
        |SELECT CAST(c.i0 AS INTEGER) AS i0, CAST(c.j AS INTEGER) AS j,
-       |  round($covExpr, 6) AS cov
+       |  CAST(round(($covExpr) * 1e6) AS BIGINT) AS cov_q6
        |FROM crossp c JOIN sums sa ON sa.i0 = c.i0 JOIN sums sb ON sb.i0 = c.j
        |ORDER BY i0, j""".stripMargin
 
@@ -253,8 +275,9 @@ object Pca {
   def powerIterSql(d: Int = 64, iters: Int = 8): String =
     s"""${powerCtes(d, iters)}
        |SELECT v.j,
-       |  round(CAST(v.vq * s.sg AS DOUBLE) / 1e6, 6) AS v,
-       |  round(CAST(n.nu AS DOUBLE) / CAST(dd.de AS DOUBLE) / 1e6, 6) AS lambda
+       |  CAST(v.vq * s.sg AS BIGINT) AS v_q6,
+       |  CAST(round(CAST(n.nu AS DOUBLE) / CAST(dd.de AS DOUBLE)) AS BIGINT)
+       |    AS lambda_q6
        |FROM v$iters v
        |CROSS JOIN (SELECT CASE WHEN vq < 0 THEN CAST(-1 AS BIGINT)
        |                        ELSE CAST(1 AS BIGINT) END AS sg
@@ -280,20 +303,19 @@ object Pca {
        |  GROUP BY a.split, a.i0, b.i0),
        |cov2 AS MATERIALIZED (
        |  SELECT c.split, c.i0, c.j,
-       |    round($covExpr, 6) AS cov
+       |    CAST(round(($covExpr) * 1e6) AS BIGINT) AS covq
        |  FROM crossp c
        |  JOIN sums sa ON sa.split = c.split AND sa.i0 = c.i0
        |  JOIN sums sb ON sb.split = c.split AND sb.i0 = c.j),
        |ab AS MATERIALIZED (
-       |  SELECT a.i0, a.j, a.cov AS cov_a, b.cov AS cov_b,
-       |    abs(CAST(round(a.cov * 1e6) AS BIGINT)
-       |        - CAST(round(b.cov * 1e6) AS BIGINT)) AS dq
+       |  SELECT a.i0, a.j, a.covq AS cov_a_q6, b.covq AS cov_b_q6,
+       |    abs(a.covq - b.covq) AS dq
        |  FROM cov2 a JOIN cov2 b ON a.i0 = b.i0 AND a.j = b.j
        |  WHERE a.split = 0 AND b.split = 1)
        |SELECT CAST(ab.i0 AS INTEGER) AS i0, CAST(ab.j AS INTEGER) AS j,
-       |  ab.cov_a, ab.cov_b,
-       |  round(CAST(dq AS DOUBLE) / 1e6, 6) AS drift,
-       |  round(sqrt(CAST(fr.s2 AS DOUBLE) / 1e12), 6) AS frob
+       |  ab.cov_a_q6, ab.cov_b_q6,
+       |  dq AS drift_q6,
+       |  CAST(fr.s2 AS BIGINT) AS frob_sq
        |FROM ab CROSS JOIN (SELECT sum(dq * dq) AS s2 FROM ab) fr
        |ORDER BY dq DESC, i0, j LIMIT $topN""".stripMargin
 
@@ -308,8 +330,9 @@ object Pca {
        |  SELECT c.vec_id, sum(c.xq * f.vqs) AS raw
        |  FROM cells c JOIN vfin f ON f.j = c.i0 GROUP BY c.vec_id)
        |SELECT s.vec_id,
-       |  round((CAST(s.raw AS DOUBLE)
-       |    - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)) / 1e11, 6) AS score
+       |  CAST(round((CAST(s.raw AS DOUBLE)
+       |    - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)) / 1e5) AS BIGINT)
+       |    AS score_q6
        |FROM scores s
        |CROSS JOIN (SELECT sum(raw) AS s, count(*) AS n FROM scores) t
        |ORDER BY s.vec_id""".stripMargin

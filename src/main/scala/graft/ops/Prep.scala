@@ -122,7 +122,11 @@ object Prep {
       .groupBy(col("lang"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_sum"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .withColumn("fill_rate", round(col("tok_sum") / lit(budget.toDouble), 6))
+      // parts-per-million fill via integer DIV: tok_sum/budget in double
+      // landed on exact 6-dp half-way ties (budget is a power of two ⇒
+      // dyadic ratios), which different DuckDB builds round in opposite
+      // directions — the repo's "no float on the comparison path" rule.
+      .withColumn("fill_ppm", expr(s"tok_sum * 1000000L DIV ${budget}L"))
       .orderBy(col("lang"), col("shard"), col("bin"))
   }
 

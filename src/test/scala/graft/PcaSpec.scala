@@ -9,7 +9,7 @@ class PcaSpec extends SparkSpec {
 
   test("covariance matches the two-pass explode formulation on real data") {
     val got = Pca.embedCov(spark, sf)
-      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     // independent reference: explode + spark built-ins, same quantization
     val cells = graft.util.Tables.embeddings(spark, sf)
       .select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
@@ -23,16 +23,16 @@ class PcaSpec extends SparkSpec {
         sum($"xa").as("sa"), sum($"xb").as("sb"))
       .select($"a", $"b", round(($"sij".cast("double")
         - $"sa".cast("double") * $"sb".cast("double") / $"n".cast("double"))
-        / $"n".cast("double") / 1e10, 6).as("cov"))
-      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+        / $"n".cast("double") / 1e10 * 1e6).cast("long").as("cov_q6"))
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(got.size === want.size)
-    for ((k, w) <- want) assert(math.abs(got(k) - w) < 1e-9, s"cell $k")
+    for ((k, w) <- want) assert(got(k) === w, s"cell $k")
   }
 
   test("diagonal is non-negative and the matrix has full upper triangle") {
-    val rows = Pca.embedCov(spark, sf).as[(Int, Int, Double)].collect()
+    val rows = Pca.embedCov(spark, sf).as[(Int, Int, Long)].collect()
     assert(rows.length === 64 * 65 / 2)
-    assert(rows.filter(r => r._1 == r._2).forall(_._3 >= 0.0))
+    assert(rows.filter(r => r._1 == r._2).forall(_._3 >= 0L))
   }
 
   test("power iteration recovers a planted dominant direction") {
@@ -50,9 +50,9 @@ class PcaSpec extends SparkSpec {
       .withColumn("embedding", $"embedding".cast("array<float>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Pca.powerIter(spark, dir, d = d, iters = 8)
-      .as[(Long, Double, Double)].collect().sortBy(_._1)
-    val v = out.map(_._2)
-    val lambda = out.head._3
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val v = out.map(_._2 / 1e6) // v_q6 is the iterate in 1e-6 units
+    val lambda = out.head._3 / 1e6
     // compare against u normalized to max-|component| = 1 (the iterate's
     // normalization), sign-fixed like the operator (component 0 ≥ 0)
     val umax = u.map(math.abs(_)).max
@@ -70,7 +70,7 @@ class PcaSpec extends SparkSpec {
     // apply face: the variance of the centered PC1 scores must equal
     // λ·‖v‖² (the defining property of projecting onto the eigenvector)
     val scores = Pca.pcaScores(spark, dir, d = d, iters = 8)
-      .as[(Long, Double)].collect().map(_._2)
+      .as[(Long, Long)].collect().map(_._2 / 1e6)
     assert(scores.length === 400)
     val mean = scores.sum / scores.length
     assert(math.abs(mean) < 1e-6, s"scores not centered: $mean")
@@ -94,14 +94,15 @@ class PcaSpec extends SparkSpec {
       .withColumn("embedding", $"embedding".cast("array<float>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Pca.covDrift(spark, dir, d = d, topN = 5)
-      .as[(Int, Int, Double, Double, Double, Double)].collect()
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
     assert(out.length === 5)
     // the top drifted cell is the amplified variance cell (3,3): var
     // quadruples there while cross terms only double
     assert((out.head._1, out.head._2) === ((3, 3)))
-    assert(out.head._4 > out.head._3 * 3.5, "split-1 variance should ~4x")
+    assert(out.head._4.toDouble > out.head._3.toDouble * 3.5,
+      "split-1 variance should ~4x")
     // every top-5 drifted cell touches dimension 3
     assert(out.forall(c => c._1 == 3 || c._2 == 3))
-    assert(out.head._6 > 0.0) // Frobenius alarm fires
+    assert(out.head._6 > 0L) // Frobenius alarm fires
   }
 }

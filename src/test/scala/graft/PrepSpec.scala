@@ -33,7 +33,7 @@ class PrepSpec extends SparkSpec {
 
   test("packSequences: bins partition each stream contiguously under the budget cut") {
     val bins = Prep.packSequences(spark, sf, budget = 512)
-      .as[(String, Long, Long, Long, Long, Long, Long, Double)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(bins.nonEmpty)
     bins.groupBy(b => (b._1, b._2)).foreach { case (_, bs) =>
       val sorted = bs.sortBy(_._3)
