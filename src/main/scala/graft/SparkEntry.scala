@@ -1215,9 +1215,12 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN keep = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM q JOIN lab USING (doc_id))
         |SELECT tp, fp, fn, tn,
-        |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
-        |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
-        |  round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+        |  CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS precision_q6,
+        |  CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS recall_q6,
+        |  CAST(round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |    * 1e6) AS BIGINT) AS f1_q6
         |FROM m""".stripMargin,
 
     // cumulative recall@10 vs probe budget (own bucket + bit flips in
@@ -1528,9 +1531,9 @@ object SparkEntry {
         |  FROM documents),
         |q AS (
         |  SELECT doc_id,
-        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |    CAST(round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
         |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
-        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |      / CAST(1000 * n * nc AS DOUBLE) * 1e6) AS BIGINT) AS score
         |  FROM f),
         |lab AS (
         |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
@@ -1546,11 +1549,14 @@ object SparkEntry {
         |        CAST(sum(pos) OVER () AS BIGINT) AS npos
         |      FROM ps WINDOW w AS (ORDER BY score DESC
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT score AS score_cut, tp, kept - tp AS fp, npos - tp AS fn,
-        |  round(CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE), 6) AS precision,
-        |  round(CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE), 6) AS recall,
-        |  round(CAST(2 * tp AS DOUBLE) / CAST(kept + npos AS DOUBLE), 6) AS f1
-        |FROM c ORDER BY score_cut DESC""".stripMargin,
+        |SELECT score AS score_cut_q6, tp, kept - tp AS fp, npos - tp AS fn,
+        |  CAST(round(CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS precision_q6,
+        |  CAST(round(CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS recall_q6,
+        |  CAST(round(CAST(2 * tp AS DOUBLE) / CAST(kept + npos AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS f1_q6
+        |FROM c ORDER BY score_cut_q6 DESC""".stripMargin,
 
     // per-decile positive rate; deciles over the deterministic
     // (score, doc_id) order, mean score from 1e-6-quantized BIGINT sums
@@ -1566,9 +1572,9 @@ object SparkEntry {
         |  FROM documents),
         |q AS (
         |  SELECT doc_id,
-        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |    CAST(round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
         |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
-        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |      / CAST(1000 * n * nc AS DOUBLE) * 1e6) AS BIGINT) AS score
         |  FROM f),
         |lab AS (
         |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
@@ -1580,9 +1586,10 @@ object SparkEntry {
         |        ntile(10) OVER (ORDER BY q.score, q.doc_id) AS decile
         |      FROM q JOIN lab USING (doc_id))
         |SELECT decile, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
-        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
-        |  round(CAST(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
-        |    AS DOUBLE) / count(*) / 1000000, 6) AS mean_score
+        |  CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS pos_rate_q6,
+        |  CAST(round(CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    AS BIGINT) AS mean_score_q6
         |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
 
     // Isotonic (PAV) fit over the calibration deciles via the
@@ -1599,9 +1606,9 @@ object SparkEntry {
         |  FROM documents),
         |q AS (
         |  SELECT doc_id,
-        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |    CAST(round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
         |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
-        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |      / CAST(1000 * n * nc AS DOUBLE) * 1e6) AS BIGINT) AS score
         |  FROM f),
         |lab AS (
         |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
@@ -1629,14 +1636,13 @@ object SparkEntry {
         |         GROUP BY 1, 2),
         |iso AS (SELECT decile, max(mm) AS iso_raw FROM mins GROUP BY 1),
         |r AS (SELECT p.decile, p.n_docs, p.n_pos,
-        |        round(CAST(p.n_pos AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6)
-        |          AS pos_rate,
-        |        CAST(CAST(round(i.iso_raw * 1e6) AS BIGINT) AS DOUBLE) / 1e6
-        |          AS iso_rate
+        |        CAST(round(CAST(p.n_pos AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+        |          * 1e6) AS BIGINT) AS pos_rate_q6,
+        |        CAST(round(i.iso_raw * 1e6) AS BIGINT) AS iso_rate_q6
         |      FROM pre p JOIN iso i USING (decile))
-        |SELECT decile, n_docs, n_pos, pos_rate, iso_rate,
-        |  CASE WHEN lag(iso_rate) OVER (ORDER BY decile) IS NULL
-        |         OR iso_rate >= lag(iso_rate) OVER (ORDER BY decile)
+        |SELECT decile, n_docs, n_pos, pos_rate_q6, iso_rate_q6,
+        |  CASE WHEN lag(iso_rate_q6) OVER (ORDER BY decile) IS NULL
+        |         OR iso_rate_q6 >= lag(iso_rate_q6) OVER (ORDER BY decile)
         |       THEN 1 ELSE 0 END AS monotone_ok
         |FROM r ORDER BY decile""".stripMargin,
 
@@ -1654,9 +1660,9 @@ object SparkEntry {
         |  FROM documents),
         |q AS (
         |  SELECT doc_id,
-        |    round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
+        |    CAST(round(CAST(-1000 * n * nc + 4000 * s * nc + 300 * (nc - n + 1) * nc
         |         - 8000 * p * n + 2 * n * n * nc AS DOUBLE)
-        |      / CAST(1000 * n * nc AS DOUBLE), 6) AS score
+        |      / CAST(1000 * n * nc AS DOUBLE) * 1e6) AS BIGINT) AS score
         |  FROM f),
         |lab AS (
         |  SELECT doc_id, CAST((len(t) BETWEEN 50 AND 100000) AND
@@ -1670,8 +1676,8 @@ object SparkEntry {
         |st AS (SELECT CAST(sum(CASE WHEN y = 1 THEN mid2 ELSE 0 END) AS BIGINT) AS pos2,
         |         CAST(sum(y) AS BIGINT) AS np, count(*) AS n FROM r)
         |SELECT np AS n_pos, n - np AS n_neg,
-        |  round(CAST(pos2 - np * (np + 1) AS DOUBLE)
-        |    / CAST(2 * np * (n - np) AS DOUBLE), 6) AS auc
+        |  CAST(round(CAST(pos2 - np * (np + 1) AS DOUBLE)
+        |    / CAST(2 * np * (n - np) AS DOUBLE) * 1e6) AS BIGINT) AS auc_q6
         |FROM st""".stripMargin,
 
     // Zipf OLS on 1e-4-nat-quantized ln series: integer-exact moments,
@@ -1808,8 +1814,10 @@ object SparkEntry {
         |         0.5 * seq.x + 0.5 * (h.s + h.b) AS s,
         |         0.3 * ((0.5 * seq.x + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b AS b
         |  FROM h JOIN seq ON seq.event_type = h.event_type AND seq.rn = h.rn + 1)
-        |SELECT event_id, event_type, round(s, 6) AS level, round(b, 6) AS trend,
-        |       round(s + b, 6) AS forecast
+        |SELECT event_id, event_type,
+        |       CAST(round(s * 1e6) AS BIGINT) AS level_q6,
+        |       CAST(round(b * 1e6) AS BIGINT) AS trend_q6,
+        |       CAST(round((s + b) * 1e6) AS BIGINT) AS forecast_q6
         |FROM h ORDER BY event_type, event_id""".stripMargin,
 
     // CM-sketch join-size estimation: cell replay at d=4, w=16384;
@@ -2133,13 +2141,13 @@ object SparkEntry {
     "q_data_prep" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang,
-        |    round(least(length(text) / 200.0, 1.0) * 0.5
+        |    least(length(text) / 200.0, 1.0) * 0.5
         |      + least((CAST(len(list_filter(string_split(text, ' '),
         |          t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
         |          / len(string_split(text, ' '))) * 5.0, 1.0) * 0.3
         |      + (1.0 - least((CAST(length(text) - length(regexp_replace(text,
         |          '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0,
-        |          1.0)) * 0.2, 6) AS quality
+        |          1.0)) * 0.2 AS quality
         |  FROM documents),
         |kept AS (
         |  SELECT *, row_number() OVER (PARTITION BY md5(text)
@@ -2557,7 +2565,8 @@ object SparkEntry {
          |      * 1e6) AS BIGINT) AS jq
          |  FROM base a JOIN base b ON a.doc_id < b.doc_id)
          |SELECT hamming, count(*) AS n_pairs,
-         |  round(CAST(sum(jq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_jacc
+         |  CAST(round(CAST(sum(jq) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS mean_jacc_q6
          |FROM ph JOIN jc USING (ida, idb)
          |GROUP BY hamming ORDER BY hamming""".stripMargin,
 
@@ -2989,7 +2998,9 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT event_type,
         |  CAST(least(floor(value / 10.0), 19.0) AS INTEGER) AS bucket,
-        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |  count(*) AS n,
+        |  CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    * 1e4 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_value_q6
         |FROM events
         |GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
@@ -3012,12 +3023,16 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, n_tokens,
         |  len(regexp_extract_all(text, '\p{L}+|[0-9]|[^\p{L}0-9 ]')) AS n_subtokens,
-        |  round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_word_len,
-        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-        |  round(CAST(n_punct AS DOUBLE) / length(text), 6) AS punct_ratio,
-        |  round(least(length(text) / 200.0, 1.0) * 0.5
+        |  CAST(round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens
+        |    * 1e6) AS BIGINT) AS avg_word_len_q6,
+        |  CAST(round(CAST(n_stop AS DOUBLE) / n_tokens * 1e6) AS BIGINT)
+        |    AS stopword_ratio_q6,
+        |  CAST(round(CAST(n_punct AS DOUBLE) / length(text) * 1e6) AS BIGINT)
+        |    AS punct_ratio_q6,
+        |  CAST(round((least(length(text) / 200.0, 1.0) * 0.5
         |      + least((CAST(n_stop AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.3
-        |      + (1.0 - least((CAST(n_punct AS DOUBLE) / length(text)) * 10.0, 1.0)) * 0.2, 6) AS quality,
+        |      + (1.0 - least((CAST(n_punct AS DOUBLE) / length(text)) * 10.0, 1.0)) * 0.2)
+        |    * 1e6) AS BIGINT) AS quality_q6,
         |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
         |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
         |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
@@ -3059,7 +3074,8 @@ object SparkEntry {
         |         - 8000 * p * n + 2 * n * n * nc AS BIGINT) AS L
         |  FROM f)
         |SELECT doc_id,
-        |  round(CAST(L AS DOUBLE) / CAST(1000 * n * nc AS DOUBLE), 6) AS logit,
+        |  CAST(round(CAST(L AS DOUBLE) / CAST(1000 * n * nc AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS logit_q6,
         |  CAST(CASE WHEN L > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m
         |ORDER BY doc_id""".stripMargin,
@@ -3179,8 +3195,9 @@ object SparkEntry {
         |  FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events)
         |  GROUP BY user_id)
         |SELECT user_id, n, sum_cents,
-        |  round(CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE)
-        |        / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 6) AS var_value
+        |  CAST(round(CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE) / 10000.0 * 1e6) AS BIGINT)
+        |    AS var_value_q6
         |FROM m
         |WHERE n >= 2
         |ORDER BY user_id""".stripMargin,
@@ -3945,10 +3962,10 @@ object SparkEntry {
         |      AS n_sylls
         |  FROM documents)
         |SELECT doc_id, n_words, n_sents, n_sylls,
-        |  round(206.835 - 1.015 * n_words / n_sents
-        |        - 84.6 * n_sylls / n_words, 4) AS flesch,
-        |  round(0.39 * n_words / n_sents
-        |        + 11.8 * n_sylls / n_words - 15.59, 4) AS fk_grade
+        |  CAST(round((206.835 - 1.015 * n_words / n_sents
+        |        - 84.6 * n_sylls / n_words) * 1e4) AS BIGINT) AS flesch_q4,
+        |  CAST(round((0.39 * n_words / n_sents
+        |        + 11.8 * n_sylls / n_words - 15.59) * 1e4) AS BIGINT) AS fk_grade_q4
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // sqrt-temperature language mixing (mirrors TextAnalysis.mixTemperature)

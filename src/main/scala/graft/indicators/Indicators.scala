@@ -161,10 +161,14 @@ object Indicators {
     graft.util.Tables.events(spark, dir)
       .filter(col("event_id") < 5000)
       .withColumn("h", Holt(spark, col("value"), alpha, beta).over(w))
+      // 1e-6-quantized BIGINT gates: the recurrence's doubles are
+      // bit-identical across engines, but their 6dp roundings sat on
+      // exact half-way ties (scanner-verified on level/trend/forecast)
       .select(col("event_id"), col("event_type"),
-        round(col("h.level"), 6).as("level"),
-        round(col("h.trend"), 6).as("trend"),
-        round(col("h.level") + col("h.trend"), 6).as("forecast"))
+        round(col("h.level") * 1e6).cast("long").as("level_q6"),
+        round(col("h.trend") * 1e6).cast("long").as("trend_q6"),
+        round((col("h.level") + col("h.trend")) * 1e6).cast("long")
+          .as("forecast_q6"))
       .orderBy(col("event_type"), col("event_id"))
   }
 

@@ -620,9 +620,11 @@ object Dedup {
           size(array_union(col("ta"), col("tb"))).cast("double") * 1e6)
           .cast("long").as("jq"))
       .groupBy(col("hamming"))
+      // mean gated in 1e-6 BIGINT units: round(Σjq/n) — a 6dp DOUBLE
+      // gate here sat on exact half-way ties (scanner-verified)
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("jq")).cast("double") / count(lit(1)) / 1e6, 6)
-          .as("mean_jacc"))
+        round(sum(col("jq")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_jacc_q6"))
       .orderBy(col("hamming"))
   }
 

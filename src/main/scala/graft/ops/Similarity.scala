@@ -806,9 +806,11 @@ object Similarity {
         .select(lit(t).as("rnk"), col("vec_id"), col("relq"), col("mmrq"))
       sel = sel.union(pick).localCheckpoint(eager = false)
     }
+    // gate the exact integers themselves: mmrq is in 1e-7 units, so a
+    // 6dp DOUBLE gate (mmrq/1e7) half-ties whenever mmrq ≡ 5 (mod 10) —
+    // a structural 1-in-10 hazard (scanner-verified)
     sel.select(col("rnk"), col("vec_id"),
-      round(col("relq").cast("double") / 1e6, 6).as("rel"),
-      round(col("mmrq").cast("double") / 1e7, 6).as("mmr"))
+      col("relq").as("rel_q6"), col("mmrq").as("mmr_q7"))
       .orderBy(col("rnk"))
   }
 
@@ -847,8 +849,8 @@ object Similarity {
        |  ORDER BY relq DESC, vec_id LIMIT 1),
        |$steps
        |SELECT rnk, vec_id,
-       |  round(CAST(relq AS DOUBLE) / 1e6, 6) AS rel,
-       |  round(CAST(mmrq AS DOUBLE) / 1e7, 6) AS mmr
+       |  CAST(relq AS BIGINT) AS rel_q6,
+       |  CAST(mmrq AS BIGINT) AS mmr_q7
        |FROM sel$k ORDER BY rnk""".stripMargin
   }
 

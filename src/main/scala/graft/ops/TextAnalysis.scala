@@ -57,12 +57,17 @@ object TextAnalysis {
       length(text)
 
   /** Composite quality score in [0,1]: length sweet-spot, some stopwords,
-    * low punctuation — the usual cheap pre-filter for LLM training data. */
+    * low punctuation — the usual cheap pre-filter for LLM training data.
+    * UNROUNDED on purpose: the raw IEEE chain is identical on both
+    * engines, so threshold filters (`>= 0.5`) and 1e-6 quantization of
+    * it are portable; a round(x, 6) here sat on exact half-way ties
+    * (the clamped ratios are dyadic) that DuckDB builds break in
+    * different directions — the q_pack_bins failure class. */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
     val punctPenalty = least(punctRatio(text) * 10.0, lit(1.0))
-    round(lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2, 6)
+    lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2
   }
 
   /** Marker-word language ID (n-gram/stopword heuristic). Deterministic
@@ -115,16 +120,20 @@ object TextAnalysis {
 
   // ---- query shapes ----------------------------------------------------
 
-  /** Per-document text feature table. */
+  /** Per-document text feature table. Ratio features are gated as
+    * 1e-6-quantized BIGINTs (_q6): the raw ratios are dyadic-prone
+    * (length clamps, power-of-two denominators), so a 6dp DOUBLE gate
+    * sat on exact half-way ties — the q_pack_bins failure class. */
   def docFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         subtokenCount(col("text")).as("n_subtokens"),
-        round(avgWordLen(col("text")), 6).as("avg_word_len"),
-        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"),
-        qualityScore(col("text")).as("quality"),
+        round(avgWordLen(col("text")) * 1e6).cast("long").as("avg_word_len_q6"),
+        round(stopwordRatio(col("text")) * 1e6).cast("long")
+          .as("stopword_ratio_q6"),
+        round(punctRatio(col("text")) * 1e6).cast("long").as("punct_ratio_q6"),
+        round(qualityScore(col("text")) * 1e6).cast("long").as("quality_q6"),
         langId(col("text")).as("lang_pred"),
         fingerprintBucket(col("text")).as("fp_bucket"),
         rollingHash(col("text")).as("rhash"))
@@ -157,8 +166,11 @@ object TextAnalysis {
       lit(2L) * n * n * nc
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        round(L.cast("double") / (lit(1000L) * n * nc).cast("double"), 6)
-          .as("logit"),
+        // gated as the 1e-6-quantized BIGINT: the logit is an exact
+        // rational L/D whose 6dp roundings sit on genuine half-way
+        // ties (scanner-verified) — integers carry no tie or sign split
+        round(L.cast("double") / (lit(1000L) * n * nc).cast("double") * 1e6)
+          .cast("long").as("logit_q6"),
         when(L > 0L, 1L).otherwise(0L).as("keep"))
       .orderBy(col("doc_id"))
   }
@@ -180,7 +192,7 @@ object TextAnalysis {
     * than the corpus scan that produced it. */
   def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
     val scores = qualityClassifier(spark, dir)
-      .select(col("doc_id"), col("logit").as("score"))
+      .select(col("doc_id"), col("logit_q6").as("score"))
     val labels = gopherRules(spark, dir)
       .select(col("doc_id"), col("keep_doc").cast("long").as("y"))
     val j = scores.join(labels, "doc_id")
@@ -191,8 +203,8 @@ object TextAnalysis {
         sum(col("y")).as("np"), count(lit(1)).as("n"))
       .select(col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
         round((col("pos2") - col("np") * (col("np") + 1)).cast("double") /
-              (lit(2L) * col("np") * (col("n") - col("np"))).cast("double"), 6)
-          .as("auc"))
+              (lit(2L) * col("np") * (col("n") - col("np"))).cast("double")
+          * 1e6).cast("long").as("auc_q6"))
   }
 
   /** Confusion matrix + derived metrics of the classifier's keep
@@ -211,13 +223,13 @@ object TextAnalysis {
         sum(when(col("keep") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
         sum(when(col("keep") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6)
-          .as("precision"),
-        round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 6)
-          .as("recall"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+          * 1e6).cast("long").as("precision_q6"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+          * 1e6).cast("long").as("recall_q6"),
         round((lit(2L) * col("tp")).cast("double") /
-              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
-          .as("f1"))
+              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")
+          * 1e6).cast("long").as("f1_q6"))
   }
 
   /** Full precision/recall curve: one row per DISTINCT score cut
@@ -231,7 +243,7 @@ object TextAnalysis {
     * runs over that already-reduced table. */
   def prCurve(spark: SparkSession, dir: String): DataFrame = {
     val j = qualityClassifier(spark, dir)
-      .select(col("doc_id"), col("logit").as("score"))
+      .select(col("doc_id"), col("logit_q6").as("score"))
       .join(gopherRules(spark, dir)
         .select(col("doc_id"), col("keep_doc").cast("long").as("y")), "doc_id")
     val perScore = j.groupBy(col("score"))
@@ -243,16 +255,17 @@ object TextAnalysis {
       .withColumn("tp", sum(col("pos")).over(cum))
       .withColumn("kept", sum(col("n")).over(cum))
       .withColumn("npos", sum(col("pos")).over(all))
-      .select(col("score").as("score_cut"), col("tp"),
+      .select(col("score").as("score_cut_q6"), col("tp"),
         (col("kept") - col("tp")).as("fp"),
         (col("npos") - col("tp")).as("fn"),
-        round(col("tp").cast("double") / col("kept").cast("double"), 6)
-          .as("precision"),
-        round(col("tp").cast("double") / col("npos").cast("double"), 6)
-          .as("recall"),
+        round(col("tp").cast("double") / col("kept").cast("double") * 1e6)
+          .cast("long").as("precision_q6"),
+        round(col("tp").cast("double") / col("npos").cast("double") * 1e6)
+          .cast("long").as("recall_q6"),
         round((lit(2L) * col("tp")).cast("double") /
-              (col("kept") + col("npos")).cast("double"), 6).as("f1"))
-      .orderBy(col("score_cut").desc)
+              (col("kept") + col("npos")).cast("double") * 1e6)
+          .cast("long").as("f1_q6"))
+      .orderBy(col("score_cut_q6").desc)
   }
 
   /** Calibration curve: positive rate per score decile. Deciles come
@@ -263,7 +276,7 @@ object TextAnalysis {
     * the logit as a sampling weight rather than a hard gate. */
   def calibration(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     val scores = qualityClassifier(spark, dir)
-      .select(col("doc_id"), col("logit").as("score"))
+      .select(col("doc_id"), col("logit_q6").as("score"))
     val labels = gopherRules(spark, dir)
       .select(col("doc_id"), col("keep_doc").cast("long").as("y"))
     val joined = scores.join(labels, "doc_id")
@@ -296,13 +309,14 @@ object TextAnalysis {
           floor((col("rank") - 1 - thr) / qsz) + 1)
         .cast("int"))
       .groupBy(col("decile"))
+      // score is already the 1e-6-quantized BIGINT logit — sum directly
       .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
-        sum(round(col("score") * 1e6).cast("long")).as("qsum"))
+        sum(col("score")).as("qsum"))
       .select(col("decile"), col("n_docs"), col("n_pos"),
-        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
-          .as("pos_rate"),
-        round(col("qsum").cast("double") / col("n_docs").cast("double") / 1e6, 6)
-          .as("mean_score"))
+        round(col("n_pos").cast("double") / col("n_docs").cast("double") * 1e6)
+          .cast("long").as("pos_rate_q6"),
+        round(col("qsum").cast("double") / col("n_docs").cast("double"))
+          .cast("long").as("mean_score_q6"))
       .orderBy(col("decile"))
   }
 
@@ -347,13 +361,12 @@ object TextAnalysis {
     val ord = Window.orderBy(col("decile"))
     pre.join(iso, "decile")
       .select(col("decile"), col("n_docs"), col("n_pos"),
-        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
-          .as("pos_rate"),
-        (round(col("iso_raw") * 1e6).cast("long").cast("double") / 1e6)
-          .as("iso_rate"))
+        round(col("n_pos").cast("double") / col("n_docs").cast("double") * 1e6)
+          .cast("long").as("pos_rate_q6"),
+        round(col("iso_raw") * 1e6).cast("long").as("iso_rate_q6"))
       .withColumn("monotone_ok",
-        when(lag(col("iso_rate"), 1).over(ord).isNull ||
-          col("iso_rate") >= lag(col("iso_rate"), 1).over(ord), 1L)
+        when(lag(col("iso_rate_q6"), 1).over(ord).isNull ||
+          col("iso_rate_q6") >= lag(col("iso_rate_q6"), 1).over(ord), 1L)
           .otherwise(0L))
       .orderBy(col("decile"))
   }
@@ -2045,12 +2058,16 @@ object TextAnalysis {
       .cast("long")
     docs.select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
         sylls.as("n_sylls"))
-      .withColumn("flesch",
-        round(lit(206.835) - lit(1.015) * col("n_words") / col("n_sents")
-          - lit(84.6) * col("n_sylls") / col("n_words"), 4))
-      .withColumn("fk_grade",
-        round(lit(0.39) * col("n_words") / col("n_sents")
-          + lit(11.8) * col("n_sylls") / col("n_words") - lit(15.59), 4))
+      // 1e-4-quantized BIGINT gates: the count-ratio terms land on exact
+      // 4dp half-way ties (scanner-verified on fk_grade), the
+      // q_pack_bins failure class — integers carry no tie
+      .withColumn("flesch_q4",
+        round((lit(206.835) - lit(1.015) * col("n_words") / col("n_sents")
+          - lit(84.6) * col("n_sylls") / col("n_words")) * 1e4).cast("long"))
+      .withColumn("fk_grade_q4",
+        round((lit(0.39) * col("n_words") / col("n_sents")
+          + lit(11.8) * col("n_sylls") / col("n_words") - lit(15.59)) * 1e4)
+          .cast("long"))
       .orderBy(col("doc_id"))
   }
 

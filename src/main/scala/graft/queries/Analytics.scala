@@ -782,7 +782,14 @@ object Analytics {
       .withColumn("bucket",
         least(floor(col("value") / 10.0), lit(19.0)).cast("int"))
       .groupBy(col("event_type"), col("bucket"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      // mean via exact cent sums (order-independent), gated as the
+      // 1e-6-quantized BIGINT: float avg() both accumulates in
+      // partition order and landed on a 6dp half-way tie
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        round(col("sum_cents").cast("double") * 1e4 / col("n").cast("double"))
+          .cast("long").as("avg_value_q6"))
       .orderBy(col("event_type"), col("bucket"))
 
   /** Exact percentiles per key (p50/p90/p99 with linear interpolation —
@@ -1178,10 +1185,13 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
         sum(col("c") * col("c")).as("sumsq_cents"))
       .select(col("user_id"), col("n"), col("sum_cents"),
+        // 1e-6-quantized BIGINT gate: the exact-integer-ratio variance
+        // lands on genuine 6dp half-way ties (scanner-verified), the
+        // q_pack_bins failure class — integers carry no tie
         round((col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
             .cast("double")
-          / (col("n") * (col("n") - lit(1L))).cast("double") / lit(10000.0), 6)
-          .as("var_value"))
+          / (col("n") * (col("n") - lit(1L))).cast("double") / lit(10000.0)
+          * 1e6).cast("long").as("var_value_q6"))
       .filter(col("n") >= 2)
       .orderBy(col("user_id"))
   }

@@ -32,11 +32,11 @@ class CorpusStatsSpec extends SparkSpec {
 
   test("readability: counts exact on a known text; scores follow the formula") {
     val r = TextAnalysis.readability(spark, sf)
-      .as[(Long, Long, Long, Long, Double, Double)].collect()
-    assert(r.forall { case (_, w, s, y, fl, fk) =>
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.forall { case (_, w, s, y, flQ4, fkQ4) =>
       w > 0 && s > 0 && y > 0 &&
-        math.abs(fl - (206.835 - 1.015 * w / s - 84.6 * y / w)) < 1e-3 &&
-        math.abs(fk - (0.39 * w / s + 11.8 * y / w - 15.59)) < 1e-3 })
+        math.abs(flQ4 / 1e4 - (206.835 - 1.015 * w / s - 84.6 * y / w)) < 1e-3 &&
+        math.abs(fkQ4 / 1e4 - (0.39 * w / s + 11.8 * y / w - 15.59)) < 1e-3 })
     // spot-check the syllable heuristic: vowel runs, not vowel chars
     val doc = graft.util.Tables.documents(spark, sf)
       .orderBy($"doc_id").select($"text").as[String].head()

@@ -318,7 +318,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash accuracy census: full pair coverage, Jaccard falls as Hamming grows") {
     val rows = Dedup.simhashAccuracy(spark, sf, probes = 100L)
-      .as[(Int, Long, Double)].collect().sortBy(_._1)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
     val nDocs = graft.util.Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 100).count()
     assert(rows.map(_._2).sum === nDocs * (nDocs - 1) / 2)
@@ -327,8 +327,8 @@ class DedupSpec extends SparkSpec {
     // carry clearly higher similarity than the high-distance end
     val lo = rows.takeWhile(_._1 <= rows.head._1 + 2)
     val hi = rows.reverse.takeWhile(_._1 >= rows.last._1 - 2)
-    def wmean(rs: Array[(Int, Long, Double)]) =
-      rs.map(r => r._3 * r._2).sum / rs.map(_._2).sum
+    def wmean(rs: Array[(Int, Long, Long)]) =
+      rs.map(r => r._3.toDouble * r._2).sum / rs.map(_._2).sum
     assert(wmean(lo) > wmean(hi),
       s"low-hamming mean ${wmean(lo)} not above high-hamming ${wmean(hi)}")
   }

@@ -41,4 +41,54 @@ class DeterminismSpec extends SparkSpec {
       assert(a.nonEmpty, s"$name returned no rows")
     }
   }
+
+  /** The cross-engine representation rule, enforced at the schema level:
+    * a gated DOUBLE produced by round(x, n) diverges between engines
+    * when x sits on an exact n-dp half-way tie (different DuckDB builds
+    * break ties in different directions vs Spark's BigDecimal HALF_UP)
+    * or rounds a tiny negative to -0.0 (BigDecimal has no signed zero).
+    * Both killed gates that were green locally (q_embed_cov,
+    * q_pack_bins, round 7). tools/tie_scan.py strips the round()
+    * wrappers from every oracle and scans the PRE-round values for
+    * exact binary/shortest-repr ties and sign-splitting zeros; every
+    * query it flagged was re-gated as quantized BIGINTs (_q4/_q6/_q7
+    * suffix). This spec pins those schemas so a regression back to a
+    * rounded DOUBLE gate fails loudly, and checks no gate emits a raw
+    * FloatType (float→double promotion differs across engines). */
+  private val quantizedGates: Map[String, Seq[String]] = Map(
+    "q_embed_cov" -> Seq("cov_q6"),
+    "q_power_iter" -> Seq("v_q6", "lambda_q6"),
+    "q_pca_scores" -> Seq("score_q6"),
+    "q_cov_drift" -> Seq("cov_a_q6", "cov_b_q6", "drift_q6", "frob_sq"),
+    "q_pack_bins" -> Seq("fill_ppm"),
+    "q_doc_features" -> Seq("avg_word_len_q6", "stopword_ratio_q6",
+      "punct_ratio_q6", "quality_q6"),
+    "q_quality_classifier" -> Seq("logit_q6"),
+    "q_auc" -> Seq("auc_q6"),
+    "q_confusion" -> Seq("precision_q6", "recall_q6", "f1_q6"),
+    "q_pr_curve" -> Seq("score_cut_q6", "precision_q6", "recall_q6", "f1_q6"),
+    "q_calibration" -> Seq("pos_rate_q6", "mean_score_q6"),
+    "q_isotonic" -> Seq("pos_rate_q6", "iso_rate_q6"),
+    "q_readability" -> Seq("flesch_q4", "fk_grade_q4"),
+    "q_simhash_acc" -> Seq("mean_jacc_q6"),
+    "q_exact_variance" -> Seq("var_value_q6"),
+    "q_histogram" -> Seq("avg_value_q6"),
+    "q_holt" -> Seq("level_q6", "trend_q6", "forecast_q6"),
+    "q_mmr_rerank" -> Seq("rel_q6", "mmr_q7"))
+
+  test("tie-hazard gates stay integer-quantized; no gate emits floats") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+    quantizedGates.foreach { case (name, cols) =>
+      val schema = SparkEntry.queries(name)(spark, sf).schema
+      cols.foreach { c =>
+        val f = schema.find(_.name == c)
+        assert(f.isDefined, s"$name lost gated column $c")
+        assert(f.get.dataType == LongType,
+          s"$name.$c must stay BIGINT (tie-hazard class), got ${f.get.dataType}")
+      }
+      assert(!schema.exists(_.dataType == FloatType),
+        s"$name emits a FloatType column")
+    }
+  }
+
 }

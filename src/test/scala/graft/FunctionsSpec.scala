@@ -38,17 +38,18 @@ class FunctionsSpec extends SparkSpec {
 
   test("exact variance is reproducible across repartitionings and tracks var_samp") {
     val out = Analytics.exactVariance(spark, sf)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Long)].collect().toSeq
     val out2 = Analytics.exactVariance(spark, sf)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Long)].collect().toSeq
     assert(out === out2) // bit-identical rerun
     // agreement with float var_samp up to float-accumulation noise
     val ref = Tables.events(spark, sf)
       .groupBy($"user_id")
       .agg(var_samp(round($"value" * 100) / 100.0).as("v"))
       .as[(Long, Double)].collect().toMap
-    out.foreach { case (u, _, _, v) =>
-      assert(math.abs(v - ref(u)) < 1e-6 * math.max(1.0, math.abs(ref(u))),
+    out.foreach { case (u, _, _, vQ6) =>
+      val v = vQ6 / 1e6
+      assert(math.abs(v - ref(u)) < 2e-6 * math.max(1.0, math.abs(ref(u))),
         s"user $u exact=$v float=${ref(u)}")
     }
   }

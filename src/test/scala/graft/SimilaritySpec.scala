@@ -272,7 +272,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("MMR re-rank replays the greedy argmax chain exactly") {
     val got = Similarity.mmrRerank(spark, sf, queryId = 0L, nCand = 16, k = 5)
-      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
     assert(got.length === 5 && got.map(_._2).distinct.length === 5)
     // first pick must be the relevance top-1
     val top1 = Similarity.bruteForceTopK(spark, sf, 0L, 1)
@@ -303,11 +303,11 @@ class SimilaritySpec extends SparkSpec {
       sel = sel :+ best._1
       expect = expect :+ ((t, best._1._1, best._1._3, best._2))
     }
-    // mmr is displayed at 6dp while mmrq carries 7 digits — compare the
-    // selection chain exactly and the score at display precision
-    val gotQ = got.map(r => (r._1, r._2, math.round(r._3 * 1e6)))
+    // the gate emits the exact integers (rel_q6, mmr_q7) — compare
+    // the full selection chain and both scores exactly
+    val gotQ = got.map(r => (r._1, r._2, r._3))
     assert(gotQ.toList === expect.map(e => (e._1, e._2, e._3)))
     got.zip(expect).foreach { case (g, e) =>
-      assert(math.abs(g._4 - e._4 / 1e7) < 1e-6, s"rank ${g._1} mmr") }
+      assert(g._4 === e._4, s"rank ${g._1} mmr") }
   }
 }

@@ -254,10 +254,12 @@ class TextPipelineSpec extends SparkSpec {
 
   test("quality classifier: keep is exactly logit>0, one row per doc, no shuffle") {
     val df = TextAnalysis.qualityClassifier(spark, sf)
-    val out = df.as[(Long, Double, Long)].collect()
+    val out = df.as[(Long, Long, Long)].collect()
     assert(out.length.toLong === Tables.documents(spark, sf).count())
-    assert(out.forall { case (_, logit, keep) =>
-      keep == (if (logit > 0) 1L else 0L)
+    // keep is sign(L) exactly; logit_q6 is the 1e-6-quantized ratio, so
+    // a tiny |logit| can quantize to 0 on either side — sign-consistency
+    assert(out.forall { case (_, logitQ6, keep) =>
+      if (keep == 1L) logitQ6 >= 0L else logitQ6 <= 0L
     })
     // a scoring pass must not shuffle: inference is a pure projection
     val plan = df.queryExecution.executedPlan.toString
@@ -401,37 +403,38 @@ class TextPipelineSpec extends SparkSpec {
   }
 
   test("classifierAuc: midrank formula equals brute-force pair counting") {
-    val Array((nPos, nNeg, auc)) = TextAnalysis.classifierAuc(spark, sf)
-      .as[(Long, Long, Double)].collect()
+    val Array((nPos, nNeg, aucQ6)) = TextAnalysis.classifierAuc(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val auc = aucQ6 / 1e6
     assert(nPos > 0 && nNeg > 0, "label must split the corpus")
     val rows = TextAnalysis.qualityClassifier(spark, sf)
-      .select($"doc_id", $"logit")
+      .select($"doc_id", $"logit_q6")
       .join(TextAnalysis.gopherRules(spark, sf)
         .select($"doc_id", $"keep_doc"), "doc_id")
-      .as[(Long, Double, Boolean)].collect()
+      .as[(Long, Long, Boolean)].collect()
     val pos = rows.filter(_._3).map(_._2)
     val neg = rows.filterNot(_._3).map(_._2)
     val brute = (for (p <- pos; n <- neg) yield
       if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.length.toLong * neg.length)
     assert(nPos === pos.length && nNeg === neg.length)
-    assert(math.abs(auc - brute) < 1e-6, s"auc=$auc brute=$brute")
+    assert(math.abs(auc - brute) < 2e-6, s"auc=$auc brute=$brute")
   }
 
   test("confusion + calibration: partitions, rates, deterministic deciles") {
     val total = Tables.documents(spark, sf).count()
-    val Array((tp, fp, fn, tn, prec, rec, f1)) =
+    val Array((tp, fp, fn, tn, precQ6, recQ6, f1Q6)) =
       TextAnalysis.confusion(spark, sf)
-        .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(tp + fp + fn + tn === total)
-    assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-6)
-    assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-6)
-    assert(math.abs(f1 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6)
+    assert(math.abs(precQ6 / 1e6 - tp.toDouble / (tp + fp)) < 1e-6)
+    assert(math.abs(recQ6 / 1e6 - tp.toDouble / (tp + fn)) < 1e-6)
+    assert(math.abs(f1Q6 / 1e6 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6)
     val cal = TextAnalysis.calibration(spark, sf)
-      .as[(Int, Long, Long, Double, Double)].collect()
+      .as[(Int, Long, Long, Long, Long)].collect()
     assert(cal.map(_._2).sum === total) // deciles partition the corpus
-    cal.foreach { case (_, n, pos, rate, _) =>
+    cal.foreach { case (_, n, pos, rateQ6, _) =>
       assert(pos >= 0 && pos <= n)
-      assert(math.abs(rate - pos.toDouble / n) < 1e-6)
+      assert(math.abs(rateQ6 / 1e6 - pos.toDouble / n) < 1e-6)
     }
     // the ranking is informative: the top decile's positive rate beats
     // the bottom's (this is what AUC > 0.5 looks like binned)
@@ -466,7 +469,8 @@ class TextPipelineSpec extends SparkSpec {
 
   test("isotonic: matches the classic PAV stack; monotone; pool mass preserved") {
     val out = TextAnalysis.isotonic(spark, sf)
-      .as[(Int, Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      .map(r => (r._1, r._2, r._3, r._4 / 1e6, r._5 / 1e6, r._6))
     assert(out.map(_._1).toSeq === (1 to 10))
     assert(out.forall(_._6 === 1L), "monotone_ok theorem flag")
     // classic pool-adjacent-violators on the same (n, y) decile census
@@ -536,7 +540,7 @@ class TextPipelineSpec extends SparkSpec {
 
   test("prCurve: cumulative counts are monotone and close the curve") {
     val rows = TextAnalysis.prCurve(spark, sf)
-      .as[(Double, Long, Long, Long, Double, Double, Double)].collect()
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
     // score_cut strictly descending; tp and kept monotone non-decreasing
     rows.sliding(2).foreach { case Array(a, b) =>
@@ -544,13 +548,13 @@ class TextPipelineSpec extends SparkSpec {
     case _ => ()
     }
     val last = rows.last
-    assert(last._4 === 0L && math.abs(last._6 - 1.0) < 1e-9) // fn=0, recall=1
+    assert(last._4 === 0L && last._6 === 1000000L) // fn=0, recall=1
     assert(last._2 + last._3 === Tables.documents(spark, sf).count())
     // the sweep must beat the deployed keep-everything threshold's F1
-    val Array((tp, fp, fn, _, _, _, deployedF1)) =
+    val Array((tp, fp, fn, _, _, _, deployedF1Q6)) =
       TextAnalysis.confusion(spark, sf)
-        .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
-    assert(rows.map(_._7).max >= deployedF1, "sweep found no better cut")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._7).max >= deployedF1Q6, "sweep found no better cut")
   }
 
   test("KN trigram: proper distribution (all logprobs < 0), train docs score above held-out") {

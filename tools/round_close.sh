@@ -18,6 +18,10 @@ echo "== full verify (sf0.01) =="
 tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/round_close_verify
 python3 tools/compare.py /root/testdata/sf0.01 /tmp/round_close_verify | tail -1
 
+echo "== tie scan (round()-representation hazards, sf0.01 + sf0.001) =="
+python3 tools/tie_scan.py /root/testdata/sf0.01 /tmp/round_close_verify | tail -1
+python3 tools/tie_scan.py /root/testdata/sf0.001 /tmp/round_close_verify | tail -1
+
 if [[ "$SKIP_BENCH" != "--skip-bench" ]]; then
   echo "== bench (sf0.1) =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
