@@ -694,13 +694,14 @@ object SparkEntry {
         |         w14 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
         |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT w.user_id, w.event_type, w.ts, w.event_id,
-        |  round(w.sma_20, 6) AS sma_20,
-        |  round(r.ema20, 6) AS ema_20,
-        |  round(CASE WHEN w.c14 <> 14 THEN NULL
+        |  CAST(round(w.sma_20 * 1e6) AS BIGINT) AS sma_20_q6,
+        |  CAST(round(r.ema20 * 1e6) AS BIGINT) AS ema_20_q6,
+        |  CAST(round((CASE WHEN w.c14 <> 14 THEN NULL
         |             WHEN w.al = 0 AND w.ag = 0 THEN NULL
         |             WHEN w.al = 0 THEN 100.0
-        |             ELSE 100.0 - 100.0 / (1.0 + w.ag / w.al) END, 6) AS rsi_14,
-        |  round(r.ema12 - r.ema26, 6) AS macd
+        |             ELSE 100.0 - 100.0 / (1.0 + w.ag / w.al) END) * 1e6)
+        |    AS BIGINT) AS rsi_14_q6,
+        |  CAST(round((r.ema12 - r.ema26) * 1e6) AS BIGINT) AS macd_q6
         |FROM win w JOIN rec r
         |  ON w.user_id = r.user_id AND w.event_type = r.event_type AND w.rn = r.rn
         |ORDER BY w.user_id, w.event_type, w.ts, w.event_id""".stripMargin,
@@ -2475,12 +2476,13 @@ object SparkEntry {
         |    ON s.user_id = r.user_id AND s.event_type = r.event_type
         |   AND s.rn = r.rn + 1)
         |SELECT b.user_id, b.event_type, b.ts, b.event_id,
-        |  round(r.wg, 6) AS avg_gain,
-        |  round(r.wl, 6) AS avg_loss,
-        |  round(CASE WHEN r.wg IS NULL OR r.wl IS NULL THEN NULL
+        |  CAST(round(r.wg * 1e6) AS BIGINT) AS avg_gain_q6,
+        |  CAST(round(r.wl * 1e6) AS BIGINT) AS avg_loss_q6,
+        |  CAST(round((CASE WHEN r.wg IS NULL OR r.wl IS NULL THEN NULL
         |             WHEN r.wl = 0 AND r.wg = 0 THEN NULL
         |             WHEN r.wl = 0 THEN 100.0
-        |             ELSE 100.0 - 100.0 / (1.0 + r.wg / r.wl) END, 6) AS rsi_wilder
+        |             ELSE 100.0 - 100.0 / (1.0 + r.wg / r.wl) END) * 1e6)
+        |    AS BIGINT) AS rsi_wilder_q6
         |FROM base b
         |LEFT JOIN rec r ON r.user_id = b.user_id
         |  AND r.event_type = b.event_type AND r.rn = b.rn
@@ -4921,11 +4923,12 @@ object SparkEntry {
         |    max(value) AS high, min(value) AS low
         |  FROM r GROUP BY user_id, day)
         |SELECT user_id, day, n_returns,
-        |  round(CAST(rv_units AS DOUBLE) / 1e12, 6) AS rv,
-        |  round(sqrt(CAST(rv_units AS DOUBLE) / 1e12), 6) AS vol,
-        |  round(sqrt(
+        |  CAST(round(CAST(rv_units AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS rv_q6,
+        |  CAST(round(sqrt(CAST(rv_units AS DOUBLE) / 1e12) * 1e6) AS BIGINT)
+        |    AS vol_q6,
+        |  CAST(round(sqrt(
         |    CAST(CAST(round(ln(high / low) * 1e6) AS BIGINT) AS DOUBLE) ** 2
-        |    / 1e12 / 2.772588722239781), 6) AS park
+        |    / 1e12 / 2.772588722239781) * 1e6) AS BIGINT) AS park_q6
         |FROM g
         |ORDER BY user_id, day""".stripMargin,
 
@@ -5019,13 +5022,14 @@ object SparkEntry {
         |  FROM t2 WHERE d IS NOT NULL AND dprev IS NOT NULL
         |  GROUP BY user_id)
         |SELECT user_id, n_pairs,
-        |  round(CAST(n_pairs * sab - sa * sb AS DOUBLE)
-        |        / CAST(n_pairs * n_pairs AS DOUBLE), 6) AS serial_cov,
-        |  CASE WHEN n_pairs * sab - sa * sb < 0
+        |  CAST(round(CAST(n_pairs * sab - sa * sb AS DOUBLE)
+        |        / CAST(n_pairs * n_pairs AS DOUBLE) * 1e6) AS BIGINT)
+        |    AS serial_cov_q6,
+        |  CAST(CASE WHEN n_pairs * sab - sa * sb < 0
         |       THEN round(2.0 * sqrt(
         |              CAST(-(n_pairs * sab - sa * sb) AS DOUBLE)
-        |              / CAST(n_pairs * n_pairs AS DOUBLE)) / 100.0, 6)
-        |  END AS roll_spread
+        |              / CAST(n_pairs * n_pairs AS DOUBLE)) / 100.0 * 1e6)
+        |  END AS BIGINT) AS roll_spread_q6
         |FROM g
         |ORDER BY user_id""".stripMargin,
 
@@ -5081,15 +5085,15 @@ object SparkEntry {
         |    AS buy_cents,
         |  CAST(sum(CASE WHEN sign = -1 THEN p ELSE 0 END) AS BIGINT)
         |    AS sell_cents,
-        |  CASE WHEN sum(CASE WHEN sign = 1 THEN p ELSE 0 END)
+        |  CAST(CASE WHEN sum(CASE WHEN sign = 1 THEN p ELSE 0 END)
         |          + sum(CASE WHEN sign = -1 THEN p ELSE 0 END) > 0
         |       THEN round(
         |         CAST(sum(CASE WHEN sign = 1 THEN p ELSE 0 END)
         |            - sum(CASE WHEN sign = -1 THEN p ELSE 0 END) AS DOUBLE)
         |         / CAST(sum(CASE WHEN sign = 1 THEN p ELSE 0 END)
-        |              + sum(CASE WHEN sign = -1 THEN p ELSE 0 END) AS DOUBLE),
-        |         6)
-        |  END AS ofi
+        |              + sum(CASE WHEN sign = -1 THEN p ELSE 0 END) AS DOUBLE)
+        |         * 1e6)
+        |  END AS BIGINT) AS ofi_q6
         |FROM s WHERE sign IS NOT NULL
         |GROUP BY user_id, CAST(ts AS DATE)
         |ORDER BY user_id, day""".stripMargin,
@@ -5136,10 +5140,11 @@ object SparkEntry {
         |      AS cum_ln
         |  FROM l)
         |SELECT dur, n_at_risk, d, c_censored,
-        |  round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
-        |  CASE WHEN d = n_at_risk THEN 0.0
-        |       ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1e6), 6)
-        |  END AS survival
+        |  CAST(round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS hazard_q6,
+        |  CAST(CASE WHEN d = n_at_risk THEN 0
+        |       ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1e6) * 1e6)
+        |  END AS BIGINT) AS survival_q6
         |FROM c
         |ORDER BY dur""".stripMargin,
 

@@ -352,11 +352,14 @@ object Analytics {
         keys = Seq("user_id", "event_type"),
         order = Seq(col("ts"), col("event_id")),
         value = col("value"))
+      // 1e-6-quantized BIGINT gates: rsi_14 landed on an exact 6dp
+      // half-way tie at sf0.1 (scanner-verified) and macd crosses zero
+      // (the -0.0 sign-split class); nulls propagate through round/cast
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
-              round(col("sma_20"), 6).as("sma_20"),
-              round(col("ema_20"), 6).as("ema_20"),
-              round(col("rsi_14"), 6).as("rsi_14"),
-              round(col("macd"), 6).as("macd"))
+              round(col("sma_20") * 1e6).cast("long").as("sma_20_q6"),
+              round(col("ema_20") * 1e6).cast("long").as("ema_20_q6"),
+              round(col("rsi_14") * 1e6).cast("long").as("rsi_14_q6"),
+              round(col("macd") * 1e6).cast("long").as("macd_q6"))
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
 
   /** J4 (the reference's dormant geo join, flask/app.py:242-244): left
@@ -901,9 +904,9 @@ object Analytics {
         order = evOrder,
         value = col("value"))
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
-        round(col("wg"), 6).as("avg_gain"),
-        round(col("wl"), 6).as("avg_loss"),
-        round(col("rsi_wilder"), 6).as("rsi_wilder"))
+        round(col("wg") * 1e6).cast("long").as("avg_gain_q6"),
+        round(col("wl") * 1e6).cast("long").as("avg_loss_q6"),
+        round(col("rsi_wilder") * 1e6).cast("long").as("rsi_wilder_q6"))
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
 
   /** Column profiling over lineitem's numeric columns: row/null/distinct

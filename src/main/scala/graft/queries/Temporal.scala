@@ -274,12 +274,18 @@ object Temporal {
         sum(col("r_u") * col("r_u")).as("rv_units"),
         max(col("value")).as("high"),
         min(col("value")).as("low"))
+      // rv = rv_units/1e12 is an exact-integer ratio whose 6dp rounding
+      // half-ties whenever rv_units ≡ 5e5 (mod 1e6) — structural; gate
+      // all three as 1e-6-quantized BIGINTs (scale-0 round is portable)
       .select(col("user_id"), col("day"), col("n_returns"),
-        round(col("rv_units").cast("double") / 1e12, 6).as("rv"),
-        round(sqrt(col("rv_units").cast("double") / 1e12), 6).as("vol"),
+        round(col("rv_units").cast("double") / 1e12 * 1e6).cast("long")
+          .as("rv_q6"),
+        round(sqrt(col("rv_units").cast("double") / 1e12) * 1e6).cast("long")
+          .as("vol_q6"),
         round(sqrt(
           pow(round(log(col("high") / col("low")) * 1e6).cast("long")
-            .cast("double"), 2) / 1e12 / fourLn2), 6).as("park"))
+            .cast("double"), 2) / 1e12 / fourLn2) * 1e6).cast("long")
+          .as("park_q6"))
       .orderBy(col("user_id"), col("day"))
   }
 
@@ -398,15 +404,18 @@ object Temporal {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("d")).as("sa"), sum(col("dprev")).as("sb"),
         sum(col("d") * col("dprev")).as("sab"))
+      // 1e-6-quantized BIGINT gates: the exact-integer-ratio serial
+      // covariance lands on genuine 6dp half-way ties (scanner-verified
+      // at sf0.1), the q_pack_bins failure class
       .select(col("user_id"), col("n_pairs"),
         round((col("n_pairs") * col("sab") - col("sa") * col("sb")).cast("double")
-            / (col("n_pairs") * col("n_pairs")).cast("double"), 6)
-          .as("serial_cov"),
+            / (col("n_pairs") * col("n_pairs")).cast("double") * 1e6)
+          .cast("long").as("serial_cov_q6"),
         when(col("n_pairs") * col("sab") - col("sa") * col("sb") < 0,
           round(lit(2.0) * sqrt(
             -(col("n_pairs") * col("sab") - col("sa") * col("sb")).cast("double")
-              / (col("n_pairs") * col("n_pairs")).cast("double")) / 100.0, 6))
-          .as("roll_spread"))
+              / (col("n_pairs") * col("n_pairs")).cast("double")) / 100.0 * 1e6))
+          .cast("long").as("roll_spread_q6"))
       .orderBy(col("user_id"))
   }
 
@@ -465,12 +474,14 @@ object Temporal {
         sum(when(col("sign") === 1, col("p")).otherwise(0L)).as("buy_cents"),
         sum(when(col("sign") === -1, col("p")).otherwise(0L)).as("sell_cents"),
         count(lit(1)).as("n_ticks"))
+      // ofi is a ratio of exact cent BIGINTs — dyadic denominators put
+      // it in the 6dp half-tie class (scanner-verified at sf0.1)
       .select(col("user_id"), col("day"), col("n_ticks"),
         col("buy_cents"), col("sell_cents"),
         when(col("buy_cents") + col("sell_cents") > 0,
           round((col("buy_cents") - col("sell_cents")).cast("double")
-            / (col("buy_cents") + col("sell_cents")).cast("double"), 6))
-          .as("ofi"))
+            / (col("buy_cents") + col("sell_cents")).cast("double") * 1e6))
+          .cast("long").as("ofi_q6"))
       .orderBy(col("user_id"), col("day"))
   }
 
@@ -521,12 +532,15 @@ object Temporal {
               / col("n_at_risk").cast("double")) * 1e6).cast("long")))
       .withColumn("cum_ln",
         sum(col("ln_units")).over(wAll.rowsBetween(Window.unboundedPreceding, 0)))
+      // hazard is an exact count ratio (6dp half-tie class,
+      // scanner-verified at sf0.1); survival quantizes with it
       .select(col("dur"), col("n_at_risk"), col("d"), col("c_censored"),
-        round(col("d").cast("double") / col("n_at_risk").cast("double"), 6)
-          .as("hazard"),
-        when(col("d") === col("n_at_risk"), lit(0.0))
-          .otherwise(round(exp(col("cum_ln").cast("double") / 1e6), 6))
-          .as("survival"))
+        round(col("d").cast("double") / col("n_at_risk").cast("double") * 1e6)
+          .cast("long").as("hazard_q6"),
+        when(col("d") === col("n_at_risk"), lit(0L))
+          .otherwise(round(exp(col("cum_ln").cast("double") / 1e6) * 1e6)
+            .cast("long"))
+          .as("survival_q6"))
       .orderBy(col("dur"))
   }
 

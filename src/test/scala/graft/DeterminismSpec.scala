@@ -74,7 +74,13 @@ class DeterminismSpec extends SparkSpec {
     "q_exact_variance" -> Seq("var_value_q6"),
     "q_histogram" -> Seq("avg_value_q6"),
     "q_holt" -> Seq("level_q6", "trend_q6", "forecast_q6"),
-    "q_mmr_rerank" -> Seq("rel_q6", "mmr_q7"))
+    "q_mmr_rerank" -> Seq("rel_q6", "mmr_q7"),
+    "q_indicators" -> Seq("sma_20_q6", "ema_20_q6", "rsi_14_q6", "macd_q6"),
+    "q_rsi_wilder" -> Seq("avg_gain_q6", "avg_loss_q6", "rsi_wilder_q6"),
+    "q_roll_spread" -> Seq("serial_cov_q6", "roll_spread_q6"),
+    "q_tick_rule" -> Seq("ofi_q6"),
+    "q_km_conversion" -> Seq("hazard_q6", "survival_q6"),
+    "q_realized_vol" -> Seq("rv_q6", "vol_q6", "park_q6"))
 
   test("tie-hazard gates stay integer-quantized; no gate emits floats") {
     import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}

@@ -178,15 +178,15 @@ class TemporalSpec extends SparkSpec {
     val rows = Temporal.realizedVol(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val rv = Option(r.getAs[java.lang.Double]("rv")).map(_.doubleValue)
-      val vol = Option(r.getAs[java.lang.Double]("vol")).map(_.doubleValue)
+      val rv = Option(r.getAs[java.lang.Long]("rv_q6")).map(_.toDouble / 1e6)
+      val vol = Option(r.getAs[java.lang.Long]("vol_q6")).map(_.toDouble / 1e6)
       (rv, vol) match {
         case (Some(a), Some(v)) =>
           assert(a >= 0 && math.abs(v - math.sqrt(a)) < 1e-4)
         case (None, None) => // first-tick-only day: no returns
         case other => fail(s"rv/vol null mismatch: $other")
       }
-      assert(r.getAs[Double]("park") >= 0.0)
+      assert(r.getAs[Long]("park_q6") >= 0L)
     }
     val ticks = Tables.events(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_returns")).sum < ticks)
@@ -249,8 +249,9 @@ class TemporalSpec extends SparkSpec {
 
   test("rollSpread: spread only on negative serial covariance, else null") {
     Temporal.rollSpread(spark, sf).collect().foreach { r =>
-      val cov = r.getAs[Double]("serial_cov")
-      val spr = Option(r.getAs[java.lang.Double]("roll_spread"))
+      val cov = r.getAs[Long]("serial_cov_q6") / 1e6
+      val spr = Option(r.getAs[java.lang.Long]("roll_spread_q6"))
+        .map(_.toDouble / 1e6)
       if (cov < 0) {
         assert(spr.isDefined && spr.get >= 0)
         // spread in dollars recovers 2*sqrt(-cov)/100 (cov is in cents^2)
@@ -266,7 +267,7 @@ class TemporalSpec extends SparkSpec {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b.getAs[Long]("n_at_risk") ==
         a.getAs[Long]("n_at_risk") - a.getAs[Long]("d") - a.getAs[Long]("c_censored"))
-      assert(b.getAs[Double]("survival") <= a.getAs[Double]("survival") + 1e-9,
+      assert(b.getAs[Long]("survival_q6") <= a.getAs[Long]("survival_q6") + 1L,
         "survival must be non-increasing")
     }
     // censoring only at the administrative 48h cut
@@ -275,7 +276,7 @@ class TemporalSpec extends SparkSpec {
     val n0 = rows.head.getAs[Long]("n_at_risk")
     rows.dropRight(1).foreach { r =>
       val expect = (r.getAs[Long]("n_at_risk") - r.getAs[Long]("d")).toDouble / n0
-      assert(math.abs(r.getAs[Double]("survival") - expect) < 1e-4,
+      assert(math.abs(r.getAs[Long]("survival_q6") / 1e6 - expect) < 1e-4,
         s"uncensored KM should equal empirical survival at dur=${r.getAs[Long]("dur")}")
     }
   }
