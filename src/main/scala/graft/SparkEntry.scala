@@ -2834,15 +2834,20 @@ object SparkEntry {
         |    SELECT vec_id, unnest(embedding) AS e,
         |      generate_subscripts(embedding, 1) AS i
         |    FROM embeddings)),
+        |tot AS (SELECT count(DISTINCT vec_id) AS n_tot FROM comp),
+        |pl AS (SELECT min(p) AS planes FROM range(1, 33) r(p), tot
+        |       WHERE (CAST(1 AS BIGINT) << p) * 32 >= n_tot),
         |dots AS (
         |  SELECT vec_id, p,
         |    sum((strpos('0123456789abcdef',
         |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
-        |  FROM comp, (SELECT unnest(range(1, 9)) AS p) planes
+        |  FROM comp, (SELECT unnest(range(1, 33)) AS p) planes
         |  GROUP BY vec_id, p),
         |sig AS MATERIALIZED (
         |  SELECT vec_id,
-        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |    substr(string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+        |                      ORDER BY p),
+        |           1, (SELECT CAST(planes AS INTEGER) FROM pl)) AS sig
         |  FROM dots GROUP BY vec_id),
         |sv AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.sig
         |       FROM embeddings e JOIN sig s USING (vec_id)

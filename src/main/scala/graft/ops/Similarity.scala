@@ -125,7 +125,7 @@ object Similarity {
     * complementing IVF. Fully deterministic, so the SQL oracle
     * reproduces every signature. */
   def hyperplaneSignature(v: Column, planes: Int = 8): Column = {
-    require(planes <= 16, "one md5 digest supplies at most 16 plane nibbles")
+    require(planes <= 32, "one md5 digest supplies at most 32 plane nibbles")
     val hexPos = map(
       "0123456789abcdef".zipWithIndex.flatMap { case (c, idx) =>
         Seq(lit(c.toString), lit((idx + 1).toDouble))
@@ -179,6 +179,21 @@ object Similarity {
     * recompute per consumer) — ONLY for plan inspection in PlanSpec; the
     * production default materializes the signature pass and the n·k edge
     * list once each, since three consumers read them. */
+  /** Expected-bucket-size target for the k-NN candidate LSH: planes =
+    * min p with 2^p · KnnBucketTarget ≥ n keeps E[|bucket|] ≤ target as
+    * the corpus grows, so the candidate volume Σ|bucket|² stays ≈
+    * n · target — LINEAR in n. A fixed plane count (the previous 8)
+    * makes buckets grow ∝ n and candidates ∝ n², the scale-killer the
+    * sf10 ladder exposed (12.9× per decade). The rule is exact integer
+    * arithmetic (shiftleft + comparison), NOT ceil(log2(·)) — libm log2
+    * differs across engines in the last ulp exactly at the power-of-two
+    * boundaries where ceil flips. */
+  val KnnBucketTarget = 32
+
+  /** The plane-count rule as pure Scala (spec replay). */
+  def knnPlanes(n: Long, target: Int = KnnBucketTarget): Int =
+    (1 to 32).find(p => (1L << p) * target >= n).getOrElse(32)
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
       truncate: Boolean = true): DataFrame = {
     // eager=false: lineage still truncates at first execution, but
@@ -186,9 +201,20 @@ object Similarity {
     // spec loops must not run two corpus-scale jobs as a side effect)
     def cp(df: DataFrame): DataFrame =
       if (truncate) df.localCheckpoint(eager = false) else df
-    val sv = cp(vecs(spark, dir).filter(size(col("v")) > 0)
+    val base = vecs(spark, dir).filter(size(col("v")) > 0)
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("sig", hyperplaneSignature(col("v")))
+    // one cheap count pass derives the plane count; the 32-bit signature
+    // is cropped per row to that length (same nibble per plane as the
+    // fixed-count signature, so outputs at the n where the rule gives 8
+    // planes are bit-identical to the old gate)
+    val tot = base.agg(count(lit(1)).as("n_tot"))
+    val sv = cp(base
+      .crossJoin(broadcast(tot))
+      .withColumn("sig32", hyperplaneSignature(col("v"), 32))
+      .withColumn("sig", expr(
+        s"""substring(sig32, 1, array_min(filter(sequence(1, 32),
+           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)))"""
+          .stripMargin))
       .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
     ) // one signature pass feeds both join sides
     val rhs = sv.select(col("sig"), col("vec_id").as("b"),
