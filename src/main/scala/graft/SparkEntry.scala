@@ -5161,7 +5161,8 @@ object SparkEntry {
         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
         |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM lineitem WHERE l_extendedprice > 0),
-        |g AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+        |g AS (SELECT digit, count(*) AS observed FROM d
+        |      WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
         |t AS (
         |  SELECT digit, observed,
         |    CAST(sum(observed) OVER () AS BIGINT) AS n,

@@ -148,6 +148,11 @@ object DataQuality {
       .withColumn("digit",
         substring(round(col("l_extendedprice") * 100).cast("long")
           .cast("string"), 1, 1).cast("int"))
+      // values under half a cent round to 0 cents -> digit 0, whose
+      // expected_p is 0 and whose chi2 term divides by zero; Benford's
+      // domain is digits 1..9 (unreachable on extendedprice, guarded
+      // for reuse on other columns)
+      .filter(col("digit").between(1, 9))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("observed"))
       .withColumn("n", sum(col("observed")).over( // 9-row frame: bounded

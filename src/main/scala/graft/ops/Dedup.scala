@@ -578,14 +578,15 @@ object Dedup {
     val nFp = perProbe.filter(col("n_present") === k)
       .agg(count(lit(1)).as("fp_count"))
     val md = m.toDouble
+    val loadC = col("bits_set").cast("double") / md
     nTrain.crossJoin(nProbes).crossJoin(nBits).crossJoin(nFp)
       .select(col("n_train"), col("n_probes"), col("bits_set"), col("fp_count"),
         round(col("fp_count").cast("double") / col("n_probes").cast("double"), 6)
           .as("fp_rate"),
-        round(col("bits_set").cast("double") / md, 6).as("load"),
-        round(col("bits_set").cast("double") / md
-          * (col("bits_set").cast("double") / md)
-          * (col("bits_set").cast("double") / md), 6).as("fp_theory"))
+        round(loadC, 6).as("load"),
+        // theoretical FP = load^k for the k probe positions (the k-fold
+        // product, not a hardcoded cube — the oracle replays k = 3)
+        round(Seq.fill(k)(loadC).reduce(_ * _), 6).as("fp_theory"))
   }
 
   /** SimHash estimator-accuracy census — the [[simhashNeighbors]] family's

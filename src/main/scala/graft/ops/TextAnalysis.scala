@@ -2206,25 +2206,28 @@ object TextAnalysis {
       .select(when(col("term").isin(headKeys: _*), col("term"))
         .otherwise(concat(col("term"), lit("_"),
           (col("doc_id") % 97).cast("string"))).as("key"))
-    // the MG pass: one ObjectHashAggregate, ≤ k counters per partial,
-    // one k-entry map on the driver (bounded by construction)
-    val summary: Map[String, Long] =
-      keys.as[String]
-        .select(new graft.functions.MisraGries(k).toColumn.name("mg")).head()
-    val est = typedlit(summary)
+    // the MG pass: one ObjectHashAggregate, ≤ k counters per partial.
+    // The k-entry summary stays a ONE-ROW DataFrame (broadcast
+    // cross-join), never a driver literal — construction remains
+    // analysis-only (no .head() side effect) and the key stream is
+    // scanned once per run, not once at build time and again at run time
+    val mg = keys.as[String]
+      .select(new graft.functions.MisraGries(k).toColumn.name("mg"))
     val exact = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
     val total = exact.agg(sum(col("cnt")).as("n"))
     exact.filter(col("key").isin(headKeys: _*))
       .crossJoin(broadcast(total))
+      .crossJoin(broadcast(mg))
       .select(col("key").as("term"), col("cnt"),
-        coalesce(element_at(est, col("key")), lit(0L)).as("e"), col("n"))
+        coalesce(element_at(col("mg"), col("key")), lit(0L)).as("e"),
+        col("n"), size(map_keys(col("mg"))).as("n_tracked"))
       .select(col("term"), col("cnt"),
         when(col("cnt") * (k + 1) <= col("n") || col("e") > 0, 1L)
           .otherwise(0L).as("presence_ok"),
         when(col("e") <= col("cnt"), 1L).otherwise(0L).as("le_exact_ok"),
         when((col("cnt") - col("e")) * (k + 1) <= col("n"), 1L)
           .otherwise(0L).as("bound_ok"),
-        lit(if (summary.size <= k) 1L else 0L).as("tracked_le_k"))
+        when(col("n_tracked") <= k, 1L).otherwise(0L).as("tracked_le_k"))
       .orderBy(col("term"))
   }
 

@@ -62,8 +62,13 @@ object Web {
   private def registeredDomain(hostNorm: Column): Column = {
     val labels = split(hostNorm, "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", slice(labels, n - 1, lit(2)))
-    when(last2.isin("co.uk", "com.au"),
+    // greatest() keeps every slice start >= 1: Spark's slice rejects a
+    // 0 start at runtime, which a single-label host ('localhost') or a
+    // bare public suffix ('co.uk') would otherwise produce — unreachable
+    // with the synthetic urlOf, latent for any real-host reuse
+    val last2 = concat_ws(".", slice(labels, greatest(n - 1, lit(1)), lit(2)))
+    when(n < 2, hostNorm)
+      .when(last2.isin("co.uk", "com.au") && n >= 3,
         concat_ws(".", slice(labels, n - 2, lit(3))))
       .otherwise(last2)
   }
