@@ -80,6 +80,7 @@ object SparkEntry {
     "q_datetime_pack" -> (Analytics.datetimePack _),
     "q_approx_distinct" -> (Analytics.approxDistinct _),
     "q_sketch_merge" -> (Analytics.sketchMerge _),
+    "q_quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "q_percentiles" -> (Analytics.percentiles _),
     "q_series_collect" -> (Analytics.seriesCollect _),
     // envelope parse/explode surface (P1-P8)
@@ -119,6 +120,7 @@ object SparkEntry {
     // distributed PCA: one-pass O(d²)-state covariance + power method
     "q_embed_cov" -> ((s, d) => Pca.embedCov(s, d)),
     "q_power_iter" -> ((s, d) => Pca.powerIter(s, d)),
+    "q_pca_topk" -> ((s, d) => Pca.pcaTopK(s, d)),
     "q_pca_scores" -> ((s, d) => Pca.pcaScores(s, d)),
     // MMR diversity re-rank: bounded greedy loop over a top-N pool
     "q_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
@@ -1064,6 +1066,57 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // mergeable log-bucket quantile sketch: exact integer octave /
+    // sub-bucket arithmetic (length(bin(c)), shifts, integer div) so
+    // both engines compute identical buckets; exact rank quantile as
+    // the verification side; output all BIGINTs + certificate flag
+    "q_quantile_sketch" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE round(value * 100) >= 1),
+        |hist AS (
+        |  SELECT event_type, e * 8 + subb AS bucket, p2, subb,
+        |    count(*) AS cnt
+        |  FROM (SELECT event_type, c, e, (CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS p2,
+        |          ((c - (CAST(1 AS BIGINT) << CAST(e AS INTEGER))) * 8)
+        |            // (CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS subb
+        |        FROM (SELECT event_type, c,
+        |                CAST(length(bin(c)) - 1 AS BIGINT) AS e FROM base))
+        |  GROUP BY 1, 2, 3, 4),
+        |cum AS (
+        |  SELECT event_type, bucket,
+        |    p2 + (subb * p2) // 8 AS lo_cents,
+        |    p2 + ((subb + 1) * p2) // 8 AS hi_cents,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |vcum AS (
+        |  SELECT event_type, c,
+        |    CAST(sum(vc) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vcum
+        |  FROM (SELECT event_type, c, count(*) AS vc FROM base GROUP BY 1, 2)),
+        |qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q),
+        |picked AS (
+        |  SELECT event_type, q, n, (n * q + 99) // 100 AS target,
+        |    min(bucket) AS bucket,
+        |    min_by(lo_cents, bucket) AS lo_cents,
+        |    min_by(hi_cents, bucket) AS hi_cents
+        |  FROM cum CROSS JOIN qs
+        |  WHERE cum >= (n * q + 99) // 100
+        |  GROUP BY 1, 2, 3, 4),
+        |ex AS (
+        |  SELECT p.event_type, p.q, min(v.c) AS exact_cents
+        |  FROM picked p JOIN vcum v
+        |    ON v.event_type = p.event_type AND v.vcum >= p.target
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, p.q, p.n, p.bucket, p.lo_cents, p.hi_cents,
+        |  ex.exact_cents,
+        |  CAST(CASE WHEN ex.exact_cents BETWEEN p.lo_cents AND p.hi_cents
+        |       THEN 1 ELSE 0 END AS BIGINT) AS within_ok
+        |FROM picked p JOIN ex USING (event_type, q)
+        |ORDER BY event_type, q""".stripMargin,
 
     "q_sketch_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
@@ -2972,6 +3025,7 @@ object SparkEntry {
     // step) — identical integer arithmetic replayed end-to-end
     "q_embed_cov" -> Pca.embedCovSql,
     "q_power_iter" -> Pca.powerIterSql(),
+    "q_pca_topk" -> Pca.pcaTopKSql(),
     "q_pca_scores" -> Pca.pcaScoresSql(),
     "q_mmr_rerank" -> Similarity.mmrRerankSql(),
     "q_cov_drift" -> Pca.covDriftSql(),

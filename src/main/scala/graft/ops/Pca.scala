@@ -129,6 +129,81 @@ object Pca {
       .orderBy(col("j"))
   }
 
+  /** Top-k principal components by DEFLATION on the d²-bounded integer
+    * matrix, gated as q_pca_topk — the whitening rotation PQ/IVF
+    * indexing actually consumes (one component is a score; k components
+    * are the rotation). After each power-iteration convergence the
+    * matrix is rank-1 deflated, C ← C − λ·v·vᵀ/(vᵀv), and the next
+    * component runs the same 8-step loop on the deflated matrix.
+    *
+    * Exactness discipline (the q_power_iter convention, applied at
+    * every boundary): the matrix stays 1e-6-quantized BIGINTs between
+    * components — each deflation cell update is ONE double chain
+    * ((λ_q6 · va) · vb / de) rounded back to BIGINT, with λ_q6 the
+    * already-quantized Rayleigh quotient and de = Σvq² the exact
+    * integer norm (the iterate is max-normalized, NOT unit — dividing
+    * by de is what makes the rank-1 subtraction actually annihilate v).
+    * The oracle unrolls the identical k×iters CTE chain.
+    *
+    * Scale: everything after the one-pass covariance aggregate runs on
+    * d² = 4096 cells × k components — bounded regardless of corpus
+    * size; the corpus is scanned exactly once. */
+  def pcaTopK(spark: SparkSession, dir: String, d: Int = 64,
+      iters: Int = 8, k: Int = 3): DataFrame = {
+    val covq = covCells(spark, dir, d)
+      .select(col("i0"), col("j"), round(col("covr") * 1e6).cast("long").as("cq"))
+      .localCheckpoint(eager = false)
+    var fullm = covq.union(
+      covq.filter(col("i0") =!= col("j"))
+        .select(col("j").as("i0"), col("i0").as("j"), col("cq")))
+      .localCheckpoint(eager = false)
+    var out: DataFrame = null
+    for (c <- 1 to k) {
+      var v = spark.range(d).select(col("id").cast("int").as("j"),
+        lit(1000000L).as("vq"))
+      for (_ <- 1 to iters) {
+        val mv = fullm.join(v, Seq("j"))
+          .groupBy(col("i0")).agg(sum(col("cq") * col("vq")).as("mv"))
+          .localCheckpoint(eager = false)
+        val mx = mv.agg(max(abs(col("mv"))).as("mx"))
+        v = mv.crossJoin(mx)
+          .select(col("i0").as("j"),
+            round(col("mv").cast("double") / col("mx").cast("double") * 1e6)
+              .cast("long").as("vq"))
+          .localCheckpoint(eager = false)
+      }
+      val sg = v.filter(col("j") === 0)
+        .select(when(col("vq") < 0, lit(-1L)).otherwise(lit(1L)).as("sg"))
+      val vfix = v.crossJoin(sg)
+        .select(col("j"), (col("vq") * col("sg")).as("vq"))
+        .localCheckpoint(eager = false) // read by gate, Rayleigh, deflation
+      val num = fullm
+        .join(vfix.select(col("j").as("i0"), col("vq").as("va")), Seq("i0"))
+        .join(vfix.select(col("j"), col("vq").as("vb")), Seq("j"))
+        .agg(sum((col("cq") * col("va") * col("vb")).cast("decimal(38,0)")).as("nu"))
+      val den = vfix.agg(sum(col("vq") * col("vq")).as("de"))
+      val lam = num.crossJoin(den)
+        .select(round(col("nu").cast("double") / col("de").cast("double"))
+          .cast("long").as("lam"), col("de"))
+      val comp = vfix.crossJoin(lam)
+        .select(lit(c).as("component"), col("j"),
+          col("vq").as("v_q6"), col("lam").as("lambda_q6"))
+      out = if (out == null) comp else out.union(comp)
+      if (c < k) {
+        fullm = fullm
+          .join(vfix.select(col("j").as("i0"), col("vq").as("va")), Seq("i0"))
+          .join(vfix.select(col("j"), col("vq").as("vb")), Seq("j"))
+          .crossJoin(lam)
+          .select(col("i0"), col("j"),
+            (col("cq") - round(col("lam").cast("double") * col("va").cast("double")
+              * col("vb").cast("double") / col("de").cast("double")).cast("long"))
+              .as("cq"))
+          .localCheckpoint(eager = false) // next component reads it 8+2 times
+      }
+    }
+    out.orderBy(col("component"), col("j"))
+  }
+
   /** Covariance-DRIFT monitor: per-split covariance matrices from ONE
     * grouped CovAccum pass (two packed buffers, not two corpus scans),
     * compared cell-by-cell — the second-moment face of the ks_drift /
@@ -287,6 +362,68 @@ object Pca {
        |            JOIN v$iters b ON b.j = f.j) n
        |CROSS JOIN (SELECT sum(vq * vq) AS de FROM v$iters) dd
        |ORDER BY v.j""".stripMargin
+
+  /** Generated oracle for [[pcaTopK]]: the full k-component deflation
+    * chain unrolled — per component the 8 power steps, sign fix,
+    * Rayleigh quotient, and the rank-1-deflated matrix for the next. */
+  def pcaTopKSql(d: Int = 64, iters: Int = 8, k: Int = 3): String = {
+    def compCtes(c: Int): String = {
+      val mat = s"fullm$c"
+      val steps = (1 to iters).map { s =>
+        s"""c${c}mv$s AS MATERIALIZED (SELECT f.i0 AS i0, sum(f.cq * v.vq) AS mv
+           |  FROM $mat f JOIN c${c}v${s - 1} v ON v.j = f.j GROUP BY f.i0),
+           |c${c}v$s AS MATERIALIZED (SELECT CAST(i0 AS INTEGER) AS j,
+           |  CAST(round(CAST(mv AS DOUBLE)
+           |    / CAST((SELECT max(abs(mv)) FROM c${c}mv$s) AS DOUBLE) * 1e6)
+           |    AS BIGINT) AS vq
+           |  FROM c${c}mv$s)""".stripMargin
+      }.mkString(",\n")
+      val deflate = if (c < k)
+        s""",
+           |fullm${c + 1} AS MATERIALIZED (
+           |  SELECT f.i0, f.j,
+           |    f.cq - CAST(round(CAST(l.lam AS DOUBLE) * CAST(a.vq AS DOUBLE)
+           |      * CAST(b.vq AS DOUBLE) / CAST(l.de AS DOUBLE)) AS BIGINT) AS cq
+           |  FROM fullm$c f
+           |  JOIN c${c}fix a ON a.j = f.i0
+           |  JOIN c${c}fix b ON b.j = f.j
+           |  CROSS JOIN c${c}lam l)""".stripMargin
+      else ""
+      s"""c${c}v0 AS MATERIALIZED (
+         |  SELECT CAST(unnest(range(0, $d)) AS INTEGER) AS j,
+         |  CAST(1000000 AS BIGINT) AS vq),
+         |$steps,
+         |c${c}sg AS (SELECT CASE WHEN vq < 0 THEN CAST(-1 AS BIGINT)
+         |                        ELSE CAST(1 AS BIGINT) END AS sg
+         |            FROM c${c}v$iters WHERE j = 0),
+         |c${c}fix AS MATERIALIZED (
+         |  SELECT v.j, CAST(v.vq * s.sg AS BIGINT) AS vq
+         |  FROM c${c}v$iters v CROSS JOIN c${c}sg s),
+         |c${c}lam AS MATERIALIZED (
+         |  SELECT CAST(round(CAST(n.nu AS DOUBLE) / CAST(dd.de AS DOUBLE))
+         |           AS BIGINT) AS lam,
+         |         dd.de AS de
+         |  FROM (SELECT sum(f.cq * a.vq * b.vq) AS nu FROM fullm$c f
+         |        JOIN c${c}fix a ON a.j = f.i0
+         |        JOIN c${c}fix b ON b.j = f.j) n
+         |  CROSS JOIN (SELECT sum(vq * vq) AS de FROM c${c}fix) dd)$deflate"""
+        .stripMargin
+    }
+    val selects = (1 to k).map { c =>
+      s"""SELECT $c AS component, f.j, f.vq AS v_q6, l.lam AS lambda_q6
+         |FROM c${c}fix f CROSS JOIN c${c}lam l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$oracleCtes,
+       |covq AS MATERIALIZED (
+       |  SELECT c.i0, c.j,
+       |    CAST(round($covExpr * 1e6) AS BIGINT) AS cq
+       |  FROM crossp c JOIN sums sa ON sa.i0 = c.i0 JOIN sums sb ON sb.i0 = c.j),
+       |fullm1 AS MATERIALIZED (SELECT i0, j, cq FROM covq UNION ALL
+       |          SELECT j AS i0, i0 AS j, cq FROM covq WHERE i0 <> j),
+       |${(1 to k).map(compCtes).mkString(",\n")}
+       |$selects
+       |ORDER BY component, j""".stripMargin
+  }
 
   def covDriftSql(topN: Int = 20): String =
     s"""WITH cells AS MATERIALIZED (

@@ -795,6 +795,82 @@ object Analytics {
           .cast("long").as("avg_value_q6"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Mergeable log-bucket quantile sketch, gated as q_quantile_sketch —
+    * the 100 TB answer to exact `percentile()` (which needs a per-group
+    * sort of the full value stream): DDSketch-style buckets with `sub`
+    * sub-buckets per octave, giving relative error ≤ ~1/sub, except the
+    * bucket index is EXACT INTEGER arithmetic — octave = floor(log2 c) =
+    * length(bin(c)) − 1 and sub-bucket = (c − 2^e)·sub DIV 2^e — not
+    * log_γ(x), whose libm rounding differs across engines exactly at
+    * bucket boundaries. The histogram is the sketch: counts add, so the
+    * summary is order-invariant and mergeable by construction (the
+    * sketch_merge property, no custom buffer needed), with ≤ 64·sub
+    * buckets per key at ANY corpus size.
+    *
+    * Per (event_type, q ∈ {50, 90, 99}): the covering bucket, its exact
+    * integer [lo, hi] cent bounds, the exact rank-based quantile, and
+    * the `within_ok` certificate that the bound contains it. The exact
+    * side is the verification harness (affordable at oracle SF — one
+    * value-histogram cumsum, the misraGries convention); the production
+    * artifact is the bounded histogram from the single pass. All gated
+    * columns are BIGINTs/flags — no float anywhere. The per-key
+    * quantile windows run over the BOUNDED histograms (the
+    * classifierAuc bounded-table exception, ≤ 64·sub rows per key). */
+  def quantileSketch(spark: SparkSession, dir: String,
+      sub: Int = 8, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .filter(col("c") >= 1)
+      .localCheckpoint(eager = false) // sketch pass + exact harness read it
+    val hist = base
+      .withColumn("e", (length(bin(col("c"))) - 1).cast("long"))
+      .withColumn("p2", expr("shiftleft(1L, cast(e as int))"))
+      .withColumn("subb", expr(s"(c - p2) * $sub div p2"))
+      .withColumn("bucket", col("e") * sub + col("subb"))
+      .groupBy(col("event_type"), col("bucket"), col("p2"), col("subb"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo_cents", col("p2") + expr(s"subb * p2 div $sub"))
+      .withColumn("hi_cents", col("p2") + expr(s"(subb + 1) * p2 div $sub"))
+    val wKey = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wKey))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .localCheckpoint(eager = false) // one histogram feeds all 3 quantiles
+    // exact discrete quantile from the VALUE histogram (verification side)
+    val vw = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exactCum = base.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("vc"))
+      .withColumn("vcum", sum(col("vc")).over(vw))
+      .localCheckpoint(eager = false)
+    val quantiles = qs.map(q => {
+      val target = expr(s"(n * $q + 99) div 100") // ceil(q·n/100), exact
+      val picked = cum.withColumn("q", lit(q.toLong))
+        .withColumn("target", target)
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("event_type"), col("q"), col("target"), col("n"))
+        .agg(min(struct(col("bucket"), col("lo_cents"), col("hi_cents"))).as("b"))
+        .select(col("event_type"), col("q"), col("n"), col("target"),
+          col("b.bucket").as("bucket"), col("b.lo_cents").as("lo_cents"),
+          col("b.hi_cents").as("hi_cents"))
+      picked.join(
+        exactCum.select(col("event_type"), col("c"), col("vcum")),
+        Seq("event_type"))
+        .filter(col("vcum") >= col("target"))
+        .groupBy(col("event_type"), col("q"), col("n"), col("bucket"),
+          col("lo_cents"), col("hi_cents"))
+        .agg(min(col("c")).as("exact_cents"))
+    }).reduce(_ union _)
+    quantiles
+      .select(col("event_type"), col("q"), col("n"), col("bucket"),
+        col("lo_cents"), col("hi_cents"), col("exact_cents"),
+        when(col("exact_cents").between(col("lo_cents"), col("hi_cents")), 1L)
+          .otherwise(0L).as("within_ok"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** Exact percentiles per key (p50/p90/p99 with linear interpolation —
     * the distribution-summary pass every data-quality pipeline runs). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =

@@ -80,6 +80,54 @@ class PcaSpec extends SparkSpec {
       s"Var(score)=$varScore vs lambda*|v|^2=${lambda * vnorm2}")
   }
 
+  test("pcaTopK: deflation recovers two planted orthogonal directions") {
+    // corpus = s·u + t·w + tiny noise with Var(s) >> Var(t) and u ⊥ w:
+    // component 1 must align with u, component 2 with w, λ1 > λ2 > λ3,
+    // and the recovered directions must stay near-orthogonal
+    val d = 8
+    val u = Array(0.5, -0.5, 0.5, -0.5, 0.5, -0.5, 0.5, -0.5)
+    val w = Array(0.5, 0.5, 0.5, 0.5, -0.5, -0.5, -0.5, -0.5)
+    val rows = (0 until 400).map { r =>
+      val s = ((r % 21) - 10) / 10.0
+      // independent counter (r/21 steps once per full s cycle) — a
+      // shared modulus would correlate the factors and tilt the basis
+      val t = (((r / 21) % 21) - 10) / 30.0 // 1/3 the spread of s
+      val noise = Array.tabulate(d)(i =>
+        (((r * 31 + i * 17) % 13) - 6) / 2600.0)
+      (r.toLong,
+        Array.tabulate(d)(i => (s * u(i) + t * w(i) + noise(i)).toFloat).toSeq,
+        0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pca-topk").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Pca.pcaTopK(spark, dir, d = d, iters = 8, k = 3)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.length === 3 * d)
+    val comps = out.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.sortBy(_._2).map(_._3 / 1e6)
+    }
+    val lams = out.groupBy(_._1).map { case (c, rs) => c -> rs.head._4 }
+    assert(lams(1) > lams(2) && lams(2) > lams(3),
+      s"eigenvalues not descending: $lams")
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(math.abs(cosine(comps(1).toSeq, u.toSeq)) > 0.999,
+      s"component 1 not aligned with planted u: ${comps(1).toSeq}")
+    assert(math.abs(cosine(comps(2).toSeq, w.toSeq)) > 0.999,
+      s"component 2 not aligned with planted w: ${comps(2).toSeq}")
+    assert(math.abs(cosine(comps(1).toSeq, comps(2).toSeq)) < 0.01,
+      "recovered components not orthogonal")
+    // component 1 must agree with the single-component gate
+    val one = Pca.powerIter(spark, dir, d = d, iters = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(one.map(_._2).toSeq === out.filter(_._1 == 1).sortBy(_._2)
+      .map(_._3).toSeq, "component 1 diverges from powerIter")
+  }
+
   test("covariance drift localizes a planted per-split scale change") {
     // even vec_ids: base corpus; odd vec_ids: same distribution with
     // dimension 3 amplified 2x → drift concentrates on cells touching 3

@@ -26,6 +26,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: certificates green, brute-force quantile inside bounds") {
+    val rows = Analytics.quantileSketch(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+    // independent brute force: collect cents per key, rank directly
+    val vals = Tables.events(spark, sf)
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      .filter($"c" >= 1).as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { case (et, q, n, bucket, lo, hi, exact, ok) =>
+      assert(ok === 1L, s"$et q$q: exact $exact outside [$lo, $hi]")
+      val sorted = vals(et)
+      assert(n === sorted.length.toLong, s"$et: n mismatch")
+      val target = ((n * q + 99) / 100).toInt
+      assert(exact === sorted(target - 1), s"$et q$q: exact quantile wrong")
+      assert(lo <= exact && exact <= hi)
+      // relative-error envelope of the log-bucket: width <= lo/sub + 2
+      assert(hi - lo <= lo / 8 + 2, s"$et q$q: bucket [$lo,$hi] too wide")
+      assert(bucket >= 0)
+    }
+  }
+
   test("approx distinct: flags green, exact columns match an independent recount") {
     val rows = Analytics.approxDistinct(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
