@@ -275,6 +275,8 @@ object SparkEntry {
     "q_pii_scan" -> ((s, d) => graft.ops.Prep.piiScan(s, d)),
     "q_pii_summary" -> ((s, d) => graft.ops.Prep.piiSummary(s, d)),
     "q_pack_bins" -> ((s, d) => graft.ops.Prep.packSequences(s, d)),
+    "q_cdc_chunks" -> ((s, d) => graft.ops.Prep.cdcChunks(s, d)),
+    "q_cdc_dedup" -> ((s, d) => graft.ops.Prep.cdcDedup(s, d)),
     "q_chunk_chars" -> ((s, d) => graft.ops.Prep.chunkOverlap(s, d)),
     // round 4: graph metric, true k-means, skyline, robust stats, cohorts
     "q_pagerank" -> ((s, d) => graft.ops.Graph.tradeRank(s, d)),
@@ -3465,6 +3467,79 @@ object SparkEntry {
         |  CAST(sum(i) AS BIGINT) AS n_ips,
         |  CAST(sum(p) AS BIGINT) AS n_phones
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // content-defined chunking: Gear rolling hash over the trailing 31
+    // chars (per-term masked mod 2^31 — DuckDB BIGINT overflow throws),
+    // cut where the low 6 bits are zero; chunk census dedups fingerprints
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |           FROM documents WHERE length(text) > 0),
+        |g AS (SELECT doc_id, text, n,
+        |  list_transform(range(1, CAST(n + 1 AS BIGINT)), i ->
+        |    ('0x' || substr(md5('gear|' || substr(text, CAST(i AS INTEGER), 1)),
+        |             1, 8))::BIGINT & 2147483647) AS garr
+        |  FROM t),
+        |c AS (SELECT doc_id, text, n,
+        |  list_filter(range(31, CAST(n + 1 AS BIGINT)), i ->
+        |    ((list_sum(list_transform(range(0, 31), k ->
+        |        (garr[CAST(i - k AS INTEGER)]
+        |         * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))) & 2147483647))
+        |      & 2147483647) & 63) = 0) AS cuts
+        |  FROM g),
+        |s AS (SELECT doc_id, text,
+        |        list_prepend(CAST(0 AS BIGINT), cuts) AS st,
+        |        list_append(cuts, n) AS en
+        |      FROM c),
+        |ch AS (SELECT doc_id, text,
+        |         unnest(range(1, CAST(len(st) + 1 AS BIGINT))) AS j, st, en
+        |       FROM s)
+        |SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+        |  st[CAST(j AS INTEGER)] AS start_pos,
+        |  en[CAST(j AS INTEGER)] - st[CAST(j AS INTEGER)] AS chunk_len,
+        |  md5(substr(text, CAST(st[CAST(j AS INTEGER)] + 1 AS INTEGER),
+        |      CAST(en[CAST(j AS INTEGER)] - st[CAST(j AS INTEGER)] AS INTEGER)))
+        |    AS chunk_md5
+        |FROM ch
+        |WHERE en[CAST(j AS INTEGER)] > st[CAST(j AS INTEGER)]
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_cdc_dedup" ->
+      """WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |           FROM documents WHERE length(text) > 0),
+        |g AS (SELECT doc_id, text, n,
+        |  list_transform(range(1, CAST(n + 1 AS BIGINT)), i ->
+        |    ('0x' || substr(md5('gear|' || substr(text, CAST(i AS INTEGER), 1)),
+        |             1, 8))::BIGINT & 2147483647) AS garr
+        |  FROM t),
+        |c AS (SELECT doc_id, text, n,
+        |  list_filter(range(31, CAST(n + 1 AS BIGINT)), i ->
+        |    ((list_sum(list_transform(range(0, 31), k ->
+        |        (garr[CAST(i - k AS INTEGER)]
+        |         * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))) & 2147483647))
+        |      & 2147483647) & 63) = 0) AS cuts
+        |  FROM g),
+        |s AS (SELECT doc_id, text,
+        |        list_prepend(CAST(0 AS BIGINT), cuts) AS st,
+        |        list_append(cuts, n) AS en
+        |      FROM c),
+        |ch AS (SELECT doc_id, text,
+        |         unnest(range(1, CAST(len(st) + 1 AS BIGINT))) AS j, st, en
+        |       FROM s),
+        |rows0 AS (
+        |  SELECT md5(substr(text, CAST(st[CAST(j AS INTEGER)] + 1 AS INTEGER),
+        |           CAST(en[CAST(j AS INTEGER)] - st[CAST(j AS INTEGER)]
+        |                AS INTEGER))) AS chunk_md5,
+        |    en[CAST(j AS INTEGER)] - st[CAST(j AS INTEGER)] AS chunk_len
+        |  FROM ch WHERE en[CAST(j AS INTEGER)] > st[CAST(j AS INTEGER)]),
+        |per AS (SELECT chunk_md5, count(*) AS refs, min(chunk_len) AS clen
+        |        FROM rows0 GROUP BY chunk_md5)
+        |SELECT CAST(sum(refs) AS BIGINT) AS n_chunks,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(refs) - count(*) AS BIGINT) AS dup_chunks,
+        |  CAST(sum(refs * clen) AS BIGINT) AS chars_total,
+        |  CAST(sum(clen) AS BIGINT) AS chars_unique,
+        |  CAST(sum(refs * clen) - sum(clen) AS BIGINT) AS chars_saved
+        |FROM per""".stripMargin,
 
     // concat-and-chop packing: same (lang, shard) cumsum, same bin cut
     "q_pack_bins" ->

@@ -217,4 +217,87 @@ object Prep {
           / (col("n") + m).cast("double")).as("smoothed"))
       .orderBy(col("feature"), col("level"), col("fold"))
   }
+
+  // -------------------------------------------------------------------
+  // Content-defined chunking (FastCDC/Gear family)
+  // -------------------------------------------------------------------
+
+  /** Content-defined chunks, gated as q_cdc_chunks: cut a document
+    * wherever the Gear rolling hash of the trailing `window` characters
+    * has its low `cutBits` bits zero — the storage/dedup chunking that
+    * re-synchronizes after insertions (a fixed-width chunker shifts
+    * every boundary downstream of an edit; a content-defined one
+    * realigns within one window, so an incremental recrawl re-uploads
+    * only the edited chunks). Mean chunk length ≈ 2^cutBits.
+    *
+    * The windowed hash makes every cut decision LOCAL: position i cuts
+    * iff (Σ_{k<window} gear(char_{i−k})·2^k mod 2^31) has low bits
+    * zero — no sequential state, so the scan parallelizes per document
+    * and per position (the reason this beats the textbook streaming
+    * formulation on Spark). All arithmetic is masked integer adds and
+    * shifts; gear values come from the repo's md5 convention, so the
+    * oracle replays cuts bit-for-bit. Per-term mask keeps every
+    * intermediate < 2^36 (DuckDB BIGINT overflow THROWS — no silent
+    * wraparound to rely on).
+    *
+    * Scale: O(window · chars) lambda work per document, zero shuffles
+    * before the gate's ORDER BY; the census twin (q_cdc_dedup) adds one
+    * hash-keyed aggregate over 16-byte chunk fingerprints. */
+  def cdcChunksOf(docs: DataFrame, window: Int = 31,
+      cutBits: Int = 6): DataFrame = {
+    val M31 = 2147483647L // 2^31 − 1
+    val cutMask = (1L << cutBits) - 1
+    val w = array((0 until window).map(k => lit(1L << k)): _*)
+    val n = length(col("text")).cast("long")
+    val garr = transform(split(col("text"), ""),
+      c => conv(substring(md5(concat(lit("gear|"), c)), 1, 8), 16, 10)
+        .cast("long").bitwiseAND(lit(M31)))
+    val cuts = filter(sequence(lit(window.toLong), n), i =>
+      aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
+        (acc, k) => acc + (element_at(col("garr"), (i - k).cast("int"))
+          * element_at(w, (k + 1).cast("int"))).bitwiseAND(lit(M31)))
+        .bitwiseAND(lit(M31)).bitwiseAND(lit(cutMask)) === 0)
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), n.as("n"), garr.as("garr"))
+      // the exchange is a MATERIALIZATION BARRIER, not (only) a spread:
+      // without it Catalyst collapses this projection into the cuts
+      // lambda and every element_at(garr, ·) re-evaluates the whole
+      // per-char hash array — O(window·n²) md5 calls per document (the
+      // shinglesWithCard lesson; measured as a hang, not a slowdown).
+      // Shuffling the 8·n-byte array once beats re-hashing n times.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("cuts", cuts)
+      .withColumn("st", concat(array(lit(0L)), col("cuts")))
+      .withColumn("en", concat(col("cuts"), array(col("n"))))
+      .select(col("doc_id"), col("text"),
+        posexplode(zip_with(col("st"), col("en"),
+          (s, e) => struct(s.as("cs"), e.as("ce")))))
+      .filter(col("col.ce") > col("col.cs"))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.cs").as("start_pos"),
+        (col("col.ce") - col("col.cs")).as("chunk_len"),
+        md5(col("text").substr((col("col.cs") + 1).cast("int"),
+          (col("col.ce") - col("col.cs")).cast("int"))).as("chunk_md5"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Chunk-level dedup census, gated as q_cdc_dedup: the storage-dedup
+    * figure — distinct chunk fingerprints vs total, and the characters
+    * a chunk store would actually hold vs the raw corpus. One aggregate
+    * over 16-byte fingerprints. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = cdcChunksOf(Tables.documents(spark, dir))
+    val per = ch.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("refs"), min(col("chunk_len")).as("clen"))
+    per.agg(
+        sum(col("refs")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("refs")) - count(lit(1))).as("dup_chunks"),
+        sum(col("refs") * col("clen")).as("chars_total"),
+        sum(col("clen")).as("chars_unique"))
+      .withColumn("chars_saved", col("chars_total") - col("chars_unique"))
+  }
 }

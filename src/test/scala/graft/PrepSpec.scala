@@ -56,6 +56,44 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: chunks tile each document; boundaries re-sync after an insertion") {
+    val docs = graft.util.Tables.documents(spark, sf).limit(40)
+      .select($"doc_id", $"text").localCheckpoint()
+    val chunks = Prep.cdcChunksOf(docs)
+      .as[(Long, Long, Long, Long, String)].collect().groupBy(_._1)
+    val texts = docs.as[(Long, String)].collect().toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id).sortBy(_._2)
+      // contiguous tiling: starts/lens cover [0, n) exactly once
+      assert(cs.head._3 === 0L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 === b._3, s"doc $id gap")
+        case _ => ()
+      }
+      assert(cs.last._3 + cs.last._4 === text.length.toLong, s"doc $id tail")
+      // each chunk's md5 is the md5 of the substring it claims
+      val c0 = cs.head
+      val expect = text.substring(c0._3.toInt, (c0._3 + c0._4).toInt)
+      assert(c0._5 === java.security.MessageDigest.getInstance("MD5")
+        .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    // THE content-defined property: prepend an edit; every boundary past
+    // the first re-synced cut is unchanged, so almost all chunk hashes
+    // are shared (a fixed-width chunker would shift every one)
+    val shifted = docs.select($"doc_id",
+      concat(lit("EDITED PREFIX "), $"text").as("text"))
+    val shiftedChunks = Prep.cdcChunksOf(shifted)
+      .as[(Long, Long, Long, Long, String)].collect().groupBy(_._1)
+    var shared = 0L; var total = 0L
+    texts.keys.foreach { id =>
+      val a = chunks(id).map(_._5).toSet
+      val b = shiftedChunks(id).map(_._5).toSet
+      shared += (a intersect b).size; total += a.size
+    }
+    assert(shared.toDouble / total > 0.8,
+      s"insertion destroyed chunk identity: $shared/$total shared")
+  }
+
   test("chunkOverlap chunks tile the document with the configured overlap") {
     val docs = graft.util.Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"n_chars").limit(20)
