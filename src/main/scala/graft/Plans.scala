@@ -79,7 +79,11 @@ object Plans {
     "q_kn_trigram",
     // round 7 cont. 4: web curation (zero-shuffle canon, domain-bounded
     // quota via TopKPerKey) + chi-square selection
-    "q_url_canon", "q_domain_cap", "q_chi2_terms")
+    "q_url_canon", "q_domain_cap", "q_chi2_terms",
+    // round 8: deflation loop on the d²-bounded matrix, histogram-as-
+    // sketch quantiles (map-side partial agg, bounded windows), Gear CDC
+    // with the materialization-barrier exchange, corpus-scaled LSH kNN
+    "q_pca_topk", "q_quantile_sketch", "q_cdc_chunks", "q_cdc_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -845,24 +845,24 @@ object Analytics {
       .agg(count(lit(1)).as("vc"))
       .withColumn("vcum", sum(col("vc")).over(vw))
       .localCheckpoint(eager = false)
-    val quantiles = qs.map(q => {
-      val target = expr(s"(n * $q + 99) div 100") // ceil(q·n/100), exact
-      val picked = cum.withColumn("q", lit(q.toLong))
-        .withColumn("target", target)
-        .filter(col("cum") >= col("target"))
-        .groupBy(col("event_type"), col("q"), col("target"), col("n"))
-        .agg(min(struct(col("bucket"), col("lo_cents"), col("hi_cents"))).as("b"))
-        .select(col("event_type"), col("q"), col("n"), col("target"),
-          col("b.bucket").as("bucket"), col("b.lo_cents").as("lo_cents"),
-          col("b.hi_cents").as("hi_cents"))
-      picked.join(
+    // one pass for all quantiles: explode q as a column instead of a
+    // per-q union (a union re-plans the whole subtree per branch)
+    val picked = cum
+      .withColumn("q", explode(array(qs.map(q => lit(q.toLong)): _*)))
+      .withColumn("target", expr("(n * q + 99) div 100")) // ceil, exact
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("event_type"), col("q"), col("target"), col("n"))
+      .agg(min(struct(col("bucket"), col("lo_cents"), col("hi_cents"))).as("b"))
+      .select(col("event_type"), col("q"), col("n"), col("target"),
+        col("b.bucket").as("bucket"), col("b.lo_cents").as("lo_cents"),
+        col("b.hi_cents").as("hi_cents"))
+    val quantiles = picked.join(
         exactCum.select(col("event_type"), col("c"), col("vcum")),
         Seq("event_type"))
-        .filter(col("vcum") >= col("target"))
-        .groupBy(col("event_type"), col("q"), col("n"), col("bucket"),
-          col("lo_cents"), col("hi_cents"))
-        .agg(min(col("c")).as("exact_cents"))
-    }).reduce(_ union _)
+      .filter(col("vcum") >= col("target"))
+      .groupBy(col("event_type"), col("q"), col("n"), col("bucket"),
+        col("lo_cents"), col("hi_cents"))
+      .agg(min(col("c")).as("exact_cents"))
     quantiles
       .select(col("event_type"), col("q"), col("n"), col("bucket"),
         col("lo_cents"), col("hi_cents"), col("exact_cents"),
