@@ -219,6 +219,7 @@ object SparkEntry {
     "q_dq_checks" -> ((s, d) => graft.ops.DataQuality.dqChecks(s, d)),
     "q_benford" -> ((s, d) => graft.ops.DataQuality.benford(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_plane_sweep" -> ((s, d) => Similarity.planeSweep(s, d)),
     "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
     "q_join_size" -> ((s, d) => graft.ops.Skew.joinSizeEstimate(s, d)),
     "q_holt" -> ((s, d) => graft.indicators.Indicators.holtSmoothing(s, d)),
@@ -2883,6 +2884,57 @@ object SparkEntry {
 
     // mutual k-NN graph: LSH-bucket candidates -> per-node top-5 ->
     // reciprocity check; same signature replay as q_ann_lsh_buckets
+    // plane-count recall ladder: 32-bit signature prefixes nest, so one
+    // signature pass serves every plane count; recall gated as exact
+    // integer ppm, cost as the sum of squared bucket sizes
+    "q_plane_sweep" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 33)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |sv AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.sig
+        |       FROM embeddings e JOIN sig s USING (vec_id)
+        |       WHERE len(e.embedding) > 0),
+        |corpus AS (SELECT * FROM sv WHERE vec_id >= 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig
+        |      FROM sv WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, c.sig AS sig, q.qsig AS qsig,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+        |               c.vec_id) AS rnk
+        |  FROM corpus c CROSS JOIN q),
+        |topk AS MATERIALIZED (SELECT * FROM ranked WHERE rnk <= 10),
+        |ps AS (SELECT CAST(unnest([4, 6, 8, 10, 12]) AS INTEGER) AS planes),
+        |rec AS (
+        |  SELECT planes,
+        |    CAST(sum(CASE WHEN substr(sig, 1, planes) = substr(qsig, 1, planes)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM topk CROSS JOIN ps GROUP BY planes),
+        |cost AS (
+        |  SELECT planes, count(*) AS n_buckets,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS candidate_sum_sq,
+        |    CAST(max(cnt) AS BIGINT) AS max_bucket
+        |  FROM (SELECT planes, substr(sig, 1, planes) AS pref, count(*) AS cnt
+        |        FROM corpus CROSS JOIN ps GROUP BY planes, pref)
+        |  GROUP BY planes)
+        |SELECT CAST(r.planes AS BIGINT) AS planes, r.hits,
+        |  (r.hits * 1000000) // 80 AS recall_ppm,
+        |  c.n_buckets, c.candidate_sum_sq, c.max_bucket
+        |FROM rec r JOIN cost c USING (planes)
+        |ORDER BY planes""".stripMargin,
+
     "q_knn_graph" ->
       """WITH comp AS (
         |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (

@@ -246,6 +246,62 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Plane-count recall ladder, gated as q_plane_sweep: for each
+    * candidate plane count p, the single-bucket recall@k of the
+    * hyperplane index (how many exact top-k neighbors share the query's
+    * p-bit prefix) against the candidate cost Σ|bucket|² — the measured
+    * tradeoff curve behind [[KnnBucketTarget]]'s rule. Doubling the
+    * bucket count halves expected candidates but drops single-probe
+    * recall; this census is what picks the operating point BEFORE
+    * committing a corpus to an index (the q_lsh_recall / q_probe_sweep
+    * methodology applied to the plane axis; prefixes nest, so one
+    * 32-bit signature pass serves every p).
+    *
+    * Scale: one signature projection; the exact top-k reuses the
+    * broadcast-query ranking; the cost census is a two-level groupBy on
+    * (p, prefix). Recall is gated as exact integer ppm (hits·1e6 DIV
+    * (nQueries·k)) — counts and integer division only, no float. */
+  def planeSweep(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10, planesList: Seq[Int] = Seq(4, 6, 8, 10, 12)): DataFrame = {
+    val pArr = array(planesList.map(p => lit(p)): _*)
+    val e = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sig32", hyperplaneSignature(col("v"), 32))
+      .localCheckpoint(eager = false) // one signature pass, three readers
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig32").as("qsig"))
+    val topk = corpus
+      .join(broadcast(q))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+    val recall = topk
+      .withColumn("planes", explode(pArr))
+      .groupBy(col("planes"))
+      .agg(sum(when(expr("substring(sig32, 1, planes)") ===
+          expr("substring(qsig, 1, planes)"), 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall_ppm",
+        expr(s"hits * 1000000L div ${nQueries.toLong * k}L"))
+    val cost = corpus
+      .withColumn("planes", explode(pArr))
+      .groupBy(col("planes"), expr("substring(sig32, 1, planes)").as("pref"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("planes"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("cnt") * col("cnt")).as("candidate_sum_sq"),
+        max(col("cnt")).as("max_bucket"))
+    recall.join(cost, Seq("planes"))
+      .select(col("planes").cast("long").as("planes"), col("hits"),
+        col("recall_ppm"), col("n_buckets"), col("candidate_sum_sq"),
+        col("max_bucket"))
+      .orderBy(col("planes"))
+  }
+
   /** True per-label centroid vectors (the k-means "update" step — the
     * upgrade path for [[ivfAssign]]'s first-n seed centroids): elementwise
     * mean via posexplode + one grouped aggregation on (label, position).

@@ -229,6 +229,29 @@ class SimilaritySpec extends SparkSpec {
     assert(curve.last._2 === multi, "probe-9 point != multi-probe recall")
   }
 
+  test("planeSweep: recall and cost both fall monotonically with plane count") {
+    val rows = Similarity.planeSweep(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(4L, 6L, 8L, 10L, 12L))
+    // prefixes nest: adding planes can only split buckets, so hits
+    // (single-bucket recall) and candidate mass are non-increasing
+    // while the bucket count is non-decreasing
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, s"hits rose ${a._1}->${b._1}")
+        assert(b._5 <= a._5, s"candidate mass rose ${a._1}->${b._1}")
+        assert(b._4 >= a._4, s"bucket count fell ${a._1}->${b._1}")
+      case _ => ()
+    }
+    // recall_ppm is exactly hits/(8*10) in ppm
+    rows.foreach { r => assert(r._3 === r._2 * 1000000L / 80L) }
+    // cost identity: sum of squared bucket sizes >= corpus size
+    val n = Similarity.vecs(spark, sf)
+      .filter(org.apache.spark.sql.functions.size($"v") > 0)
+      .filter($"vec_id" >= 8).count()
+    rows.foreach { r => assert(r._5 >= n, "sum |b|^2 below corpus size") }
+  }
+
   test("knnGraph: degree bounds, even mutual mass, candidate census") {
     val rows = Similarity.knnGraph(spark, sf, k = 5)
       .select("vec_id", "n_cand", "knn_deg", "mutual_deg")
