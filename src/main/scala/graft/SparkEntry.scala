@@ -194,6 +194,7 @@ object SparkEntry {
     "q_kn_trigram" -> (TextAnalysis.knTrigramScore _),
     // S x S cross-source NLL matrix from one vocab-bounded fan-out
     "q_domain_shift" -> (TextAnalysis.domainShift _),
+    "q_domain_reweight" -> ((s, d) => TextAnalysis.domainReweight(s, d)),
     "q_js_divergence" -> (TextAnalysis.jsDivergence _),
     "q_kmv_overlap" -> ((s, d) => TextAnalysis.kmvOverlap(s, d)),
     "q_key_sample" -> ((s, d) => TextAnalysis.keySample(s, d)),
@@ -2299,6 +2300,46 @@ object SparkEntry {
         |       ELSE 'unknown' END AS pred,
         |  count(*) AS n_docs
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DoReMi-flavored mixture weights from the domain-shift matrix:
+    // excess = best other-model NLL minus own-model NLL (uniqueness),
+    // softmax carried as 1e-9-quantized integer terms so the normalizer
+    // is an order-invariant BIGINT sum
+    "q_domain_reweight" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |cnt AS MATERIALIZED (SELECT source, w, count(*) AS c
+        |                     FROM tok GROUP BY 1, 2),
+        |ntot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |         FROM cnt GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM cnt),
+        |sc AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca,
+        |              cb.c AS cb, b.n, voc.v
+        |       FROM cnt a
+        |       CROSS JOIN ntot b
+        |       LEFT JOIN cnt cb ON cb.source = b.source AND cb.w = a.w
+        |       CROSS JOIN voc),
+        |mat AS MATERIALIZED (
+        |  SELECT src_a, src_b,
+        |    CAST(round(round(-sum(CAST(ca AS DOUBLE)
+        |      * ln((CAST(coalesce(cb, 0) AS DOUBLE) + 1.0)
+        |            / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))))
+        |      / CAST(sum(ca) AS DOUBLE), 6) * 1e6) AS BIGINT) AS nll_q6
+        |  FROM sc GROUP BY 1, 2),
+        |slf AS (SELECT src_a AS source, nll_q6 AS self_nll_q6
+        |        FROM mat WHERE src_a = src_b),
+        |omin AS (SELECT src_a AS source, min(nll_q6) AS best_other_nll_q6
+        |         FROM mat WHERE src_a <> src_b GROUP BY 1),
+        |ex AS MATERIALIZED (
+        |  SELECT s.source, s.self_nll_q6, o.best_other_nll_q6,
+        |         o.best_other_nll_q6 - s.self_nll_q6 AS excess_q6,
+        |         CAST(round(exp(CAST(o.best_other_nll_q6 - s.self_nll_q6
+        |             AS DOUBLE) / 1e6 / 0.5) * 1e9) AS BIGINT) AS eterm
+        |       FROM slf s JOIN omin o USING (source))
+        |SELECT source, self_nll_q6, best_other_nll_q6, excess_q6,
+        |  CAST((eterm * 1000000) // (SELECT sum(eterm) FROM ex) AS BIGINT)
+        |    AS weight_ppm
+        |FROM ex ORDER BY source""".stripMargin,
 
     "q_domain_shift" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w

@@ -782,6 +782,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DoReMi-flavored domain reweighting, gated as q_domain_reweight:
+    * mixture weights from the [[domainShift]] matrix. A domain's EXCESS
+    * is how much worse the best OTHER source's model scores it than its
+    * own (min off-diagonal NLL − diagonal NLL, in the matrix's 1e-6
+    * units) — the uniqueness signal: a source whose content no other
+    * source covers gets up-weighted, an interchangeable source shares
+    * its budget. Weights are softmax(excess/τ), carried exactly: each
+    * exp term quantizes to 1e-9 BIGINTs BEFORE the normalizer sum (an
+    * order-invariant integer sum — a float Σexp would be partitioning-
+    * dependent), and weight_ppm is one integer division.
+    *
+    * Everything here is |sources|²-bounded algebra on top of the
+    * matrix's one corpus pass — the same boundedness argument as
+    * isotonic over calibration. */
+  def domainReweight(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame = {
+    val m = domainShift(spark, dir)
+      .select(col("src_a"), col("src_b"),
+        round(col("mean_nll") * 1e6).cast("long").as("nll_q6"))
+      .localCheckpoint(eager = false) // diagonal + off-diagonal read it
+    val self = m.filter(col("src_a") === col("src_b"))
+      .select(col("src_a").as("source"), col("nll_q6").as("self_nll_q6"))
+    val omin = m.filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a").as("source"))
+      .agg(min(col("nll_q6")).as("best_other_nll_q6"))
+    val ex = self.join(omin, "source")
+      .withColumn("excess_q6", col("best_other_nll_q6") - col("self_nll_q6"))
+      .withColumn("eterm",
+        round(exp(col("excess_q6").cast("double") / 1e6 / tau) * 1e9)
+          .cast("long"))
+    val z = ex.agg(sum(col("eterm")).as("z"))
+    ex.crossJoin(z)
+      .select(col("source"), col("self_nll_q6"), col("best_other_nll_q6"),
+        col("excess_q6"), expr("eterm * 1000000L div z").as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Language-ID confusion matrix: the accuracy gate for [[langId]]
     * against the corpus's gold `lang` labels — (gold, predicted, count)
     * cells. The marker-word heuristic has a known blind spot (no zh

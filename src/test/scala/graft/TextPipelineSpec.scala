@@ -557,6 +557,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.map(_._7).max >= deployedF1Q6, "sweep found no better cut")
   }
 
+  test("domainReweight: softmax weights close, replayed from the shift matrix") {
+    val rows = TextAnalysis.domainReweight(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // weights are ppm floor-divisions: sum within |sources| of 1e6
+    val wsum = rows.map(_._5).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length,
+      s"weights sum $wsum")
+    // excess is exactly best-other minus self
+    rows.foreach { r => assert(r._4 === r._3 - r._2) }
+    // weight is monotone in excess (softmax property)
+    rows.sortBy(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5,
+        s"weight not monotone in excess: ${a._1} vs ${b._1}")
+      case _ => ()
+    }
+    // replay from the matrix: diagonal + min off-diagonal
+    val m = TextAnalysis.domainShift(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> math.round(r._4 * 1e6)).toMap
+    rows.foreach { case (s, self, omin, _, _) =>
+      assert(self === m((s, s)), s"$s self NLL")
+      val expect = m.collect { case ((a, b), v) if a == s && b != s => v }.min
+      assert(omin === expect, s"$s best-other NLL")
+    }
+  }
+
   test("KN trigram: proper distribution (all logprobs < 0), train docs score above held-out") {
     val rows = TextAnalysis.knTrigramScore(spark, sf)
       .as[(Long, Long, Double)].collect()
