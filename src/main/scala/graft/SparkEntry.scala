@@ -278,6 +278,7 @@ object SparkEntry {
     "q_pii_summary" -> ((s, d) => graft.ops.Prep.piiSummary(s, d)),
     "q_pack_bins" -> ((s, d) => graft.ops.Prep.packSequences(s, d)),
     "q_cdc_chunks" -> ((s, d) => graft.ops.Prep.cdcChunks(s, d)),
+    "q_cdc_incremental" -> ((s, d) => graft.ops.Prep.cdcIncremental(s, d)),
     "q_cdc_dedup" -> ((s, d) => graft.ops.Prep.cdcDedup(s, d)),
     "q_chunk_chars" -> ((s, d) => graft.ops.Prep.chunkOverlap(s, d)),
     // round 4: graph metric, true k-means, skyline, robust stats, cohorts
@@ -3560,6 +3561,10 @@ object SparkEntry {
         |  CAST(sum(i) AS BIGINT) AS n_ips,
         |  CAST(sum(p) AS BIGINT) AS n_phones
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // two-snapshot incremental-transfer census: CDC vs fixed-width
+    // chunking on the same planted edit — upload_ppm is the story
+    "q_cdc_incremental" -> graft.ops.Prep.cdcIncrementalSql,
 
     // content-defined chunking: Gear rolling hash over the trailing 31
     // chars (per-term masked mod 2^31 — DuckDB BIGINT overflow throws),

@@ -284,6 +284,51 @@ object Prep {
     cdcChunksOf(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Two-snapshot incremental-transfer census, gated as
+    * q_cdc_incremental: snapshot v2 edits one document in five
+    * (deterministic head insertion, the withPlantedPii convention), and
+    * the census measures what a chunk store actually re-uploads — the
+    * distinct v2 chunk fingerprints absent from v1 — against the naive
+    * fixed-width-64 chunker on the same edit. Content-defined
+    * boundaries re-sync within one window, so only the head chunk(s) of
+    * an edited document are new; fixed-width boundaries shift through
+    * the whole document, re-uploading nearly all of it. The two
+    * upload_ppm columns ARE the CDC value proposition as one gated row.
+    * All outputs are exact integer counts/ppm divisions. */
+  def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = v1.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit("REV2 EDIT "), col("text")))
+        .otherwise(col("text")).as("text"))
+    def chunkSet(df: DataFrame): DataFrame =
+      cdcChunksOf(df).groupBy(col("chunk_md5"))
+        .agg(min(col("chunk_len")).as("clen"))
+    def fixedSet(df: DataFrame): DataFrame =
+      df.filter(length(col("text")) > 0)
+        .select(col("text"), posexplode(sequence(lit(0L),
+          floor((length(col("text")) - 1) / 64).cast("long")))
+          .as(Seq("i", "start")))
+        .select(col("text")
+          .substr((col("start") * 64 + 1).cast("int"), lit(64)).as("piece"))
+        .groupBy(md5(col("piece")).as("chunk_md5"))
+        .agg(min(length(col("piece"))).cast("long").as("clen"))
+    def census(mk: DataFrame => DataFrame, label: String): DataFrame = {
+      val a = mk(v1).localCheckpoint(eager = false)
+      val b = mk(v2).localCheckpoint(eager = false)
+      val fresh = b.join(a.select(col("chunk_md5")), Seq("chunk_md5"),
+        "left_anti")
+      b.agg(count(lit(1)).as("chunks_v2"), sum(col("clen")).as("chars_v2"))
+        .crossJoin(fresh.agg(
+          coalesce(count(lit(1)), lit(0L)).as("chunks_new"),
+          coalesce(sum(col("clen")), lit(0L)).as("chars_new")))
+        .select(lit(label).as("chunker"), col("chunks_v2"), col("chunks_new"),
+          col("chars_v2"), col("chars_new"),
+          expr("chars_new * 1000000L div chars_v2").as("upload_ppm"))
+    }
+    census(chunkSet, "cdc_gear").union(census(fixedSet, "fixed_64"))
+      .orderBy(col("chunker"))
+  }
+
   /** Chunk-level dedup census, gated as q_cdc_dedup: the storage-dedup
     * figure — distinct chunk fingerprints vs total, and the characters
     * a chunk store would actually hold vs the raw corpus. One aggregate
@@ -300,4 +345,74 @@ object Prep {
         sum(col("clen")).as("chars_unique"))
       .withColumn("chars_saved", col("chars_total") - col("chars_unique"))
   }
+
+  // ---- DuckDB oracle builder (generated: the chunk pipeline repeats
+  // per snapshot and per chunker, so hand-maintaining it would drift) ----
+
+  /** The Gear chunk-fingerprint set of one docs CTE, as SQL. */
+  private def gearSetSql(src: String, pfx: String): String =
+    s"""${pfx}g AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+       |  list_transform(range(1, CAST(length(text) + 1 AS BIGINT)), i ->
+       |    ('0x' || substr(md5('gear|' || substr(text, CAST(i AS INTEGER), 1)),
+       |             1, 8))::BIGINT & 2147483647) AS garr
+       |  FROM $src WHERE length(text) > 0),
+       |${pfx}c AS (SELECT doc_id, text, n,
+       |  list_filter(range(31, CAST(n + 1 AS BIGINT)), i ->
+       |    ((list_sum(list_transform(range(0, 31), k ->
+       |        (garr[CAST(i - k AS INTEGER)]
+       |         * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))) & 2147483647))
+       |      & 2147483647) & 63) = 0) AS cuts
+       |  FROM ${pfx}g),
+       |${pfx}s AS (SELECT doc_id, text,
+       |        list_prepend(CAST(0 AS BIGINT), cuts) AS st,
+       |        list_append(cuts, n) AS en
+       |      FROM ${pfx}c),
+       |${pfx}ch AS (SELECT doc_id, text,
+       |         unnest(range(1, CAST(len(st) + 1 AS BIGINT))) AS j, st, en
+       |       FROM ${pfx}s),
+       |${pfx}set AS MATERIALIZED (
+       |  SELECT md5(substr(text, CAST(st[CAST(j AS INTEGER)] + 1 AS INTEGER),
+       |           CAST(en[CAST(j AS INTEGER)] - st[CAST(j AS INTEGER)]
+       |                AS INTEGER))) AS chunk_md5,
+       |    min(en[CAST(j AS INTEGER)] - st[CAST(j AS INTEGER)]) AS clen
+       |  FROM ${pfx}ch WHERE en[CAST(j AS INTEGER)] > st[CAST(j AS INTEGER)]
+       |  GROUP BY 1)""".stripMargin
+
+  /** The fixed-width-64 chunk-fingerprint set of one docs CTE, as SQL. */
+  private def fixedSetSql(src: String, pfx: String): String =
+    s"""${pfx}fx AS (SELECT doc_id, text,
+       |    unnest(range(0, (length(text) - 1) // 64 + 1)) AS i
+       |  FROM $src WHERE length(text) > 0),
+       |${pfx}set AS MATERIALIZED (
+       |  SELECT md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS chunk_md5,
+       |    CAST(min(length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)))
+       |         AS BIGINT) AS clen
+       |  FROM ${pfx}fx GROUP BY 1)""".stripMargin
+
+  private def censusSql(label: String, pfx: String): String =
+    s"""SELECT '$label' AS chunker,
+       |  (SELECT count(*) FROM ${pfx}2set) AS chunks_v2,
+       |  (SELECT count(*) FROM ${pfx}2set b
+       |   WHERE NOT EXISTS (SELECT 1 FROM ${pfx}1set a
+       |                     WHERE a.chunk_md5 = b.chunk_md5)) AS chunks_new,
+       |  (SELECT CAST(sum(clen) AS BIGINT) FROM ${pfx}2set) AS chars_v2,
+       |  (SELECT CAST(coalesce(sum(clen), 0) AS BIGINT) FROM ${pfx}2set b
+       |   WHERE NOT EXISTS (SELECT 1 FROM ${pfx}1set a
+       |                     WHERE a.chunk_md5 = b.chunk_md5)) AS chars_new"""
+      .stripMargin
+
+  def cdcIncrementalSql: String =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |         THEN 'REV2 EDIT ' || text ELSE text END AS text FROM v1),
+       |${gearSetSql("v1", "g1")},
+       |${gearSetSql("v2", "g2")},
+       |${fixedSetSql("v1", "f1")},
+       |${fixedSetSql("v2", "f2")}
+       |SELECT chunker, chunks_v2, chunks_new, chars_v2, chars_new,
+       |  (chars_new * 1000000) // chars_v2 AS upload_ppm
+       |FROM (${censusSql("cdc_gear", "g")}
+       |      UNION ALL
+       |      ${censusSql("fixed_64", "f")})
+       |ORDER BY chunker""".stripMargin
 }

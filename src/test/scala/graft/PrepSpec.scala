@@ -94,6 +94,22 @@ class PrepSpec extends SparkSpec {
       s"insertion destroyed chunk identity: $shared/$total shared")
   }
 
+  test("cdcIncremental: content-defined chunks re-upload far less than fixed-width") {
+    val rows = Prep.cdcIncremental(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val gear = rows("cdc_gear"); val fixed = rows("fixed_64")
+    // both censuses saw the same edit; sanity on shape
+    assert(gear._2 > 0 && fixed._2 > 0)
+    assert(gear._6 > 0L, "an edit must upload something")
+    // the CDC value proposition, measured: the gear chunker's upload
+    // fraction is well under the fixed-width chunker's on the same edit
+    assert(gear._6 * 2 < fixed._6,
+      s"gear upload ${gear._6} ppm not well under fixed ${fixed._6} ppm")
+    // upload_ppm is the exact integer division it claims to be
+    assert(gear._6 === gear._5 * 1000000L / gear._4)
+  }
+
   test("chunkOverlap chunks tile the document with the configured overlap") {
     val docs = graft.util.Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"n_chars").limit(20)
