@@ -21,7 +21,12 @@ class DeterminismSpec extends SparkSpec {
     "q_embed_cov", "q_power_iter", "q_pca_scores", "q_cov_drift",
     "q_kn_trigram", "q_domain_shift", "q_mmr_rerank", "q_simhash_acc",
     "q_jl_distortion", "q_bloom_fpr", "q_lid_confusion", "q_bmp_thumb",
-    "q_wav_frames")
+    "q_wav_frames",
+    // round 8: deflation loop, histogram sketch, Gear CDC (incl. the
+    // two-snapshot diff), corpus-scaled planes, softmax reweighting
+    "q_pca_topk", "q_quantile_sketch", "q_cdc_chunks", "q_cdc_dedup",
+    "q_cdc_incremental", "q_plane_sweep", "q_domain_reweight",
+    "q_knn_graph")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
