@@ -3001,10 +3001,14 @@ object SparkEntry {
         |sv AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.sig
         |       FROM embeddings e JOIN sig s USING (vec_id)
         |       WHERE len(e.embedding) > 0),
+        |rhs AS (SELECT sig, vec_id, v FROM (
+        |          SELECT sig, vec_id, v,
+        |            row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS rk
+        |          FROM sv) WHERE rk <= 256),
         |cand AS MATERIALIZED (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
         |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
-        |  FROM sv x JOIN sv y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+        |  FROM sv x JOIN rhs y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
         |nc AS (SELECT a, count(*) AS n_cand FROM cand GROUP BY a),
         |rnk AS (SELECT *, row_number() OVER (PARTITION BY a
         |          ORDER BY cos DESC, b) AS rn FROM cand),

@@ -190,6 +190,20 @@ object Similarity {
     * boundaries where ceil flips. */
   val KnnBucketTarget = 32
 
+  /** Hard per-bucket candidate cap. The plane rule bounds the EXPECTED
+    * bucket size, but clustered corpora defeat any sign-LSH's
+    * expectation: the sf100 probe (chained scale-up noise shared within
+    * a replica — the synthetic twin of template/boilerplate embeddings)
+    * produced 100k-member buckets and 21.3e9 candidates at p = 16.
+    * Capping each bucket's probe side to its `KnnBucketCap` smallest
+    * vec_ids makes the worst case Σ|b|·min(|b|, C) ≤ C·n — linear BY
+    * CONSTRUCTION, not in expectation (the FAISS list-truncation move).
+    * Buckets under the cap are untouched, so well-hashed corpora see
+    * identical output; a mega-bucket is exactly where single-bucket kNN
+    * carries no signal anyway (|b| ≫ k), so truncating its probe list
+    * costs recall only where the index was already the wrong tool. */
+  val KnnBucketCap = 256
+
   /** The plane-count rule as pure Scala (spec replay). */
   def knnPlanes(n: Long, target: Int = KnnBucketTarget): Int =
     (1 to 32).find(p => (1L << p) * target >= n).getOrElse(32)
@@ -219,6 +233,11 @@ object Similarity {
     ) // one signature pass feeds both join sides
     val rhs = sv.select(col("sig"), col("vec_id").as("b"),
       col("v").as("vb"), col("nrm").as("nb"))
+      // deterministic per-bucket truncation (see KnnBucketCap): every
+      // node still probes min(|bucket|, C) representatives
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("sig")).orderBy(col("b"))))
+      .filter(col("rk") <= KnnBucketCap).drop("rk")
     val cand = sv.join(rhs, Seq("sig")).filter(col("vec_id") =!= col("b"))
       .withColumn("cos", round(
         cosinePrenormed(col("v"), col("vb"), col("nrm"), col("nb")), 6))

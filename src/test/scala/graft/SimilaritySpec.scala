@@ -263,15 +263,18 @@ class SimilaritySpec extends SparkSpec {
     }
     // every mutual pair contributes one unit to each endpoint
     assert(rows.map(_._4).sum % 2 === 0)
-    // candidate census equals sum over buckets of |b|(|b|-1), with the
-    // buckets replayed at the corpus-scaled plane count the graph used
+    // candidate census equals sum over buckets of min(|b|, C)·(|b|−1) —
+    // every node probes the bucket's C smallest-id representatives,
+    // excluding itself exactly when it is one of them — with buckets
+    // replayed at the corpus-scaled plane count the graph used
     val planes = Similarity.knnPlanes(rows.length.toLong)
+    val cap = Similarity.KnnBucketCap
     val bucketPairs = Similarity.vecs(spark, sf)
       .filter(org.apache.spark.sql.functions.size($"v") > 0)
       .groupBy(org.apache.spark.sql.functions.substring(
         Similarity.hyperplaneSignature($"v", 32), 1, planes).as("sig"))
       .count().as[(String, Long)].collect()
-      .map { case (_, n) => n * (n - 1) }.sum
+      .map { case (_, n) => math.min(n, cap.toLong) * (n - 1) }.sum
     assert(rows.map(_._2).sum === bucketPairs)
     // the plane rule keeps expected bucket size bounded by the target
     assert((1L << planes) * Similarity.KnnBucketTarget >= rows.length,
