@@ -221,6 +221,7 @@ object SparkEntry {
     "q_benford" -> ((s, d) => graft.ops.DataQuality.benford(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_plane_sweep" -> ((s, d) => Similarity.planeSweep(s, d)),
+    "q_bucket_stats" -> ((s, d) => Similarity.bucketStats(s, d)),
     "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
     "q_join_size" -> ((s, d) => graft.ops.Skew.joinSizeEstimate(s, d)),
     "q_holt" -> ((s, d) => graft.indicators.Indicators.holtSmoothing(s, d)),
@@ -2926,6 +2927,55 @@ object SparkEntry {
 
     // mutual k-NN graph: LSH-bucket candidates -> per-node top-5 ->
     // reciprocity check; same signature replay as q_ann_lsh_buckets
+    // bucket-saturation census over the corpus-scaled signature: exact
+    // integer quantiles from the bucket-size histogram + the fraction
+    // of the corpus inside cap-saturated buckets
+    "q_bucket_stats" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |tot AS (SELECT count(DISTINCT vec_id) AS n_tot FROM comp),
+        |pl AS (SELECT min(p) AS planes FROM range(1, 33) r(p), tot
+        |       WHERE (CAST(1 AS BIGINT) << p) * 32 >= n_tot),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 33)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    substr(string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+        |                      ORDER BY p),
+        |           1, (SELECT CAST(planes AS INTEGER) FROM pl)) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |buckets AS (SELECT sig, count(*) AS bsz FROM sig GROUP BY sig),
+        |hist AS (
+        |  SELECT bsz, count(*) AS nb,
+        |    CAST(sum(count(*)) OVER (ORDER BY bsz
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM buckets GROUP BY bsz),
+        |t AS (
+        |  SELECT CAST(sum(nb) AS BIGINT) AS n_buckets,
+        |    CAST(sum(nb * bsz) AS BIGINT) AS n_vecs,
+        |    CAST(max(bsz) AS BIGINT) AS max_bucket,
+        |    CAST(sum(CASE WHEN bsz > 256 THEN nb ELSE 0 END) AS BIGINT)
+        |      AS n_saturated,
+        |    CAST(sum(CASE WHEN bsz > 256 THEN nb * bsz ELSE 0 END) AS BIGINT)
+        |      AS vecs_in_saturated
+        |  FROM hist)
+        |SELECT t.n_buckets, t.n_vecs, t.max_bucket,
+        |  (SELECT CAST(min(bsz) AS BIGINT) FROM hist, t
+        |   WHERE cum * 100 >= n_buckets * 50) AS p50_bucket,
+        |  (SELECT CAST(min(bsz) AS BIGINT) FROM hist, t
+        |   WHERE cum * 100 >= n_buckets * 99) AS p99_bucket,
+        |  t.n_saturated, t.vecs_in_saturated,
+        |  (t.vecs_in_saturated * 1000000) // t.n_vecs AS saturation_ppm
+        |FROM t""".stripMargin,
+
     // plane-count recall ladder: 32-bit signature prefixes nest, so one
     // signature pass serves every plane count; recall gated as exact
     // integer ppm, cost as the sum of squared bucket sizes

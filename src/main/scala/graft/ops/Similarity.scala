@@ -321,6 +321,57 @@ object Similarity {
       .orderBy(col("planes"))
   }
 
+  /** LSH bucket-saturation census, gated as q_bucket_stats: the
+    * monitoring face of [[KnnBucketCap]]. Per corpus, the bucket-size
+    * distribution of the corpus-scaled signature (count, max, exact
+    * median and p99 bucket size) and the saturation figures — how many
+    * buckets exceed the probe cap and what fraction of the corpus sits
+    * inside them. A rising saturation_ppm is the alarm that the
+    * embedding corpus has template/boilerplate clusters the index
+    * cannot separate (the sf100 probe's failure shape) and needs an
+    * exact/semantic dedup pass BEFORE indexing — the diagnostic half of
+    * the cap's remedy. Quantiles run over the BUCKET-SIZE histogram
+    * (≤ distinct sizes rows — bounded), all outputs exact integers. */
+  def bucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val tot = base.agg(count(lit(1)).as("n_tot"))
+    val buckets = base.crossJoin(broadcast(tot))
+      .withColumn("sig32", hyperplaneSignature(col("v"), 32))
+      .withColumn("sig", expr(
+        s"""substring(sig32, 1, array_min(filter(sequence(1, 32),
+           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)))"""
+          .stripMargin))
+      .groupBy(col("sig")).agg(count(lit(1)).as("bsz"))
+    val hist = buckets.groupBy(col("bsz")).agg(count(lit(1)).as("nb"))
+      .withColumn("cum", sum(col("nb")).over(
+        Window.orderBy(col("bsz"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(eager = false) // totals + two quantile picks read it
+    val totals = hist.agg(
+      sum(col("nb")).as("n_buckets"),
+      sum(col("nb") * col("bsz")).as("n_vecs"),
+      max(col("bsz")).as("max_bucket"),
+      sum(when(col("bsz") > KnnBucketCap, col("nb")).otherwise(0L))
+        .as("n_saturated"),
+      sum(when(col("bsz") > KnnBucketCap, col("nb") * col("bsz"))
+        .otherwise(0L)).as("vecs_in_saturated"))
+    def pick(q: Int): Column = {
+      // smallest size with cumulative bucket count >= ceil(q·n/100)
+      min(when(col("cum") * 100 >= col("n_buckets") * q, col("bsz")))
+    }
+    hist.crossJoin(broadcast(totals))
+      .agg(first(col("n_buckets")).as("n_buckets"),
+        first(col("n_vecs")).as("n_vecs"),
+        first(col("max_bucket")).as("max_bucket"),
+        pick(50).as("p50_bucket"),
+        pick(99).as("p99_bucket"),
+        first(col("n_saturated")).as("n_saturated"),
+        first(col("vecs_in_saturated")).as("vecs_in_saturated"))
+      .withColumn("saturation_ppm",
+        expr("vecs_in_saturated * 1000000L div n_vecs"))
+  }
+
   /** True per-label centroid vectors (the k-means "update" step — the
     * upgrade path for [[ivfAssign]]'s first-n seed centroids): elementwise
     * mean via posexplode + one grouped aggregation on (label, position).

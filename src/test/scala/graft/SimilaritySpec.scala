@@ -229,6 +229,38 @@ class SimilaritySpec extends SparkSpec {
     assert(curve.last._2 === multi, "probe-9 point != multi-probe recall")
   }
 
+  test("bucketStats: census coherent; planted template cluster fires the alarm") {
+    val Array((nb, nv, mx, p50, p99, nsat, vsat, ppm)) =
+      Similarity.bucketStats(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val n = Similarity.vecs(spark, sf)
+      .filter(org.apache.spark.sql.functions.size($"v") > 0).count()
+    assert(nv === n)
+    assert(p50 <= p99 && p99 <= mx && nb > 0)
+    assert(ppm === vsat * 1000000L / nv)
+    assert(vsat <= nv && nsat <= nb)
+
+    // planted template cluster: 600 near-identical vectors (one shared
+    // direction + tiny noise) hash to one bucket far over the cap —
+    // the alarm the census exists to raise
+    val d = 8
+    val rows = (0 until 600).map { r =>
+      (r.toLong, Array.tabulate(d)(i =>
+        (0.5f + (((r * 13 + i * 7) % 11) - 5) / 5000.0f)).toSeq, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bstats").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val Array((_, nv2, mx2, _, _, nsat2, vsat2, ppm2)) =
+      Similarity.bucketStats(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(nv2 === 600L)
+    assert(mx2 > Similarity.KnnBucketCap, "template cluster not detected")
+    assert(nsat2 >= 1L && vsat2 > 256L)
+    assert(ppm2 > 400000L, s"saturation alarm too weak: $ppm2 ppm")
+  }
+
   test("planeSweep: recall and cost both fall monotonically with plane count") {
     val rows = Similarity.planeSweep(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
