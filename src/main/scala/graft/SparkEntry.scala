@@ -195,6 +195,7 @@ object SparkEntry {
     // S x S cross-source NLL matrix from one vocab-bounded fan-out
     "q_domain_shift" -> (TextAnalysis.domainShift _),
     "q_domain_reweight" -> ((s, d) => TextAnalysis.domainReweight(s, d)),
+    "q_script_mix" -> ((s, d) => TextAnalysis.scriptMix(s, d)),
     "q_js_divergence" -> (TextAnalysis.jsDivergence _),
     "q_kmv_overlap" -> ((s, d) => TextAnalysis.kmvOverlap(s, d)),
     "q_key_sample" -> ((s, d) => TextAnalysis.keySample(s, d)),
@@ -2302,6 +2303,31 @@ object SparkEntry {
         |       ELSE 'unknown' END AS pred,
         |  count(*) AS n_docs
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-document script-mix census: literal Unicode-range classes
+    // (java-regex ∩ RE2), dominant script, purity in exact integer ppm
+    "q_script_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+        |      AS BIGINT) AS n_cyrillic,
+        |    CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+        |      AS BIGINT) AS n_cjk,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digit
+        |  FROM documents),
+        |l AS (SELECT *, n_latin + n_cyrillic + n_cjk AS n_letters FROM c)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit, n_letters,
+        |  CASE WHEN n_letters = 0 THEN 'none'
+        |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+        |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+        |       ELSE 'cjk' END AS dominant,
+        |  CASE WHEN n_letters = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((greatest(n_latin, n_cyrillic, n_cjk) * 1000000)
+        |                 // n_letters AS BIGINT) END AS purity_ppm
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     // DoReMi-flavored mixture weights from the domain-shift matrix:
     // excess = best other-model NLL minus own-model NLL (uniqueness),

@@ -819,6 +819,49 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-document script-mix census, gated as q_script_mix: character
+    * counts per writing system (Latin / Cyrillic / CJK / digits) from
+    * literal Unicode-range character classes — the java-regex ∩ RE2
+    * subset, so the oracle replays the same classes — plus the dominant
+    * script and its purity in exact integer ppm. Script consistency is
+    * the mC4-style pre-filter that language-ID heuristics assume: a
+    * document mixing scripts beyond the purity floor is navigation
+    * chrome / spam / encoding damage more often than prose, and
+    * [[langId]]'s marker words only make sense inside one script.
+    * One zero-shuffle projection; the synthetic corpus is ASCII-pure
+    * (purity 1e6 everywhere — itself the audit result), and the spec
+    * plants mixed-script rows to prove the census separates them. */
+  def scriptMix(spark: SparkSession, dir: String): DataFrame =
+    scriptMixOf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  def scriptMixOf(docs: DataFrame): DataFrame = {
+    def cnt(rx: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), rx, ""))).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val cyr = cnt("[Ѐ-ӿ]")
+    val cjk = cnt("[一-鿿]")
+    val digit = cnt("[0-9]")
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        latin.as("n_latin"), cyr.as("n_cyrillic"), cjk.as("n_cjk"),
+        digit.as("n_digit"))
+      .withColumn("n_letters",
+        col("n_latin") + col("n_cyrillic") + col("n_cjk"))
+      .withColumn("dominant",
+        when(col("n_letters") === 0, "none")
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_cjk"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
+          .otherwise("cjk"))
+      .withColumn("purity_ppm",
+        when(col("n_letters") === 0, 0L)
+          .otherwise(expr(
+            """greatest(n_latin, n_cyrillic, n_cjk) * 1000000L
+              | div n_letters""".stripMargin)))
+  }
+
   /** Language-ID confusion matrix: the accuracy gate for [[langId]]
     * against the corpus's gold `lang` labels — (gold, predicted, count)
     * cells. The marker-word heuristic has a known blind spot (no zh

@@ -557,6 +557,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.map(_._7).max >= deployedF1Q6, "sweep found no better cut")
   }
 
+  test("scriptMix: planted mixed-script rows classified; counts exact") {
+    val rows = Seq(
+      (1L, "hello world one two three"),           // pure latin
+      (2L, "привет мир и ещё слова здесь"),        // pure cyrillic
+      (3L, "hello привет 中文 mixed up 123"),       // mixed
+      (4L, "12345 !!! ---"),                       // no letters
+      (5L, "中文中文中文 and a bit of latin"))        // cjk vs latin
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMixOf(rows)
+      .select($"doc_id", $"n_latin", $"n_cyrillic", $"n_cjk", $"dominant",
+        $"purity_ppm")
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5 === "latin" && got(1L)._6 === 1000000L)
+    assert(got(2L)._5 === "cyrillic" && got(2L)._6 === 1000000L)
+    assert(got(3L)._5 === "latin" && got(3L)._6 < 1000000L)
+    assert(got(4L)._5 === "none" && got(4L)._6 === 0L)
+    // counts exact against plain Scala
+    assert(got(2L)._3 === "привет мир и ещё слова здесь".count(c =>
+      c >= 'Ѐ' && c <= 'ӿ').toLong)
+    assert(got(5L)._4 === 6L) // six CJK chars planted
+    assert(got(5L)._5 === "latin") // 13 latin letters beat 6 cjk
+    // corpus gate shape: the synthetic corpus is ASCII-pure
+    val corpus = TextAnalysis.scriptMix(spark, sf)
+      .select($"dominant", $"purity_ppm").as[(String, Long)].collect()
+    assert(corpus.forall { case (d, p) => d == "latin" && p == 1000000L })
+  }
+
   test("domainReweight: softmax weights close, replayed from the shift matrix") {
     val rows = TextAnalysis.domainReweight(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
