@@ -24,10 +24,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // ERROR: the known-benign WindowExec warnings (k-row post-limit rank
-    // windows, see Similarity.rankTopK) would otherwise swamp the one-line
-    // JSON output the driver parses
-    spark.sparkContext.setLogLevel("ERROR")
+    // OFF, not ERROR: the driver's tail capture merges stdout+stderr, and
+    // an ERROR-level DAGScheduler/Executor shutdown stack trace landed
+    // inside the 2000-char window in round 8 — the same mechanism that
+    // zeroed rounds 1-3's bench parsing. Bench reports failures itself
+    // (one [bench] stderr line + the JSON "errors" field), so Spark's own
+    // logging is pure risk here. Verify keeps ERROR for diagnostics.
+    spark.sparkContext.setLogLevel("OFF")
     graft.util.Tables.All.foreach { t =>
       try graft.util.Tables(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }
@@ -122,7 +125,10 @@ object Bench {
     val kept = entries
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
       .drop(1).takeWhile(_._2 <= budget).map(_._1)
+    // stop BEFORE printing: the JSON line must be the process's last
+    // output, and spark.stop()'s shutdown machinery is the one thing
+    // that could still log after it
+    try spark.stop() catch { case _: Throwable => () }
     println(prefix + kept.mkString(",") + "}}")
-    spark.stop()
   }
 }

@@ -1392,7 +1392,7 @@ object SparkEntry {
          |    round(CAST(i.ix AS DOUBLE) / (ca.c + cb.c - i.ix), 6) AS jac
          |  FROM inter i JOIN card ca ON ca.doc_id = i.id_a
          |  JOIN card cb ON cb.doc_id = i.id_b)
-         |SELECT round(0.5 + g.k * 0.05, 2) AS tau,
+         |SELECT CAST(round(0.5 + g.k * 0.05, 2) AS DOUBLE) AS tau,
          |  CAST(count(p.jac) AS BIGINT) AS n_pairs,
          |  CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_removable
          |FROM (SELECT unnest(range(0, 10)) AS k) g
@@ -1952,7 +1952,8 @@ object SparkEntry {
     "q_envelope_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS coin_id, event_type AS exchange,
         |  ts AS timestamp, round(value, 6) AS price,
-        |  CAST(event_id AS DOUBLE) AS volume_24h, 0.0 AS percent_change_24h
+        |  CAST(event_id AS DOUBLE) AS volume_24h,
+        |  CAST(0.0 AS DOUBLE) AS percent_change_24h
         |FROM events
         |ORDER BY coin_id, timestamp, volume_24h""".stripMargin,
 
@@ -2360,14 +2361,17 @@ object SparkEntry {
         |         FROM mat WHERE src_a <> src_b GROUP BY 1),
         |ex AS MATERIALIZED (
         |  SELECT s.source, s.self_nll_q6, o.best_other_nll_q6,
-        |         o.best_other_nll_q6 - s.self_nll_q6 AS excess_q6,
-        |         CAST(round(exp(CAST(o.best_other_nll_q6 - s.self_nll_q6
-        |             AS DOUBLE) / 1e6 / 0.5) * 1e9) AS BIGINT) AS eterm
-        |       FROM slf s JOIN omin o USING (source))
+        |         o.best_other_nll_q6 - s.self_nll_q6 AS excess_q6
+        |       FROM slf s JOIN omin o USING (source)),
+        |et AS MATERIALIZED (
+        |  SELECT *, CAST(round(exp(CAST(excess_q6
+        |      - (SELECT max(excess_q6) FROM ex) AS DOUBLE) / 1e6 / 0.5)
+        |      * 1e9) AS BIGINT) AS eterm
+        |  FROM ex)
         |SELECT source, self_nll_q6, best_other_nll_q6, excess_q6,
-        |  CAST((eterm * 1000000) // (SELECT sum(eterm) FROM ex) AS BIGINT)
+        |  CAST((eterm * 1000000) // (SELECT sum(eterm) FROM et) AS BIGINT)
         |    AS weight_ppm
-        |FROM ex ORDER BY source""".stripMargin,
+        |FROM et ORDER BY source""".stripMargin,
 
     "q_domain_shift" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
@@ -2963,7 +2967,8 @@ object SparkEntry {
         |      generate_subscripts(embedding, 1) AS i
         |    FROM embeddings)),
         |tot AS (SELECT count(DISTINCT vec_id) AS n_tot FROM comp),
-        |pl AS (SELECT min(p) AS planes FROM range(1, 33) r(p), tot
+        |pl AS (SELECT coalesce(min(p), 32) AS planes
+        |       FROM range(1, 33) r(p), tot
         |       WHERE (CAST(1 AS BIGINT) << p) * 32 >= n_tot),
         |dots AS (
         |  SELECT vec_id, p,
@@ -3060,7 +3065,8 @@ object SparkEntry {
         |      generate_subscripts(embedding, 1) AS i
         |    FROM embeddings)),
         |tot AS (SELECT count(DISTINCT vec_id) AS n_tot FROM comp),
-        |pl AS (SELECT min(p) AS planes FROM range(1, 33) r(p), tot
+        |pl AS (SELECT coalesce(min(p), 32) AS planes
+        |       FROM range(1, 33) r(p), tot
         |       WHERE (CAST(1 AS BIGINT) << p) * 32 >= n_tot),
         |dots AS (
         |  SELECT vec_id, p,
@@ -3728,7 +3734,7 @@ object SparkEntry {
         |c AS (SELECT *, sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM t)
-        |SELECT lang, shard, (cum - tok) // 512 AS bin,
+        |SELECT lang, shard, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_sum,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  CAST((sum(tok) * 1000000) // 512 AS BIGINT) AS fill_ppm

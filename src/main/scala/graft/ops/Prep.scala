@@ -252,11 +252,18 @@ object Prep {
     val garr = transform(split(col("text"), ""),
       c => conv(substring(md5(concat(lit("gear|"), c)), 1, 8), 16, 10)
         .cast("long").bitwiseAND(lit(M31)))
-    val cuts = filter(sequence(lit(window.toLong), n), i =>
-      aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
-        (acc, k) => acc + (element_at(col("garr"), (i - k).cast("int"))
-          * element_at(w, (k + 1).cast("int"))).bitwiseAND(lit(M31)))
-        .bitwiseAND(lit(M31)).bitwiseAND(lit(cutMask)) === 0)
+    // Docs shorter than the window carry no cut candidates. The guard is
+    // load-bearing: sequence(window, n) with n < window is DESCENDING in
+    // Spark, and the lambda would then probe element_at(garr, i-k) at
+    // index 0 (runtime error) and negative offsets (wrap from the array
+    // end) — while the oracle's range(window, n+1) is simply empty and
+    // emits one whole-document chunk. Match that: zero cuts.
+    val cuts = when(n < window, array().cast("array<long>"))
+      .otherwise(filter(sequence(lit(window.toLong), n), i =>
+        aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
+          (acc, k) => acc + (element_at(col("garr"), (i - k).cast("int"))
+            * element_at(w, (k + 1).cast("int"))).bitwiseAND(lit(M31)))
+          .bitwiseAND(lit(M31)).bitwiseAND(lit(cutMask)) === 0))
     docs.filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"), n.as("n"), garr.as("garr"))
       // the exchange is a MATERIALIZATION BARRIER, not (only) a spread:
@@ -296,27 +303,38 @@ object Prep {
     * upload_ppm columns ARE the CDC value proposition as one gated row.
     * All outputs are exact integer counts/ppm divisions. */
   def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus-scale pass per chunker, not one per (chunker, snapshot):
+    // both snapshots ride a single union with the version encoded in the
+    // doc_id's parity (doc_id*2 + ver — chunk decisions depend only on
+    // text, so chunks are bit-identical to chunking each snapshot alone).
+    // The grouped per-version chunk sets are m-bounded and checkpointed,
+    // so the v2-totals and anti-join readers share the chunking work.
     val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val v2 = v1.select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(lit("REV2 EDIT "), col("text")))
         .otherwise(col("text")).as("text"))
-    def chunkSet(df: DataFrame): DataFrame =
-      cdcChunksOf(df).groupBy(col("chunk_md5"))
-        .agg(min(col("chunk_len")).as("clen"))
-    def fixedSet(df: DataFrame): DataFrame =
-      df.filter(length(col("text")) > 0)
-        .select(col("text"), posexplode(sequence(lit(0L),
+    val both = v1.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .unionAll(v2.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+    // (ver, chunk_md5, clen) — distinct chunks per snapshot, one pass
+    val gearSets = cdcChunksOf(both)
+      .groupBy((col("doc_id") % 2).cast("int").as("ver"), col("chunk_md5"))
+      .agg(min(col("chunk_len")).as("clen"))
+      .localCheckpoint(eager = false)
+    val fixedSets = both.filter(length(col("text")) > 0)
+      .select((col("doc_id") % 2).cast("int").as("ver"), col("text"),
+        posexplode(sequence(lit(0L),
           floor((length(col("text")) - 1) / 64).cast("long")))
           .as(Seq("i", "start")))
-        .select(col("text")
-          .substr((col("start") * 64 + 1).cast("int"), lit(64)).as("piece"))
-        .groupBy(md5(col("piece")).as("chunk_md5"))
-        .agg(min(length(col("piece"))).cast("long").as("clen"))
-    def census(mk: DataFrame => DataFrame, label: String): DataFrame = {
-      val a = mk(v1).localCheckpoint(eager = false)
-      val b = mk(v2).localCheckpoint(eager = false)
-      val fresh = b.join(a.select(col("chunk_md5")), Seq("chunk_md5"),
-        "left_anti")
+      .select(col("ver"), col("text")
+        .substr((col("start") * 64 + 1).cast("int"), lit(64)).as("piece"))
+      .groupBy(col("ver"), md5(col("piece")).as("chunk_md5"))
+      .agg(min(length(col("piece"))).cast("long").as("clen"))
+      .localCheckpoint(eager = false)
+    def census(sets: DataFrame, label: String): DataFrame = {
+      val a = sets.filter(col("ver") === 0).select(col("chunk_md5"))
+      val b = sets.filter(col("ver") === 1)
+        .select(col("chunk_md5"), col("clen"))
+      val fresh = b.join(a, Seq("chunk_md5"), "left_anti")
       b.agg(count(lit(1)).as("chunks_v2"), sum(col("clen")).as("chars_v2"))
         .crossJoin(fresh.agg(
           coalesce(count(lit(1)), lit(0L)).as("chunks_new"),
@@ -325,7 +343,7 @@ object Prep {
           col("chars_v2"), col("chars_new"),
           expr("chars_new * 1000000L div chars_v2").as("upload_ppm"))
     }
-    census(chunkSet, "cdc_gear").union(census(fixedSet, "fixed_64"))
+    census(gearSets, "cdc_gear").union(census(fixedSets, "fixed_64"))
       .orderBy(col("chunker"))
   }
 

@@ -226,8 +226,8 @@ object Similarity {
       .crossJoin(broadcast(tot))
       .withColumn("sig32", hyperplaneSignature(col("v"), 32))
       .withColumn("sig", expr(
-        s"""substring(sig32, 1, array_min(filter(sequence(1, 32),
-           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)))"""
+        s"""substring(sig32, 1, coalesce(array_min(filter(sequence(1, 32),
+           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)), 32))"""
           .stripMargin))
       .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
     ) // one signature pass feeds both join sides
@@ -282,6 +282,14 @@ object Similarity {
     * (nQueries·k)) — counts and integer division only, no float. */
   def planeSweep(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 10, planesList: Seq[Int] = Seq(4, 6, 8, 10, 12)): DataFrame = {
+    // The q_plane_sweep oracle SQL replays these EXACT parameters
+    // (nQueries, k, the plane list, and the nQueries*k recall
+    // denominator are all inlined there); a non-default invocation would
+    // silently diverge from the gate, so fail loudly instead.
+    require(nQueries == 8 && k == 10 && planesList == Seq(4, 6, 8, 10, 12),
+      s"planeSweep($nQueries, $k, $planesList) diverges from the " +
+        "q_plane_sweep oracle, which inlines the defaults (8, 10, " +
+        "[4,6,8,10,12]); regenerate the oracle SQL before changing them")
     val pArr = array(planesList.map(p => lit(p)): _*)
     val e = vecs(spark, dir).filter(size(col("v")) > 0)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -339,8 +347,8 @@ object Similarity {
     val buckets = base.crossJoin(broadcast(tot))
       .withColumn("sig32", hyperplaneSignature(col("v"), 32))
       .withColumn("sig", expr(
-        s"""substring(sig32, 1, array_min(filter(sequence(1, 32),
-           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)))"""
+        s"""substring(sig32, 1, coalesce(array_min(filter(sequence(1, 32),
+           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)), 32))"""
           .stripMargin))
       .groupBy(col("sig")).agg(count(lit(1)).as("bsz"))
     val hist = buckets.groupBy(col("bsz")).agg(count(lit(1)).as("nb"))

@@ -807,11 +807,19 @@ object TextAnalysis {
     val omin = m.filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a").as("source"))
       .agg(min(col("nll_q6")).as("best_other_nll_q6"))
-    val ex = self.join(omin, "source")
+    val ex0 = self.join(omin, "source")
       .withColumn("excess_q6", col("best_other_nll_q6") - col("self_nll_q6"))
+    // Softmax is shift-invariant: subtract max(excess) before exp so
+    // every eterm <= 1e9 and eterm*1e6 stays far inside BIGINT. The
+    // unshifted form overflows once excess/tau exceeds ~4.6 nats —
+    // Spark wraps silently (negative weight_ppm), DuckDB throws, so the
+    // engines would diverge instead of failing together.
+    val mx = ex0.agg(max(col("excess_q6")).as("mx_q6"))
+    val ex = ex0.crossJoin(mx)
       .withColumn("eterm",
-        round(exp(col("excess_q6").cast("double") / 1e6 / tau) * 1e9)
-          .cast("long"))
+        round(exp((col("excess_q6") - col("mx_q6")).cast("double") / 1e6 / tau)
+          * 1e9).cast("long"))
+      .drop("mx_q6")
     val z = ex.agg(sum(col("eterm")).as("z"))
     ex.crossJoin(z)
       .select(col("source"), col("self_nll_q6"), col("best_other_nll_q6"),

@@ -24,26 +24,27 @@ object StreamQuota {
   final case class DocRef(domain: String, doc_id: Long)
   final case class Decision(domain: String, doc_id: Long, admitted: Boolean)
 
-  private final case class Counter(n: Long)
-
-  /** Admit while the domain's running count is below `cap`. */
+  /** Admit while the domain's running count is below `cap`. State is a
+    * bare Long via `Encoders.scalaLong`: a single-field case class here
+    * made Spark's generated state encoder fail janino compilation and
+    * fall back to interpreted serialization on every state access. */
   class QuotaProcessor(cap: Long)
       extends StatefulProcessor[String, DocRef, Decision] {
-    @transient private var st: ValueState[Counter] = _
+    @transient private var st: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[Counter]("admitted",
-        Encoders.product[Counter], TTLConfig.NONE)
+      st = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[DocRef],
         timerValues: TimerValues): Iterator[Decision] = {
-      var n = Option(st.get()).map(_.n).getOrElse(0L)
+      var n = if (st.exists()) st.get() else 0L
       val out = rows.map { r =>
         val admit = n < cap
         if (admit) n += 1
         Decision(key, r.doc_id, admit)
       }.toVector // drain before updating state: the iterator is lazy
-      st.update(Counter(n))
+      st.update(n)
       out.iterator
     }
   }

@@ -22,6 +22,9 @@ echo "== tie scan (round()-representation hazards, sf0.01 + sf0.001) =="
 python3 tools/tie_scan.py /root/testdata/sf0.01 /tmp/round_close_verify | tail -1
 python3 tools/tie_scan.py /root/testdata/sf0.001 /tmp/round_close_verify | tail -1
 
+echo "== type audit (oracle vs spark type families — the q_pack_bins class) =="
+python3 tools/type_audit.py /root/testdata/sf0.01 /tmp/round_close_verify | tail -1
+
 if [[ "$SKIP_BENCH" != "--skip-bench" ]]; then
   echo "== bench (sf0.1) =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
