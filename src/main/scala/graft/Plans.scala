@@ -83,7 +83,9 @@ object Plans {
     // round 8: deflation loop on the d²-bounded matrix, histogram-as-
     // sketch quantiles (map-side partial agg, bounded windows), Gear CDC
     // with the materialization-barrier exchange, corpus-scaled LSH kNN
-    "q_pca_topk", "q_quantile_sketch", "q_cdc_chunks", "q_cdc_dedup")
+    "q_pca_topk", "q_quantile_sketch", "q_cdc_chunks", "q_cdc_dedup",
+    // round 9: version-tagged single-pass incremental CDC census
+    "q_cdc_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

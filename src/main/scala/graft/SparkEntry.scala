@@ -221,6 +221,7 @@ object SparkEntry {
     "q_dq_checks" -> ((s, d) => graft.ops.DataQuality.dqChecks(s, d)),
     "q_benford" -> ((s, d) => graft.ops.DataQuality.benford(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_knn_compensated" -> ((s, d) => Similarity.knnGraphCompensated(s, d)),
     "q_plane_sweep" -> ((s, d) => Similarity.planeSweep(s, d)),
     "q_bucket_stats" -> ((s, d) => Similarity.bucketStats(s, d)),
     "q_k_anon" -> ((s, d) => graft.ops.DataQuality.kAnonymity(s, d)),
@@ -3106,6 +3107,82 @@ object SparkEntry {
         |  CAST(coalesce(mut.mutual_deg, 0) AS BIGINT) AS mutual_deg,
         |  t.nn_top, t.nn_top_cos
         |FROM sv s LEFT JOIN nc ON s.vec_id = nc.a
+        |LEFT JOIN deg ON s.vec_id = deg.a
+        |LEFT JOIN top1 t ON s.vec_id = t.a
+        |LEFT JOIN mut ON s.vec_id = mut.a
+        |ORDER BY s.vec_id""".stripMargin,
+
+    // knn graph with multi-probe compensation: nodes in saturated
+    // buckets (|b| > cap=8 at gate scale) also probe every Hamming-1
+    // flipped-signature bucket; same signature/flip/cap rules replayed
+    "q_knn_compensated" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS e,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |tot AS (SELECT count(DISTINCT vec_id) AS n_tot FROM comp),
+        |pl AS (SELECT coalesce(min(p), 32) AS planes
+        |       FROM range(1, 33) r(p), tot
+        |       WHERE (CAST(1 AS BIGINT) << p) * 32 >= n_tot),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(md5('hp|' || CAST(i AS VARCHAR)), CAST(p AS INTEGER), 1)) - 8.5) * e) AS dot
+        |  FROM comp, (SELECT unnest(range(1, 33)) AS p) planes
+        |  GROUP BY vec_id, p),
+        |sig AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    substr(string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+        |                      ORDER BY p),
+        |           1, (SELECT CAST(planes AS INTEGER) FROM pl)) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |sv AS MATERIALIZED (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.sig
+        |  FROM embeddings e JOIN sig s USING (vec_id)
+        |  WHERE len(e.embedding) > 0),
+        |bsz AS (SELECT sig, count(*) AS bsz FROM sv GROUP BY sig),
+        |rhs AS (SELECT sig, vec_id, v FROM (
+        |          SELECT sig, vec_id, v,
+        |            row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS rk
+        |          FROM sv) WHERE rk <= 8),
+        |flips AS (
+        |  SELECT s.vec_id, s.sig,
+        |    unnest(range(1, len(s.sig) + 1)) AS p
+        |  FROM sv s JOIN bsz USING (sig) WHERE bsz > 8),
+        |probes AS MATERIALIZED (
+        |  SELECT vec_id, sig AS psig FROM sv
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    substr(sig, 1, CAST(p AS INTEGER) - 1)
+        |    || (CASE WHEN substr(sig, CAST(p AS INTEGER), 1) = '1'
+        |             THEN '0' ELSE '1' END)
+        |    || substr(sig, CAST(p AS INTEGER) + 1) AS psig
+        |  FROM flips),
+        |np AS (SELECT vec_id, count(*) AS n_probes FROM probes GROUP BY 1),
+        |cand AS MATERIALIZED (
+        |  SELECT pr.vec_id AS a, y.vec_id AS b,
+        |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |  FROM probes pr
+        |  JOIN sv x ON x.vec_id = pr.vec_id
+        |  JOIN rhs y ON y.sig = pr.psig AND pr.vec_id <> y.vec_id),
+        |nc AS (SELECT a, count(*) AS n_cand FROM cand GROUP BY a),
+        |rnk AS (SELECT *, row_number() OVER (PARTITION BY a
+        |          ORDER BY cos DESC, b) AS rn FROM cand),
+        |knn AS (SELECT a, b, cos FROM rnk WHERE rn <= 5),
+        |deg AS (SELECT a, count(*) AS knn_deg FROM knn GROUP BY a),
+        |top1 AS (SELECT a, b AS nn_top, cos AS nn_top_cos FROM rnk WHERE rn = 1),
+        |mut AS (SELECT k1.a, count(*) AS mutual_deg
+        |        FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+        |        GROUP BY k1.a)
+        |SELECT s.vec_id,
+        |  CAST(coalesce(np.n_probes, 0) AS BIGINT) AS n_probes,
+        |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(deg.knn_deg, 0) AS BIGINT) AS knn_deg,
+        |  CAST(coalesce(mut.mutual_deg, 0) AS BIGINT) AS mutual_deg,
+        |  t.nn_top, t.nn_top_cos
+        |FROM sv s LEFT JOIN np ON s.vec_id = np.vec_id
+        |LEFT JOIN nc ON s.vec_id = nc.a
         |LEFT JOIN deg ON s.vec_id = deg.a
         |LEFT JOIN top1 t ON s.vec_id = t.a
         |LEFT JOIN mut ON s.vec_id = mut.a

@@ -265,6 +265,89 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Multi-probe-compensated kNN graph, gated as q_knn_compensated: the
+    * [[knnGraph]] pipeline with the recall remedy for exactly the rows
+    * the probe cap hurts. The cap (see [[KnnBucketCap]]) makes worst-case
+    * candidates linear by truncating a saturated bucket's probe list —
+    * at the cost of neighbors past the truncation point. Compensation:
+    * a node whose OWN bucket is saturated (|b| > cap) probes, in
+    * addition to its own bucket's capped representatives, the capped
+    * representatives of every Hamming-distance-1 bucket (one flipped
+    * signature bit each — the [[multiProbeRecall]] machinery, Lv et al.
+    * 2007). Nodes in healthy buckets are byte-identical to [[knnGraph]];
+    * saturated nodes trade one bounded probe fan-out (1 + planes
+    * buckets, each ≤ cap) for recovered neighbors on the far side of a
+    * single hyperplane — where sign-LSH loses near neighbors first.
+    *
+    * Scale: candidates ≤ (1 + planes)·cap·n — still linear in n with
+    * the plane count's log factor, under ANY distribution; probes are
+    * generated in-row (bounded explode), candidates stay one
+    * bucket-keyed equi-join, and the per-node top-k rides the same
+    * partial-TopK operator. The gate pins cap=8 (not the production
+    * 256) so the saturated path actually executes at gate scale; the
+    * oracle replays the flip set and the cap bit-for-bit. */
+  def knnGraphCompensated(spark: SparkSession, dir: String, k: Int = 5,
+      cap: Int = 8): DataFrame = {
+    val base = vecs(spark, dir).filter(size(col("v")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val tot = base.agg(count(lit(1)).as("n_tot"))
+    val sv = base.crossJoin(broadcast(tot))
+      .withColumn("sig32", hyperplaneSignature(col("v"), 32))
+      .withColumn("sig", expr(
+        s"""substring(sig32, 1, coalesce(array_min(filter(sequence(1, 32),
+           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)), 32))"""
+          .stripMargin))
+      .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
+      .localCheckpoint(eager = false) // buckets, probes, rhs all read it
+    val bsz = sv.groupBy(col("sig")).agg(count(lit(1)).as("bsz"))
+    val rhs = sv.select(col("sig"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("sig")).orderBy(col("b"))))
+      .filter(col("rk") <= cap).drop("rk")
+    // own bucket always; the planes single-bit flips only when saturated
+    val probes = sv.join(bsz, "sig")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(when(col("bsz") > cap,
+          concat(array(col("sig")), expr(
+            """transform(sequence(1, length(sig)), p -> concat(
+              |  substring(sig, 1, p - 1),
+              |  CASE WHEN substring(sig, p, 1) = '1' THEN '0' ELSE '1' END,
+              |  substring(sig, p + 1, 32)))""".stripMargin)))
+          .otherwise(array(col("sig")))).as("psig"))
+    // a candidate's sig is unique, probe sigs are distinct strings —
+    // each b matches at most one probe, so the join emits no duplicates
+    val cand = probes.join(rhs, probes("psig") === rhs("sig"))
+      .filter(col("vec_id") =!= col("b"))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("vb"), col("nrm"), col("nb")), 6))
+      .select(col("vec_id").as("a"), col("b"), col("cos"))
+    val np = probes.groupBy(col("vec_id")).agg(count(lit(1)).as("n_probes"))
+    val nCand = cand.groupBy(col("a")).agg(count(lit(1)).as("n_cand"))
+    val knn = graft.plans.Graft.topKPerKey(cand, Seq("a"),
+      Seq(("cos", true), ("b", false)), k).localCheckpoint(eager = false)
+    val mutual = knn.join(
+      knn.select(col("a").as("b2"), col("b").as("a2")),
+      col("a") === col("a2") && col("b") === col("b2"), "left_semi")
+    val deg = knn.groupBy(col("a")).agg(count(lit(1)).as("knn_deg"),
+        max(struct(col("cos"), (-col("b")).as("nb"))).as("m"))
+      .select(col("a"), col("knn_deg"),
+        (-col("m.nb")).as("nn_top"), col("m.cos").as("nn_top_cos"))
+    val mdeg = mutual.groupBy(col("a")).agg(count(lit(1)).as("mutual_deg"))
+    sv.select(col("vec_id"))
+      .join(np, Seq("vec_id"), "left")
+      .join(nCand, col("vec_id") === nCand("a"), "left").drop("a")
+      .join(deg, col("vec_id") === deg("a"), "left").drop("a")
+      .join(mdeg, col("vec_id") === mdeg("a"), "left").drop("a")
+      .select(col("vec_id"),
+        coalesce(col("n_probes"), lit(0L)).as("n_probes"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("knn_deg"), lit(0L)).as("knn_deg"),
+        coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
+        col("nn_top"), col("nn_top_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Plane-count recall ladder, gated as q_plane_sweep: for each
     * candidate plane count p, the single-bucket recall@k of the
     * hyperplane index (how many exact top-k neighbors share the query's

@@ -94,6 +94,25 @@ class PrepSpec extends SparkSpec {
       s"insertion destroyed chunk identity: $shared/$total shared")
   }
 
+  test("cdcChunks: documents shorter than the hash window emit one whole-doc chunk") {
+    // sequence(window, n) is DESCENDING in Spark when n < window, and the
+    // unguarded cut lambda then probed array index 0 (runtime error) and
+    // negative offsets (silent wrap) — while the oracle's empty range
+    // emits one whole-document chunk. The guard must match the oracle.
+    val docs = Seq((1L, "x"), (2L, "ab cd"), (3L, "a" * 30), (4L, "b" * 31))
+      .toDF("doc_id", "text")
+    val out = Prep.cdcChunksOf(docs)
+      .as[(Long, Long, Long, Long, String)].collect().groupBy(_._1)
+    Seq(1L -> 1, 2L -> 5, 3L -> 30).foreach { case (id, n) =>
+      val cs = out(id)
+      assert(cs.length === 1, s"doc $id: expected one chunk")
+      assert(cs.head._3 === 0L && cs.head._4 === n.toLong,
+        s"doc $id: chunk must span [0, $n)")
+    }
+    // the length == window doc goes through the real cut scan
+    assert(out(4L).map(_._4).sum === 31L)
+  }
+
   test("cdcIncremental: content-defined chunks re-upload far less than fixed-width") {
     val rows = Prep.cdcIncremental(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()

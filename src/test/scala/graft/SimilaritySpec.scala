@@ -313,6 +313,63 @@ class SimilaritySpec extends SparkSpec {
       "plane count under-partitions the corpus")
   }
 
+  test("knnGraphCompensated: probe fan-out, exact candidate census, degree bounds") {
+    val cap = 8
+    val rows = Similarity.knnGraphCompensated(spark, sf, k = 5, cap = cap)
+      .select("vec_id", "n_probes", "n_cand", "knn_deg", "mutual_deg")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val planes = Similarity.knnPlanes(rows.length.toLong)
+    // replay buckets at the derived plane count
+    val sigs = Similarity.vecs(spark, sf)
+      .filter(org.apache.spark.sql.functions.size($"v") > 0)
+      .select($"vec_id", org.apache.spark.sql.functions.substring(
+        Similarity.hyperplaneSignature($"v", 32), 1, planes).as("sig"))
+      .as[(Long, String)].collect()
+    val bySig = sigs.groupBy(_._2)
+      .map { case (s, xs) => s -> xs.map(_._1).sorted.toSeq }
+    val sigOf = sigs.toMap
+    def reps(s: String): Seq[Long] = bySig.getOrElse(s, Seq.empty).take(cap)
+    def flips(s: String): Seq[String] = (0 until s.length).map(i =>
+      s.updated(i, if (s(i) == '1') '0' else '1'))
+    rows.foreach { case (id, np, nc, deg, mdeg) =>
+      val own = sigOf(id)
+      val saturated = bySig(own).length > cap
+      assert(np === (if (saturated) 1L + planes else 1L),
+        s"$id: probe fan-out must be 1 or 1+planes")
+      // exact census: capped own-bucket reps minus self, plus (when
+      // saturated) every Hamming-1 bucket's capped reps
+      val expect = reps(own).count(_ != id) +
+        (if (saturated) flips(own).map(reps(_).size).sum else 0)
+      assert(nc === expect.toLong, s"$id: candidate census")
+      assert(deg === math.min(5L, nc), s"$id: knn_deg != min(k, n_cand)")
+      assert(mdeg <= deg, s"$id: mutual_deg exceeds knn_deg")
+    }
+    assert(rows.map(_._5).sum % 2 === 0)
+    // this corpus saturates every bucket at cap=8 (16 buckets of 21-48
+    // members), so the saturated path runs corpus-wide here...
+    assert(rows.forall(_._2 === 1L + planes),
+      "cap=8 should saturate every bucket at spec scale")
+    // ...and the healthy/mixed path is exercised by a second run with
+    // the cap above the median bucket size
+    val cap2 = 30
+    val rows2 = Similarity.knnGraphCompensated(spark, sf, k = 5, cap = cap2)
+      .select("vec_id", "n_probes", "n_cand")
+      .as[(Long, Long, Long)].collect()
+    def reps2(s: String): Seq[Long] = bySig.getOrElse(s, Seq.empty).take(cap2)
+    rows2.foreach { case (id, np, nc) =>
+      val own = sigOf(id)
+      val saturated = bySig(own).length > cap2
+      assert(np === (if (saturated) 1L + planes else 1L),
+        s"$id: cap=$cap2 probe fan-out")
+      val expect = reps2(own).count(_ != id) +
+        (if (saturated) flips(own).map(reps2(_).size).sum else 0)
+      assert(nc === expect.toLong, s"$id: cap=$cap2 candidate census")
+    }
+    assert(rows2.exists(_._2 > 1L), "no saturated bucket at cap=30")
+    assert(rows2.exists(_._2 === 1L), "no healthy bucket at cap=30")
+  }
+
   test("jlProject: norm-preserving in expectation, signs non-degenerate") {
     val proj = Similarity.jlProject(spark, sf, k = 8)
       .as[(Long, Long, Double)].collect().groupBy(_._1)
