@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * 10x bigger with the SAME duplication rate, which is what a real 10x
   * corpus looks like. Dims (nation/region) stay fixed, like real dims.
   *
+  * Replicas ride ONE cross-join with a `spark.range(factor)` spine, not
+  * a union of `factor` per-replica plans: the union tree made analysis
+  * O(factor) and capped the practical factor. Scaling must start from
+  * ORIGINAL testdata — chaining scale-ups reuses the same `i * Off`
+  * offsets and silently COLLIDES keys (the round-8 target/sf100 had 5M
+  * document rows under 545k doc_ids that way, which breaks every
+  * per-key algebra downstream — e.g. Jaccard's |A|+|B|-|A∩B| hit zero).
+  * A loud max-key guard now rejects already-scaled sources.
+  *
   * Usage: `tools/run_main.sh graft.ScaleUp /root/testdata/sf0.1 target/sf1 10`
   */
 object ScaleUp {
@@ -38,17 +47,36 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def write(df: DataFrame, name: String, parts: Int = 32): Unit =
-      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // no repartition on the way out: the replicated frame is already
+    // spread (see replicate), and a second full shuffle of the expanded
+    // data would double the job's I/O for nothing but a file count
+    def write(df: DataFrame, name: String, parts: Int = 0): Unit =
+      (if (parts > 0) df.repartition(parts) else df)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
+    val spine = spark.range(factor.toLong)
+      .select(col("id").cast("int").as("rep_i"))
+
+    /** Cross-join the replica spine, shift every key by rep_i*Off, apply
+      * the per-table `extra` (which may read rep_i), drop the spine. The
+      * base is repartitioned FIRST: testdata tables arrive as one parquet
+      * file = one input task, and without the spread that single task
+      * would compute the whole factor-x cross-join alone. */
     def replicate(name: String, keyCols: Seq[String])(
-        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+        extra: DataFrame => DataFrame = identity): DataFrame = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until factor).map { i =>
-        val shifted = keyCols.foldLeft(base)((d, c) =>
-          d.withColumn(c, col(c) + lit(i * Off)))
-        extra(shifted, i)
-      }.reduce(_ unionAll _)
+      keyCols.foreach { c =>
+        val mx = base.agg(max(col(c)).cast("long")).head.getLong(0)
+        require(mx < Off,
+          s"$name.$c max=$mx >= Off=$Off: source looks already scaled; " +
+            "chaining scale-ups reuses offsets and collides keys — " +
+            "scale from the original testdata with a larger factor")
+      }
+      val spreadBase = base.repartition(
+        spark.sparkContext.defaultParallelism * 4)
+      val shifted = keyCols.foldLeft(spreadBase.crossJoin(spine))((d, c) =>
+        d.withColumn(c, col(c) + col("rep_i") * Off))
+      extra(shifted).drop("rep_i")
     }
 
     // dims stay fixed
@@ -63,23 +91,41 @@ object ScaleUp {
     // ts stays raw int64 nanos (read via nanosAsLong) — Tables.events
     // converts on read, eventsBetween prunes on the raw long
     write(replicate("events", Seq("event_id", "user_id"))(), "events")
-    write(replicate("documents", Seq("doc_id")) { (d, i) =>
-      if (i == 0) d
-      else d
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"_r$i"))), " "))
+    write(replicate("documents", Seq("doc_id")) { d =>
+      d.withColumn("text",
+          when(col("rep_i") === 0, col("text"))
+            .otherwise(array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("_r"), col("rep_i").cast("string"))), " ")))
         .withColumn("n_chars", length(col("text")))
     }, "documents")
-    write(replicate("embeddings", Seq("vec_id")) { (d, i) =>
-      if (i == 0) d
-      else d.withColumn("embedding",
-        // deterministic directional noise (±0.2 per component, varying by
-        // replica and position) so cross-replica cosines drop below the
-        // near-dup taus: same dup RATE as the base corpus, 10x the rows
-        transform(col("embedding"), (x, pos) =>
-          (x + (pmod(pos * lit(2654435761L) + lit(i * 40503L), lit(201)) - 100)
-            .cast("double") / 500.0).cast("float")))
+    write(replicate("embeddings", Seq("vec_id")) { d =>
+      d.withColumn("embedding",
+        when(col("rep_i") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, pos) =>
+            // deterministic directional noise (±0.2 per component,
+            // varying by replica and position) so cross-replica cosines
+            // drop below the near-dup taus: same dup RATE as the base
+            // corpus at any factor
+            (x + (pmod(pos.cast("long") * lit(2654435761L)
+                + col("rep_i").cast("long") * lit(40503L), lit(201L))
+              - 100).cast("double") / 500.0).cast("float"))))
     }, "embeddings")
+
+    // post-write uniqueness certificate: every replicated table must have
+    // exactly factor * base distinct primary keys — the loud version of
+    // the guarantee downstream per-key algebra assumes
+    Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "part" -> "p_partkey", "supplier" -> "s_suppkey",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id").foreach { case (t, k) =>
+      val baseN = spark.read.parquet(s"$src/$t.parquet")
+        .select(col(k)).distinct().count()
+      val gotN = spark.read.parquet(s"$dst/$t.parquet")
+        .select(col(k)).distinct().count()
+      require(gotN == baseN * factor,
+        s"$t.$k: expected ${baseN * factor} distinct keys, got $gotN")
+      println(s"[scaleup] $t.$k distinct=$gotN OK")
+    }
     spark.stop()
   }
 }

@@ -126,9 +126,15 @@ object Dedup {
       tau: Double = 0.8): DataFrame = {
     val sh = shinglesWithCard(Tables.documents(spark, dir))
     // the self-join MUST shuffle on the shingle: Catalyst sizes a Generate
-    // by its (tiny) parquet child, so without the hint it broadcasts the
-    // whole exploded shingle table — unbounded build side at scale
-    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
+    // by its (tiny) parquet child, so without a hint it broadcasts the
+    // whole exploded shingle table — unbounded build side at scale.
+    // MERGE, not SHUFFLE_HASH: a shuffled-hash build side cannot spill,
+    // and at sf100 (2.8e9 candidate rows) the per-partition hash map
+    // exceeds memory and the job DIES regardless of partition count
+    // (measured: OOM at 32 and at 512 shuffle partitions) — while the
+    // sort-merge join spills its sort runs and completes. A graceful
+    // spill beats a fast plan that falls over at 100x.
+    val a = sh.hint("merge").as("a"); val b = sh.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("ix"), max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
@@ -142,7 +148,7 @@ object Dedup {
     * least `tau` of A's shingle set occurs in B. Directional where Jaccard
     * is symmetric — the quote/excerpt/subset detector (a short document
     * wholly quoted inside a long one has high containment but low Jaccard,
-    * so a Jaccard dedup pass never finds it). Same single shuffle-hash
+    * so a Jaccard dedup pass never finds it). Same single sort-merge
     * self-join shape as [[jaccardPairsUnsorted]]; only the denominator
     * changes (|A| instead of |A∪B|), and both directions of a pair emit
     * independently. Containment >= Jaccard always, so tau here should sit
@@ -150,7 +156,10 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String,
       tau: Double = 0.9): DataFrame = {
     val sh = shinglesWithCard(Tables.documents(spark, dir))
-    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
+    // merge, not shuffle_hash — same shape and same sf100 OOM class as
+    // jaccardPairsUnsorted (the non-spillable hash build died at 32
+    // shuffle partitions); the sort-merge join spills and completes
+    val a = sh.hint("merge").as("a"); val b = sh.as("b")
     // intersect each unordered pair ONCE (id_a < id_b — half the join
     // output of a != join) and EXPLODE the two directions out of the
     // aggregate's rows: a union of two projections of the aggregate

@@ -816,14 +816,13 @@ object Analytics {
     * columns are BIGINTs/flags — no float anywhere. The per-key
     * quantile windows run over the BOUNDED histograms (the
     * classifierAuc bounded-table exception, ≤ 64·sub rows per key). */
-  def quantileSketch(spark: SparkSession, dir: String,
-      sub: Int = 8, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val base = Tables.events(spark, dir)
-      .select(col("event_type"),
-        round(col("value") * 100).cast("long").as("c"))
-      .filter(col("c") >= 1)
-      .localCheckpoint(eager = false) // sketch pass + exact harness read it
-    val hist = base
+  /** The sketch-histogram core over any (event_type, c >= 1 cents)
+    * frame — one additive aggregation on a FIXED key space (≤ 64·sub
+    * cells per event_type), so it runs identically as a batch pass and
+    * as a stateful streaming aggregation
+    * ([[graft.streaming.StreamQuantile]] — cells merge by addition). */
+  def sketchCells(base: DataFrame, sub: Int = 8): DataFrame =
+    base
       .withColumn("e", (length(bin(col("c"))) - 1).cast("long"))
       .withColumn("p2", expr("shiftleft(1L, cast(e as int))"))
       .withColumn("subb", expr(s"(c - p2) * $sub div p2"))
@@ -832,6 +831,15 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("lo_cents", col("p2") + expr(s"subb * p2 div $sub"))
       .withColumn("hi_cents", col("p2") + expr(s"(subb + 1) * p2 div $sub"))
+
+  def quantileSketch(spark: SparkSession, dir: String,
+      sub: Int = 8, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .filter(col("c") >= 1)
+      .localCheckpoint(eager = false) // sketch pass + exact harness read it
+    val hist = sketchCells(base, sub)
     val wKey = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
