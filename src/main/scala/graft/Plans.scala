@@ -84,8 +84,9 @@ object Plans {
     // sketch quantiles (map-side partial agg, bounded windows), Gear CDC
     // with the materialization-barrier exchange, corpus-scaled LSH kNN
     "q_pca_topk", "q_quantile_sketch", "q_cdc_chunks", "q_cdc_dedup",
-    // round 9: version-tagged single-pass incremental CDC census
-    "q_cdc_incremental")
+    // round 9: version-tagged single-pass incremental CDC census;
+    // multi-probe compensation for capped LSH buckets
+    "q_cdc_incremental", "q_knn_compensated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

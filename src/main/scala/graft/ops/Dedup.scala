@@ -111,7 +111,7 @@ object Dedup {
   }
 
   /** All near-duplicate pairs with word-3-gram Jaccard >= tau: one
-    * shuffle-hash self-join on the shingle + one pair aggregation. The
+    * sort-merge self-join on the shingle + one pair aggregation. The
     * per-doc cardinality rides along from the in-row gram array, so
     * there is no distinct pass and no count window. On corpora where hub
     * shingles make this join quadratic, [[jaccardPairsPrefix]] computes
@@ -201,11 +201,17 @@ object Dedup {
       tau: Double = 0.9): DataFrame = {
     // three consumers (frequency agg, candidate join, verification) —
     // materialize once; checkpoint() at cluster scale
-    val sh = shinglesWithCard(Tables.documents(spark, dir)).localCheckpoint()
+    // DISK_ONLY, not localCheckpoint: the materialized shingle stream is
+    // ~130 rows/doc (26 GB at the sf100 rung), and localCheckpoint's
+    // MEMORY_AND_DISK blocks created it THROUGH the heap — measured as a
+    // GCLocker allocation storm that shut the context down. Disk-backed
+    // reuse costs a read-back per consumer and nothing else.
+    val sh = shinglesWithCard(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
     def ceilSafe(x: Column): Column = ceil(x - lit(1e-9)) // see jaccardPairsPrefix
-    val prefix = sh.hint("shuffle_hash").join(freq, "s")
+    val prefix = sh.hint("merge").join(freq, "s")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
       .select(col("doc_id").as("id_sub"), col("c").as("c_sub"), col("s"))
@@ -214,7 +220,7 @@ object Dedup {
     // an unordered pair so each is verified ONCE; prefix filtering is
     // lossless per direction, so a direction that never generated a
     // candidate cannot reach tau and the post-verify filter drops it
-    val cand = prefix.hint("shuffle_hash").as("a")
+    val cand = prefix.hint("merge").as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("id_sub") =!= col("b.doc_id") &&
           col("b.c") >= ceilSafe(lit(tau) * col("c_sub")))
@@ -223,9 +229,9 @@ object Dedup {
       .distinct()
     // exact verification once per unordered pair; both directions explode
     // out of the single aggregate (see containmentPairs)
-    cand.hint("shuffle_hash")
-      .join(sh.hint("shuffle_hash").as("va"), col("id_a") === col("va.doc_id"))
-      .join(sh.hint("shuffle_hash").as("vb"),
+    cand.hint("merge")
+      .join(sh.hint("merge").as("va"), col("id_a") === col("va.doc_id"))
+      .join(sh.hint("merge").as("vb"),
         col("id_b") === col("vb.doc_id") && col("va.s") === col("vb.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("ix"),
@@ -259,7 +265,13 @@ object Dedup {
     // materialized ONCE: three consumers (frequency agg, prefix join,
     // verification) would otherwise each re-run the gram pipeline; at
     // cluster scale use checkpoint() for the same cut, fault-tolerantly
-    val sh = shinglesWithCard(Tables.documents(spark, dir)).localCheckpoint()
+    // DISK_ONLY, not localCheckpoint: the materialized shingle stream is
+    // ~130 rows/doc (26 GB at the sf100 rung), and localCheckpoint's
+    // MEMORY_AND_DISK blocks created it THROUGH the heap — measured as a
+    // GCLocker allocation storm that shut the context down. Disk-backed
+    // reuse costs a read-back per consumer and nothing else.
+    val sh = shinglesWithCard(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
     // ceil over double arithmetic can round tau*c to just ABOVE an exact
@@ -270,11 +282,11 @@ object Dedup {
     // far below 1/maxCard before ceil can only loosen the bound (more
     // candidates, same exact-verified output).
     def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
-    val prefix = sh.hint("shuffle_hash").join(freq, "s")
+    val prefix = sh.hint("merge").join(freq, "s")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
       .select(col("doc_id"), col("c"), col("s"))
-    val cand = prefix.hint("shuffle_hash").as("a")
+    val cand = prefix.hint("merge").as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // size filter: J >= tau forces tau*|A| <= |B| and tau*|B| <= |A|
@@ -282,7 +294,7 @@ object Dedup {
           col("a.c") >= ceilSafe(lit(tau) * col("b.c")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyPairs(cand.hint("shuffle_hash"), sh, tau)
+    verifyPairs(cand.hint("merge"), sh, tau)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -292,8 +304,8 @@ object Dedup {
     * candidate sets, shuffle for unbounded ones). */
   private[ops] def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
     cand
-      .join(sh.hint("shuffle_hash").as("va"), col("id_a") === col("va.doc_id"))
-      .join(sh.hint("shuffle_hash").as("vb"),
+      .join(sh.hint("merge").as("va"), col("id_a") === col("va.doc_id"))
+      .join(sh.hint("merge").as("vb"),
         col("id_b") === col("vb.doc_id") && col("va.s") === col("vb.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("ix"),
