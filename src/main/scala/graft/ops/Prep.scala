@@ -303,33 +303,42 @@ object Prep {
     * upload_ppm columns ARE the CDC value proposition as one gated row.
     * All outputs are exact integer counts/ppm divisions. */
   def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
-    // ONE corpus-scale pass per chunker, not one per (chunker, snapshot):
-    // both snapshots ride a single union with the version encoded in the
-    // doc_id's parity (doc_id*2 + ver — chunk decisions depend only on
-    // text, so chunks are bit-identical to chunking each snapshot alone).
-    // The grouped per-version chunk sets are m-bounded and checkpointed,
-    // so the v2-totals and anti-join readers share the chunking work.
+    // Chunk the DELTA, not the snapshot: v2 differs from v1 only on the
+    // edited docs (one in five), and chunk cuts are text-local, so an
+    // unchanged document's chunks are byte-identical across snapshots.
+    // One chunking pass over {v1 all} ∪ {v2 edited docs} = 1.2x the
+    // corpus (the naive two-snapshot form paid 2.0x); snapshot
+    // membership is then pure row algebra over the tag in the doc_id's
+    // parity — a tag-0 chunk belongs to v1, and also to v2 when its
+    // document is unchanged; a tag-1 chunk is v2-only. This is the
+    // production shape: a chunk store chunks new/changed content only.
     val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val v2 = v1.select(col("doc_id"),
-      when(col("doc_id") % 5 === 0, concat(lit("REV2 EDIT "), col("text")))
-        .otherwise(col("text")).as("text"))
-    val both = v1.select((col("doc_id") * 2).as("doc_id"), col("text"))
-      .unionAll(v2.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
-    // (ver, chunk_md5, clen) — distinct chunks per snapshot, one pass
-    val gearSets = cdcChunksOf(both)
-      .groupBy((col("doc_id") % 2).cast("int").as("ver"), col("chunk_md5"))
-      .agg(min(col("chunk_len")).as("clen"))
+    val v2e = v1.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+      concat(lit("REV2 EDIT "), col("text")).as("text"))
+    val toChunk = v1.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .unionAll(v2e.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+    // (doc_id-tagged chunks) -> (ver, chunk_md5, clen) distinct sets
+    def membership(tagged: DataFrame): DataFrame = tagged
+      .select(col("chunk_md5"), col("clen0"), explode(
+        when(col("doc_id") % 2 === 1, array(lit(1)))
+          .when(floor(col("doc_id") / 2) % 5 === 0, array(lit(0)))
+          .otherwise(array(lit(0), lit(1)))).as("ver"))
+      .groupBy(col("ver"), col("chunk_md5"))
+      .agg(min(col("clen0")).as("clen"))
       .localCheckpoint(eager = false)
-    val fixedSets = both.filter(length(col("text")) > 0)
-      .select((col("doc_id") % 2).cast("int").as("ver"), col("text"),
+    val gearSets = membership(cdcChunksOf(toChunk)
+      .select(col("doc_id"), col("chunk_md5"),
+        col("chunk_len").as("clen0")))
+    val fixedSets = membership(toChunk.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0L),
           floor((length(col("text")) - 1) / 64).cast("long")))
           .as(Seq("i", "start")))
-      .select(col("ver"), col("text")
-        .substr((col("start") * 64 + 1).cast("int"), lit(64)).as("piece"))
-      .groupBy(col("ver"), md5(col("piece")).as("chunk_md5"))
-      .agg(min(length(col("piece"))).cast("long").as("clen"))
-      .localCheckpoint(eager = false)
+      .select(col("doc_id"),
+        md5(col("text").substr((col("start") * 64 + 1).cast("int"), lit(64)))
+          .as("chunk_md5"),
+        length(col("text").substr((col("start") * 64 + 1).cast("int"), lit(64)))
+          .cast("long").as("clen0")))
     def census(sets: DataFrame, label: String): DataFrame = {
       val a = sets.filter(col("ver") === 0).select(col("chunk_md5"))
       val b = sets.filter(col("ver") === 1)
