@@ -289,6 +289,7 @@ object SparkEntry {
     "q_random_walks" -> ((s, d) => graft.ops.Graph.copurchaseWalks(s, d)),
     "q_skipgram" -> ((s, d) => graft.ops.Graph.skipgramPairs(s, d)),
     "q_ivf_kmeans" -> ((s, d) => Similarity.kmeansQuantized(s, d)),
+    "q_ivf_maintenance" -> ((s, d) => Similarity.ivfMaintenance(s, d)),
     "q_skyline" -> (Analytics.skyline _),
     "q_mode" -> (Analytics.modePerUser _),
     "q_mad" -> (Analytics.madPerType _),
@@ -3889,6 +3890,84 @@ object SparkEntry {
         |  FROM ev JOIN c2 c ON ev.pos = c.pos
         |  GROUP BY ev.vec_id, c.centroid_id) WHERE rnk = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // IVF maintenance: stale index trained on the base half, delta
+    // occupancy drift in ppm, global re-train trigger at 20000 ppm,
+    // post-maintenance occupancy after one full-corpus Lloyd update.
+    // Window sums CAST to BIGINT (sum(BIGINT) is HUGEINT in DuckDB —
+    // the q_pack_bins type-family class).
+    "q_ivf_maintenance" ->
+      """WITH ev AS (
+        |  SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |hk AS (SELECT (max(vec_id) + 1) // 2 AS half FROM embeddings),
+        |base AS (SELECT ev.* FROM ev, hk WHERE ev.vec_id < hk.half),
+        |delta AS (SELECT ev.* FROM ev, hk WHERE ev.vec_id >= hk.half),
+        |seeds AS (SELECT vec_id AS centroid_id, pos, qx AS cx
+        |          FROM base WHERE vec_id < 8),
+        |a0 AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT b.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY sum((b.qx - c.cx) * (b.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM base b JOIN seeds c ON b.pos = c.pos
+        |  GROUP BY b.vec_id, c.centroid_id) WHERE rnk = 1),
+        |u0 AS (SELECT a.centroid_id, b.pos, CAST(round(avg(b.qx)) AS BIGINT) AS ux
+        |       FROM a0 a JOIN base b ON a.vec_id = b.vec_id
+        |       GROUP BY a.centroid_id, b.pos),
+        |cb AS (SELECT c.centroid_id, c.pos, COALESCE(u.ux, c.cx) AS cx
+        |       FROM seeds c LEFT JOIN u0 u
+        |         ON c.centroid_id = u.centroid_id AND c.pos = u.pos),
+        |ob AS (SELECT centroid_id, count(*) AS n_base FROM (
+        |  SELECT b.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY sum((b.qx - c.cx) * (b.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM base b JOIN cb c ON b.pos = c.pos
+        |  GROUP BY b.vec_id, c.centroid_id) WHERE rnk = 1 GROUP BY centroid_id),
+        |od AS (SELECT centroid_id, count(*) AS n_delta FROM (
+        |  SELECT d.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY sum((d.qx - c.cx) * (d.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM delta d JOIN cb c ON d.pos = c.pos
+        |  GROUP BY d.vec_id, c.centroid_id) WHERE rnk = 1 GROUP BY centroid_id),
+        |af AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY sum((e.qx - c.cx) * (e.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev e JOIN cb c ON e.pos = c.pos
+        |  GROUP BY e.vec_id, c.centroid_id) WHERE rnk = 1),
+        |uf AS (SELECT a.centroid_id, e.pos, CAST(round(avg(e.qx)) AS BIGINT) AS ux
+        |       FROM af a JOIN ev e ON a.vec_id = e.vec_id
+        |       GROUP BY a.centroid_id, e.pos),
+        |cn AS (SELECT c.centroid_id, c.pos, COALESCE(u.ux, c.cx) AS cx
+        |       FROM cb c LEFT JOIN uf u
+        |         ON c.centroid_id = u.centroid_id AND c.pos = u.pos),
+        |op AS (SELECT centroid_id, count(*) AS n_post FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY sum((e.qx - c.cx) * (e.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev e JOIN cn c ON e.pos = c.pos
+        |  GROUP BY e.vec_id, c.centroid_id) WHERE rnk = 1 GROUP BY centroid_id),
+        |occ AS (
+        |  SELECT i.centroid_id,
+        |    COALESCE(ob.n_base, 0) AS n_base,
+        |    COALESCE(od.n_delta, 0) AS n_delta,
+        |    COALESCE(op.n_post, 0) AS n_post
+        |  FROM (SELECT DISTINCT centroid_id FROM cb) i
+        |  LEFT JOIN ob ON i.centroid_id = ob.centroid_id
+        |  LEFT JOIN od ON i.centroid_id = od.centroid_id
+        |  LEFT JOIN op ON i.centroid_id = op.centroid_id),
+        |sh AS (
+        |  SELECT centroid_id, n_base, n_delta, n_post,
+        |    n_base * 1000000 // CAST(sum(n_base) OVER () AS BIGINT) AS base_ppm,
+        |    n_delta * 1000000 // CAST(sum(n_delta) OVER () AS BIGINT) AS delta_ppm
+        |  FROM occ)
+        |SELECT centroid_id, n_base, n_delta, base_ppm, delta_ppm,
+        |  abs(delta_ppm - base_ppm) AS drift_ppm,
+        |  CAST(max(abs(delta_ppm - base_ppm)) OVER () AS BIGINT) > 20000 AS retrain,
+        |  n_post
+        |FROM sh ORDER BY centroid_id""".stripMargin,
 
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p

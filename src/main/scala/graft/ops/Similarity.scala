@@ -1184,4 +1184,118 @@ object Similarity {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("bucket"))
   }
+
+  /** IVF index maintenance: the decision procedure a deployed IVF
+    * index runs when new data arrives — train on the BASE half of the
+    * corpus, census how the DELTA half lands in those buckets, and
+    * trigger a re-train when any bucket's occupancy share drifts past
+    * `driftThresholdPpm` (the batch twin of the live occupancy feed in
+    * [[graft.streaming.StreamIvf]]; IvfMaintenanceSpec asserts the
+    * streaming census reproduces the batch one bit-for-bit and reaches
+    * the same trigger decision).
+    *
+    * One report row per centroid: base/delta occupancy, each side's
+    * share in ppm (integer division — engine-exact), the absolute
+    * drift, the global trigger flag, and the post-maintenance occupancy
+    * `n_post` — the full corpus re-assigned to the centroids one Lloyd
+    * update (seeded from the stale ones) produces, i.e. what the index
+    * looks like AFTER the maintenance the trigger demands. All
+    * arithmetic is the integer-quantized algebra of [[kmeansQuantized]]
+    * so every row is oracle-checkable.
+    *
+    * Scale shape: every assignment is corpus ⋈ broadcast(k·d centroid
+    * cells) + a map-side-combinable sum — the corpus never shuffles by
+    * cluster; the drift census and share windows run on k rows; driver
+    * state is one scalar (the vec_id split point). Three linear corpus
+    * passes (base train, delta census, full re-train+census), each
+    * embarrassingly parallel — the same cost profile at 100 TB. */
+  /** Integer nearest-centroid assignment over long-format quantized
+    * vectors (vec_id, pos, qx) x centroids (centroid_id, pos, cx):
+    * broadcast join + map-side-combinable distance sum + per-vector
+    * top-1, lowest-id tiebreak — the shared kernel of every IVF op. */
+  private def ivfAssignQuantized(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(broadcast(cents), "pos")
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("dist2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("centroid_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+
+  /** One integer-exact Lloyd round: assign, average each cluster's
+    * members (re-quantized to BIGINT), keep the previous centroid for
+    * empty clusters so ids stay stable. */
+  private def ivfLloydUpdate(corpus: DataFrame, cents: DataFrame): DataFrame =
+    cents.join(
+      ivfAssignQuantized(corpus, cents)
+        .join(corpus, "vec_id")
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(expr("CAST(round(avg(qx)) AS BIGINT)").as("ux")),
+      Seq("centroid_id", "pos"), "left")
+      .select(col("centroid_id"), col("pos"),
+        coalesce(col("ux"), col("cx")).as("cx"))
+
+  /** The stale-index ingredients of [[ivfMaintenance]]: the base/delta
+    * split point, the quantized long-format corpus, and the centroids
+    * trained on the base half (first-k seeds + one Lloyd round).
+    * Exposed so IvfMaintenanceSpec can feed the SAME centroids to
+    * [[graft.streaming.StreamIvf]] and assert the live occupancy census
+    * reproduces the batch one. */
+  def ivfStaleParts(spark: SparkSession, dir: String,
+      k: Int = 8): (Long, DataFrame, DataFrame) = {
+    val raw = Tables.embeddings(spark, dir)
+    // bounded driver state: one scalar, the base/delta split point
+    val half = (raw.agg(max(col("vec_id"))).head().getLong(0) + 1L) / 2L
+    val ev = raw
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("vec_id"), (col("p0") + 1).as("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("qx"))
+      .localCheckpoint() // feeds train, both censuses, and the re-train
+    val base = ev.filter(col("vec_id") < half)
+    val seeds = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("pos"), col("qx").as("cx"))
+    (half, ev, ivfLloydUpdate(base, seeds).localCheckpoint()) // read 4x
+  }
+
+  def ivfMaintenance(spark: SparkSession, dir: String, k: Int = 8,
+      driftThresholdPpm: Long = 20000L): DataFrame = {
+    val (half, ev, cBase) = ivfStaleParts(spark, dir, k)
+    val base = ev.filter(col("vec_id") < half)
+    def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
+      ivfAssignQuantized(corpus, cents)
+    def lloydUpdate(corpus: DataFrame, cents: DataFrame): DataFrame =
+      ivfLloydUpdate(corpus, cents)
+    val occBase = assign(base, cBase)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_base"))
+    val occDelta = assign(ev.filter(col("vec_id") >= half), cBase)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_delta"))
+    // maintenance: one Lloyd update over the FULL corpus from the stale
+    // centroids, then the post-maintenance occupancy census
+    val occPost = assign(ev, lloydUpdate(ev, cBase))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_post"))
+    val wAll = Window.partitionBy() // k rows — bounded, not a data window
+    cBase.select(col("centroid_id")).distinct()
+      .join(occBase, Seq("centroid_id"), "left")
+      .join(occDelta, Seq("centroid_id"), "left")
+      .join(occPost, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"))
+      .withColumn("tot_base", sum(col("n_base")).over(wAll))
+      .withColumn("tot_delta", sum(col("n_delta")).over(wAll))
+      // integer ppm shares (div, not float divide: a double quotient
+      // that rounds up across an integer boundary would diverge from
+      // the oracle's BIGINT floor division)
+      .withColumn("base_ppm", expr("n_base * 1000000 div tot_base"))
+      .withColumn("delta_ppm", expr("n_delta * 1000000 div tot_delta"))
+      .withColumn("drift_ppm", abs(col("delta_ppm") - col("base_ppm")))
+      .withColumn("retrain",
+        max(col("drift_ppm")).over(wAll) > lit(driftThresholdPpm))
+      .select(col("centroid_id"), col("n_base"), col("n_delta"),
+        col("base_ppm"), col("delta_ppm"), col("drift_ppm"),
+        col("retrain"), col("n_post"))
+      .orderBy(col("centroid_id"))
+  }
 }

@@ -37,11 +37,16 @@ object StreamIvf {
     array_min(scored).getField("centroid_id")
   }
 
-  /** Running per-bucket counts over a (vec_id, embedding) stream. */
-  def bucketCounts(input: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+  /** Running per-bucket counts over a (vec_id, embedding) stream.
+    * `quant` must match the centroids' quantization scale — pass 1000L
+    * to census against [[graft.ops.Similarity.ivfMaintenance]]'s
+    * integer centroids (IvfMaintenanceSpec asserts bit-equality with
+    * the batch delta census and the same re-train decision). */
+  def bucketCounts(input: DataFrame, cents: Seq[(Long, Seq[Long])],
+      quant: Long = 100000L): DataFrame =
     input
       .select(transform(col("embedding"),
-        e => round(e.cast("double") * 100000).cast("long")).as("q"))
+        e => round(e.cast("double") * quant).cast("long")).as("q"))
       .select(assignExpr(col("q"), cents).as("centroid_id"))
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
 }
