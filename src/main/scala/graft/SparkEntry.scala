@@ -103,6 +103,9 @@ object SparkEntry {
     "q_dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q_winnow" -> ((s, d) => Dedup.winnowSummary(s, d)),
     "q_contamination" -> ((s, d) => Dedup.contamination(s, d)),
+    // round 9: span-level decontamination (exact longest shared span
+    // between each train doc and the broadcast benchmark set)
+    "q_decontam_spans" -> ((s, d) => Dedup.decontamSpans(s, d)),
     // Dedup.containmentPairsPrefix computes the identical result with a
     // subset-side prefix bound (asserted in DedupSpec) — the web-corpus
     // hub-skew path, like jaccardPairsPrefix; on this hub-free synthetic
@@ -2241,6 +2244,56 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 3
         |ORDER BY train_doc, bench_doc""".stripMargin,
+
+    // span-level decontamination (mirrors Dedup.decontamSpans): spans
+    // >= 8 via seed-8-gram pairs + LCP extension over the original
+    // arrays; spans < 8 via per-width bench gram membership. Final
+    // spans CAST to BIGINT to match Spark's long.
+    "q_decontam_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dd AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |bench AS (SELECT * FROM dd WHERE doc_id < 100),
+        |train AS (SELECT * FROM dd WHERE doc_id >= 100),
+        |bseed AS (
+        |  SELECT array_to_string(t[pb:pb+7], ' ') AS g, pb, t AS tb, n AS nb
+        |  FROM bench CROSS JOIN LATERAL unnest(range(1, n - 6)) AS s(pb)),
+        |tseed AS (
+        |  SELECT doc_id, t, n, pa, array_to_string(t[pa:pa+7], ' ') AS g
+        |  FROM train CROSS JOIN LATERAL unnest(range(1, n - 6)) AS s(pa)),
+        |pr AS (
+        |  SELECT ts.doc_id,
+        |    least(ts.n - ts.pa, bs.nb - bs.pb) + 1 AS m,
+        |    list_position(list_transform(
+        |      range(0, least(ts.n - ts.pa, bs.nb - bs.pb) + 1),
+        |      j -> ts.t[ts.pa + j] = bs.tb[bs.pb + j]), false) AS p
+        |  FROM tseed ts JOIN bseed bs ON ts.g = bs.g),
+        |long8 AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN p IS NULL OR p = 0 THEN m ELSE p - 1 END) AS long_span
+        |  FROM pr GROUP BY doc_id),
+        |bsmall AS (
+        |  SELECT DISTINCT l, array_to_string(t[pb:pb+l-1], ' ') AS g
+        |  FROM bench
+        |  CROSS JOIN LATERAL unnest(range(1, n + 1)) AS s(pb)
+        |  CROSS JOIN LATERAL unnest([1,2,3,4,5,6,7]) AS w(l)
+        |  WHERE pb + l - 1 <= n),
+        |small AS (
+        |  SELECT tr.doc_id, max(w.l) AS small_span
+        |  FROM train tr
+        |  CROSS JOIN LATERAL unnest(range(1, tr.n + 1)) AS s(pa)
+        |  CROSS JOIN LATERAL unnest([1,2,3,4,5,6,7]) AS w(l)
+        |  JOIN bsmall bs ON bs.l = w.l
+        |    AND bs.g = array_to_string(tr.t[pa:pa+w.l-1], ' ')
+        |  WHERE pa + w.l - 1 <= tr.n
+        |  GROUP BY tr.doc_id)
+        |SELECT tr.doc_id, CAST(tr.n AS BIGINT) AS n_tokens,
+        |  CAST(greatest(coalesce(l8.long_span, 0),
+        |                coalesce(sm.small_span, 0)) AS BIGINT)
+        |    AS max_contam_span
+        |FROM train tr
+        |LEFT JOIN long8 l8 USING (doc_id)
+        |LEFT JOIN small sm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_zorder" -> {
       val interleave = (0 until 8).map { k =>

@@ -502,6 +502,102 @@ object Dedup {
       .orderBy(col("train_doc"), col("bench_doc"))
   }
 
+  /** Span-level decontamination: for EVERY training document, the
+    * exact length of its longest token span that also appears verbatim
+    * anywhere in the benchmark set (doc_id < `benchMax`) — the
+    * contamination-severity signal behind Lee et al. 2022's
+    * substring-dedup cut, where [[contamination]] only answers the
+    * Boolean "shares ≥ k n-grams". A 30-token verbatim GSM8K answer and
+    * three coincidental 5-grams both trip the Boolean; only the span
+    * length separates them.
+    *
+    * Two exact sub-searches, both corpus-shuffle-free:
+    *
+    *  1. spans ≥ `seed` (8): any such span starts at a train/bench
+    *     position pair sharing an 8-gram, so seed-gram equality join +
+    *     in-row LCP extension over the ORIGINAL token arrays (offset
+    *     lambda — no suffix slices materialize anywhere) and a per-doc
+    *     max is exact. The benchmark's seed grams and its raw docs are
+    *     both broadcast (benchmarks are intrinsically small — the same
+    *     contract as [[contamination]] and StreamContamination), so the
+    *     train side is one streaming pass: explode → broadcast-probe →
+    *     LCP → map-side-combined max. Pair volume is Σ_g cntTrain(g) ·
+    *     cntBench(g) ≤ |bench positions| · max-gram-frequency — linear
+    *     in the corpus for a bounded benchmark.
+    *  2. spans < `seed`: per L in 1..7, train L-grams semi-joined with
+    *     the broadcast distinct bench L-grams; max matching L per doc.
+    *     One explode of positions × 7 widths, constant per-row work.
+    *
+    * Returns every train doc: (doc_id, n_tokens, max_contam_span),
+    * 0 = provably clean at token granularity. */
+  def decontamSpans(spark: SparkSession, dir: String, benchMax: Long = 100L,
+      seed: Int = 8): DataFrame = {
+    val docs = spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val bench = docs.filter(col("doc_id") < benchMax)
+    val train = docs.filter(col("doc_id") >= benchMax)
+    def gramAt(t: Column, i: Column, l: Column): Column =
+      concat_ws(" ", slice(t, i, l))
+    // --- spans >= seed: seed-gram pairs + in-row LCP extension --------
+    val benchSeeds = bench
+      .select(col("doc_id").as("bench_doc"), col("t"), col("n"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("bench_doc"), col("t"), col("n"), (col("p0") + 1).as("pb"))
+      .filter(col("pb") + seed - 1 <= col("n"))
+      .select(gramAt(col("t"), col("pb"), lit(seed)).as("g"),
+        col("bench_doc"), col("pb"))
+    val benchDocs = bench
+      .select(col("doc_id").as("bench_doc"), col("t").as("tb"),
+        col("n").as("nb"))
+    val trainSeeds = train
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("t"), col("n"), (col("p0") + 1).as("pa"))
+      .filter(col("pa") + seed - 1 <= col("n"))
+      .withColumn("g", gramAt(col("t"), col("pa"), lit(seed)))
+    // LCP over the original arrays by offset: never slices a suffix
+    val m = (least(col("n") - col("pa"), col("nb") - col("pb")) + 1)
+      .cast("long")
+    val eqs = transform(sequence(lit(0L), m - 1), j =>
+      element_at(col("t"), (col("pa") + j).cast("int")) ===
+        element_at(col("tb"), (col("pb") + j).cast("int")))
+    val p = array_position(eqs, false)
+    val long8 = trainSeeds
+      .join(broadcast(benchSeeds), Seq("g"))
+      .join(broadcast(benchDocs), Seq("bench_doc"))
+      .select(col("doc_id"),
+        when(p === 0, m).otherwise(p - 1).as("span"))
+      .groupBy(col("doc_id")).agg(max(col("span")).as("long_span"))
+    // --- spans < seed: per-width bench gram membership -----------------
+    val widths = (1 until seed).map(_.toLong)
+    val benchSmall = bench
+      .select(posexplode(col("t")).as(Seq("p0", "tok")),
+        col("t"), col("n"))
+      .select((col("p0") + 1).as("pb"), col("t"), col("n"),
+        explode(array(widths.map(lit): _*)).as("l"))
+      .filter(col("pb") + col("l") - 1 <= col("n"))
+      .select(col("l"), gramAt(col("t"), col("pb"), col("l")).as("g"))
+      .distinct()
+    val small = train
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("t"), col("n"), (col("p0") + 1).as("pa"),
+        explode(array(widths.map(lit): _*)).as("l"))
+      .filter(col("pa") + col("l") - 1 <= col("n"))
+      .select(col("doc_id"), col("l"),
+        gramAt(col("t"), col("pa"), col("l")).as("g"))
+      .join(broadcast(benchSmall), Seq("l", "g"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("l")).as("small_span"))
+    train.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(long8, Seq("doc_id"), "left")
+      .join(small, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(coalesce(col("long_span"), lit(0L)),
+          coalesce(col("small_span"), lit(0L))).as("max_contam_span"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 16-bit SimHash over the document's distinct tokens. Bit p is set
     * when, summing +1/−1 per token according to the p-th hex nibble's
     * high bit of `md5(token)`, the total is positive. Identical-fingerprint
