@@ -535,11 +535,23 @@ object Dedup {
     val docs = spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
-    val bench = docs.filter(col("doc_id") < benchMax)
-    val train = docs.filter(col("doc_id") >= benchMax)
-    def gramAt(t: Column, i: Column, l: Column): Column =
-      concat_ws(" ", slice(t, i, l))
-    // --- spans >= seed: seed-gram pairs + in-row LCP extension --------
+    decontamSpansOf(
+      docs.filter(col("doc_id") >= benchMax),
+      docs.filter(col("doc_id") < benchMax), seed)
+  }
+
+  private def gramAt(t: Column, i: Column, l: Column): Column =
+    concat_ws(" ", slice(t, i, l))
+
+  /** The spans-≥-seed half of [[decontamSpans]]: per train doc, the max
+    * shared span found by seed-gram pairing + in-row LCP extension.
+    * Stateless up to ONE per-doc max aggregation, so `train` may be a
+    * STREAMING DataFrame (the live contamination monitor — a running
+    * per-doc severity that tightens as batches arrive; StreamDecontam-
+    * Spec pins the streamed census to this batch output). Returns
+    * (doc_id, long_span). */
+  def decontamLongSpans(train: DataFrame, bench: DataFrame,
+      seed: Int = 8): DataFrame = {
     val benchSeeds = bench
       .select(col("doc_id").as("bench_doc"), col("t"), col("n"),
         posexplode(col("t")).as(Seq("p0", "tok")))
@@ -563,12 +575,18 @@ object Dedup {
       element_at(col("t"), (col("pa") + j).cast("int")) ===
         element_at(col("tb"), (col("pb") + j).cast("int")))
     val p = array_position(eqs, false)
-    val long8 = trainSeeds
+    trainSeeds
       .join(broadcast(benchSeeds), Seq("g"))
       .join(broadcast(benchDocs), Seq("bench_doc"))
       .select(col("doc_id"),
         when(p === 0, m).otherwise(p - 1).as("span"))
       .groupBy(col("doc_id")).agg(max(col("span")).as("long_span"))
+  }
+
+  /** [[decontamSpans]] over explicit `(doc_id, t, n)` frames. */
+  def decontamSpansOf(train: DataFrame, bench: DataFrame,
+      seed: Int = 8): DataFrame = {
+    val long8 = decontamLongSpans(train, bench, seed)
     // --- spans < seed: per-width bench gram membership -----------------
     val widths = (1 until seed).map(_.toLong)
     val benchSmall = bench
