@@ -68,7 +68,15 @@ object Bench {
           return -1.0
         }
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // noop sink, not count(): under count() the optimizer prunes
+        // every column — pure projections collapse to a metadata scan,
+        // and unique-key LEFT JOINs are eliminated outright (measured:
+        // q_decontam_spans "ran" sf100 in 0.8 s because its entire
+        // span search was join-eliminated). The noop writer consumes
+        // every row and column of the ACTUAL result, which is what a
+        // user pays. Round-9 records onward use this action.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
           if (!errors.contains(name)) { errors += name
             // exactly ONE stderr line per failure: analysis errors carry
             // multi-line messages (plan fragments) that would eat the

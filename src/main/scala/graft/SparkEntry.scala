@@ -293,6 +293,7 @@ object SparkEntry {
     "q_skipgram" -> ((s, d) => graft.ops.Graph.skipgramPairs(s, d)),
     "q_ivf_kmeans" -> ((s, d) => Similarity.kmeansQuantized(s, d)),
     "q_ivf_maintenance" -> ((s, d) => Similarity.ivfMaintenance(s, d)),
+    "q_ivf_retrain_gain" -> ((s, d) => Similarity.ivfRetrainGain(s, d)),
     "q_skyline" -> (Analytics.skyline _),
     "q_mode" -> (Analytics.modePerUser _),
     "q_mad" -> (Analytics.madPerType _),
@@ -4021,6 +4022,97 @@ object SparkEntry {
         |  CAST(max(abs(delta_ppm - base_ppm)) OVER () AS BIGINT) > 20000 AS retrain,
         |  n_post
         |FROM sh ORDER BY centroid_id""".stripMargin,
+
+    // Recall@10 of 2-probe IVF search under stale vs retrained
+    // centroids for 8 delta queries; exact integer-L2 ground truth.
+    "q_ivf_retrain_gain" ->
+      """WITH ev AS (
+        |  SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |hk AS (SELECT (max(vec_id) + 1) // 2 AS half FROM embeddings),
+        |base AS (SELECT ev.* FROM ev, hk WHERE ev.vec_id < hk.half),
+        |seeds AS (SELECT vec_id AS centroid_id, pos, qx AS cx
+        |          FROM base WHERE vec_id < 8),
+        |a0 AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT b.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY sum((b.qx - c.cx) * (b.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM base b JOIN seeds c ON b.pos = c.pos
+        |  GROUP BY b.vec_id, c.centroid_id) WHERE rnk = 1),
+        |u0 AS (SELECT a.centroid_id, b.pos, CAST(round(avg(b.qx)) AS BIGINT) AS ux
+        |       FROM a0 a JOIN base b ON a.vec_id = b.vec_id
+        |       GROUP BY a.centroid_id, b.pos),
+        |cb AS (SELECT c.centroid_id, c.pos, COALESCE(u.ux, c.cx) AS cx
+        |       FROM seeds c LEFT JOIN u0 u
+        |         ON c.centroid_id = u.centroid_id AND c.pos = u.pos),
+        |af AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY sum((e.qx - c.cx) * (e.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev e JOIN cb c ON e.pos = c.pos
+        |  GROUP BY e.vec_id, c.centroid_id) WHERE rnk = 1),
+        |uf AS (SELECT a.centroid_id, e.pos, CAST(round(avg(e.qx)) AS BIGINT) AS ux
+        |       FROM af a JOIN ev e ON a.vec_id = e.vec_id
+        |       GROUP BY a.centroid_id, e.pos),
+        |cn AS (SELECT c.centroid_id, c.pos, COALESCE(u.ux, c.cx) AS cx
+        |       FROM cb c LEFT JOIN uf u
+        |         ON c.centroid_id = u.centroid_id AND c.pos = u.pos),
+        |q AS (SELECT vec_id AS qid, pos, qx AS qqx FROM ev, hk
+        |      WHERE vec_id >= half AND vec_id < half + 8),
+        |pd AS (SELECT q.qid, e.vec_id,
+        |         CAST(sum((e.qx - q.qqx) * (e.qx - q.qqx)) AS BIGINT) AS d2
+        |       FROM ev e JOIN q ON e.pos = q.pos WHERE e.vec_id <> q.qid
+        |       GROUP BY q.qid, e.vec_id),
+        |gt AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+        |  FROM pd) WHERE rnk <= 10),
+        |acb AS (SELECT vec_id, centroid_id FROM af),
+        |acn AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY sum((e.qx - c.cx) * (e.qx - c.cx)), c.centroid_id) AS rnk
+        |  FROM ev e JOIN cn c ON e.pos = c.pos
+        |  GROUP BY e.vec_id, c.centroid_id) WHERE rnk = 1),
+        |qpb AS (SELECT qid, centroid_id FROM (
+        |  SELECT q.qid, c.centroid_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY sum((q.qqx - c.cx) * (q.qqx - c.cx)), c.centroid_id) AS rnk
+        |  FROM q JOIN cb c ON q.pos = c.pos
+        |  GROUP BY q.qid, c.centroid_id) WHERE rnk <= 2),
+        |qpn AS (SELECT qid, centroid_id FROM (
+        |  SELECT q.qid, c.centroid_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY sum((q.qqx - c.cx) * (q.qqx - c.cx)), c.centroid_id) AS rnk
+        |  FROM q JOIN cn c ON q.pos = c.pos
+        |  GROUP BY q.qid, c.centroid_id) WHERE rnk <= 2),
+        |topb AS (SELECT qid, vec_id FROM (
+        |  SELECT pd.qid, pd.vec_id,
+        |    row_number() OVER (PARTITION BY pd.qid ORDER BY pd.d2, pd.vec_id) AS rnk
+        |  FROM pd JOIN acb a ON pd.vec_id = a.vec_id
+        |  JOIN qpb p ON pd.qid = p.qid AND a.centroid_id = p.centroid_id)
+        |  WHERE rnk <= 10),
+        |topn AS (SELECT qid, vec_id FROM (
+        |  SELECT pd.qid, pd.vec_id,
+        |    row_number() OVER (PARTITION BY pd.qid ORDER BY pd.d2, pd.vec_id) AS rnk
+        |  FROM pd JOIN acn a ON pd.vec_id = a.vec_id
+        |  JOIN qpn p ON pd.qid = p.qid AND a.centroid_id = p.centroid_id)
+        |  WHERE rnk <= 10),
+        |hb AS (SELECT t.qid, count(*) AS hits_stale FROM topb t
+        |       JOIN gt ON t.qid = gt.qid AND t.vec_id = gt.vec_id
+        |       GROUP BY t.qid),
+        |hn AS (SELECT t.qid, count(*) AS hits_retrained FROM topn t
+        |       JOIN gt ON t.qid = gt.qid AND t.vec_id = gt.vec_id
+        |       GROUP BY t.qid)
+        |SELECT qs.qid AS vec_id,
+        |  coalesce(hb.hits_stale, 0) AS hits_stale,
+        |  coalesce(hn.hits_retrained, 0) AS hits_retrained
+        |FROM (SELECT DISTINCT qid FROM q) qs
+        |LEFT JOIN hb ON qs.qid = hb.qid
+        |LEFT JOIN hn ON qs.qid = hn.qid
+        |ORDER BY vec_id""".stripMargin,
 
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p

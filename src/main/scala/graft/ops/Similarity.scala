@@ -1258,6 +1258,64 @@ object Similarity {
     (half, ev, ivfLloydUpdate(base, seeds).localCheckpoint()) // read 4x
   }
 
+  /** What the [[ivfMaintenance]] re-train actually buys: recall@k of
+    * nprobe-bucket IVF search under the STALE centroids (trained on the
+    * base half only) vs the RETRAINED ones (one full-corpus Lloyd
+    * update), for a fixed panel of `nq` queries drawn from the DELTA —
+    * the data the stale index never saw. Ground truth is the exact
+    * integer-L2 top-k over the whole corpus; hits are integer set
+    * intersections, so every row is oracle-checkable.
+    *
+    * Scale shape: the pair-distance table is nq·n rows (nq constant —
+    * one linear pass, broadcast query cells); per-query top-k goes
+    * through the partial [[graft.plans.TopKPerKey]] operator, so no
+    * task ever sorts a corpus-sized group; each probe census is a
+    * corpus ⋈ broadcast(k·d centroids) pass. Returns one row per query:
+    * (vec_id, hits_stale, hits_retrained) out of k. */
+  def ivfRetrainGain(spark: SparkSession, dir: String, k: Int = 10,
+      nq: Int = 8, nprobe: Int = 2): DataFrame = {
+    val (half, ev, cBase) = ivfStaleParts(spark, dir)
+    val cNew = ivfLloydUpdate(ev, cBase).localCheckpoint()
+    val queries = ev
+      .filter(col("vec_id") >= half && col("vec_id") < half + nq)
+      .select(col("vec_id").as("qid"), col("pos"), col("qx").as("qqx"))
+    // exact integer pair distances (qid, vec_id, d2) — reused by the
+    // ground truth AND both probe scorings
+    val pairD = ev.join(broadcast(queries), Seq("pos"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum((col("qx") - col("qqx")) * (col("qx") - col("qqx"))).as("d2"))
+      .localCheckpoint()
+    val gt = graft.plans.Graft.topKPerKey(pairD, Seq("qid"),
+      Seq(("d2", false), ("vec_id", false)), k)
+      .select(col("qid"), col("vec_id"))
+    def hitsUnder(cents: DataFrame, name: String): DataFrame = {
+      val assigned = ivfAssignQuantized(ev, cents)
+      val qprobe = queries.join(broadcast(cents), "pos")
+        .groupBy(col("qid"), col("centroid_id"))
+        .agg(sum((col("qqx") - col("cx")) * (col("qqx") - col("cx")))
+          .as("qd2"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("qd2"), col("centroid_id"))))
+        .filter(col("rnk") <= nprobe)
+        .select(col("qid"), col("centroid_id"))
+      val cand = pairD.join(assigned, Seq("vec_id"))
+        .join(broadcast(qprobe), Seq("qid", "centroid_id"), "left_semi")
+      graft.plans.Graft.topKPerKey(cand, Seq("qid"),
+        Seq(("d2", false), ("vec_id", false)), k)
+        .join(gt, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(name))
+    }
+    queries.select(col("qid")).distinct()
+      .join(hitsUnder(cBase, "hits_stale"), Seq("qid"), "left")
+      .join(hitsUnder(cNew, "hits_retrained"), Seq("qid"), "left")
+      .select(col("qid").as("vec_id"),
+        coalesce(col("hits_stale"), lit(0L)).as("hits_stale"),
+        coalesce(col("hits_retrained"), lit(0L)).as("hits_retrained"))
+      .orderBy(col("vec_id"))
+  }
+
   def ivfMaintenance(spark: SparkSession, dir: String, k: Int = 8,
       driftThresholdPpm: Long = 20000L): DataFrame = {
     val (half, ev, cBase) = ivfStaleParts(spark, dir, k)

@@ -47,6 +47,20 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(never.forall(!_._7), "threshold at the max drift must not trigger")
   }
 
+  test("retrain-gain recall: probing all buckets is exact, fewer is monotone") {
+    val p2 = Similarity.ivfRetrainGain(spark, sf, nprobe = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val p8 = Similarity.ivfRetrainGain(spark, sf, nprobe = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(p8.forall(r => r._2 == 10L && r._3 == 10L),
+      "nprobe = nlist probes every bucket: IVF must equal brute force")
+    // candidates(2 probes) ⊆ candidates(8 probes) and ground-truth
+    // members always outrank non-members, so recall is monotone
+    p2.zip(p8).foreach { case ((id, s2, n2), (_, s8, n8)) =>
+      assert(s2 <= s8 && n2 <= n8, s"query $id recall not monotone in nprobe")
+    }
+  }
+
   test("streaming occupancy over the delta feed reproduces the batch census") {
     val (half, _, cBaseDf) = Similarity.ivfStaleParts(spark, sf)
     // k·d bounded: the same closure-sized state StreamIvf broadcasts
