@@ -106,6 +106,7 @@ object SparkEntry {
     // round 9: span-level decontamination (exact longest shared span
     // between each train doc and the broadcast benchmark set)
     "q_decontam_spans" -> ((s, d) => Dedup.decontamSpans(s, d)),
+    "q_decontam_scrub" -> ((s, d) => Dedup.decontamScrub(s, d)),
     // Dedup.containmentPairsPrefix computes the identical result with a
     // subset-side prefix bound (asserted in DedupSpec) — the web-corpus
     // hub-skew path, like jaccardPairsPrefix; on this hub-free synthetic
@@ -2294,6 +2295,48 @@ object SparkEntry {
         |FROM train tr
         |LEFT JOIN long8 l8 USING (doc_id)
         |LEFT JOIN small sm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // excision form (mirrors Dedup.decontamScrub): union of per-seed
+    // intervals [pa, pa+span-1] is exactly the contaminated token set;
+    // rebuild keeps tokens outside it, in order.
+    "q_decontam_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dd AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |bench AS (SELECT * FROM dd WHERE doc_id < 100),
+        |train AS (SELECT * FROM dd WHERE doc_id >= 100),
+        |bseed AS (
+        |  SELECT array_to_string(t[pb:pb+7], ' ') AS g, pb, t AS tb, n AS nb
+        |  FROM bench CROSS JOIN LATERAL unnest(range(1, n - 6)) AS s(pb)),
+        |tseed AS (
+        |  SELECT doc_id, t, n, pa, array_to_string(t[pa:pa+7], ' ') AS g
+        |  FROM train CROSS JOIN LATERAL unnest(range(1, n - 6)) AS s(pa)),
+        |pr AS (
+        |  SELECT ts.doc_id, ts.pa,
+        |    least(ts.n - ts.pa, bs.nb - bs.pb) + 1 AS m,
+        |    list_position(list_transform(
+        |      range(0, least(ts.n - ts.pa, bs.nb - bs.pb) + 1),
+        |      j -> ts.t[ts.pa + j] = bs.tb[bs.pb + j]), false) AS p
+        |  FROM tseed ts JOIN bseed bs ON ts.g = bs.g),
+        |sp AS (
+        |  SELECT doc_id, pa,
+        |    max(CASE WHEN p IS NULL OR p = 0 THEN m ELSE p - 1 END) AS l
+        |  FROM pr GROUP BY doc_id, pa),
+        |iv AS (SELECT doc_id, pa, pa + l - 1 AS e FROM sp WHERE l >= 8),
+        |rm AS (SELECT DISTINCT doc_id, j
+        |       FROM iv CROSS JOIN LATERAL unnest(generate_series(pa, e)) AS s(j)),
+        |keep AS (
+        |  SELECT tr.doc_id, s.j, tr.t[s.j] AS tok
+        |  FROM train tr CROSS JOIN LATERAL unnest(generate_series(1, tr.n)) AS s(j)
+        |  WHERE NOT EXISTS (SELECT 1 FROM rm
+        |                    WHERE rm.doc_id = tr.doc_id AND rm.j = s.j)),
+        |ag AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY j) AS clean_text
+        |       FROM keep GROUP BY doc_id)
+        |SELECT tr.doc_id, CAST(tr.n AS BIGINT) AS n_tokens,
+        |  CAST(tr.n - coalesce(ag.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ag.clean_text, '') AS clean_text
+        |FROM train tr LEFT JOIN ag USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_zorder" -> {
@@ -5531,9 +5574,11 @@ object SparkEntry {
     "q_realized_vol" ->
       """WITH r AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, value,
-        |    CAST(round((ln(value) - ln(lag(value) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id))) * 1e6)
-        |      AS BIGINT) AS r_u
+        |    CASE WHEN value > 0 AND lag(value) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) > 0
+        |      THEN CAST(round((ln(value) - ln(lag(value) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id))) * 1e6)
+        |        AS BIGINT) END AS r_u
         |  FROM events),
         |g AS (
         |  SELECT user_id, day,
@@ -5545,9 +5590,9 @@ object SparkEntry {
         |  CAST(round(CAST(rv_units AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS rv_q6,
         |  CAST(round(sqrt(CAST(rv_units AS DOUBLE) / 1e12) * 1e6) AS BIGINT)
         |    AS vol_q6,
-        |  CAST(round(sqrt(
+        |  CASE WHEN low > 0 THEN CAST(round(sqrt(
         |    CAST(CAST(round(ln(high / low) * 1e6) AS BIGINT) AS DOUBLE) ** 2
-        |    / 1e12 / 2.772588722239781) * 1e6) AS BIGINT) AS park_q6
+        |    / 1e12 / 2.772588722239781) * 1e6) AS BIGINT) END AS park_q6
         |FROM g
         |ORDER BY user_id, day""".stripMargin,
 

@@ -551,7 +551,15 @@ object Dedup {
     * Spec pins the streamed census to this batch output). Returns
     * (doc_id, long_span). */
   def decontamLongSpans(train: DataFrame, bench: DataFrame,
-      seed: Int = 8): DataFrame = {
+      seed: Int = 8): DataFrame =
+    decontamPairs(train, bench, seed)
+      .groupBy(col("doc_id")).agg(max(col("span")).as("long_span"))
+
+  /** The shared pair stream of the ≥-seed search: one row per seeded
+    * (train position, bench position) match, reduced to the span it
+    * certifies — (doc_id, pa, span). */
+  private def decontamPairs(train: DataFrame, bench: DataFrame,
+      seed: Int): DataFrame = {
     val benchSeeds = bench
       .select(col("doc_id").as("bench_doc"), col("t"), col("n"),
         posexplode(col("t")).as(Seq("p0", "tok")))
@@ -586,9 +594,55 @@ object Dedup {
     trainSeeds
       .join(broadcast(benchSeeds), Seq("g"))
       .join(broadcast(benchDocs), Seq("bench_doc"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pa").cast("long").as("pa"),
         when(p === 0, m).otherwise(p - 1).as("span"))
-      .groupBy(col("doc_id")).agg(max(col("span")).as("long_span"))
+  }
+
+  /** Contaminated intervals, one row per seeding position: (doc_id,
+    * pa, e) — tokens pa..e of the train doc appear verbatim in the
+    * benchmark. The union of these intervals is EXACTLY the token set
+    * inside some shared span ≥ seed (every such span seeds at each of
+    * its start positions). */
+  def decontamIntervals(train: DataFrame, bench: DataFrame,
+      seed: Int = 8): DataFrame =
+    decontamPairs(train, bench, seed)
+      .groupBy(col("doc_id"), col("pa"))
+      .agg(max(col("span")).as("l"))
+      .filter(col("l") >= seed)
+      .select(col("doc_id"), col("pa"), (col("pa") + col("l") - 1).as("e"))
+
+  /** Span-level decontamination EXCISION — the rewrite form of
+    * [[decontamSpans]] (what q_span_scrub is to q_dup_spans): every
+    * train token covered by a shared-with-benchmark span ≥ `seed` is
+    * cut; emits the cleaned text plus exact removal accounting. The
+    * interval set is [[decontamIntervals]] (bounded by the CONTAMINATED
+    * mass, not the corpus); the rebuild is an in-row filter after one
+    * per-doc interval collect, so clean docs pass through untouched —
+    * the only corpus-scale exchange is the (doc, position) interval
+    * aggregate. */
+  def decontamScrub(spark: SparkSession, dir: String, benchMax: Long = 100L,
+      seed: Int = 8): DataFrame = {
+    val docs = spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val bench = docs.filter(col("doc_id") < benchMax)
+    val train = docs.filter(col("doc_id") >= benchMax)
+    val ivs = decontamIntervals(train, bench, seed)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pa"), col("e"))).as("ivs"))
+    val toks = transform(sequence(lit(1L), col("n").cast("long")),
+      j => struct(j.as("j"), element_at(col("t"), j.cast("int")).as("tok")))
+    val kept = filter(toks, s =>
+      !exists(col("ivs"), iv =>
+        s("j") >= iv("pa") && s("j") <= iv("e")))
+    train.join(ivs, Seq("doc_id"), "left")
+      .withColumn("ivs", coalesce(col("ivs"),
+        array().cast("array<struct<pa:bigint,e:bigint>>")))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        (col("n").cast("long") - size(kept)).as("n_removed"),
+        array_join(transform(kept, s => s("tok")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
   }
 
   /** [[decontamSpans]] over explicit `(doc_id, t, n)` frames. */

@@ -1590,28 +1590,36 @@ object TextAnalysis {
     * repeated back-to-back (loops/boilerplate). All in-row column
     * algebra — zero shuffle, one projection pass. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val n = size(toks)
     // longest run of equal adjacent tokens, as a prefix-scan fold:
-    // state (best, cur) advances per position; cur resets on change
-    val runs = aggregate(
+    // state (best, cur) advances per position; cur resets on change.
+    // Both folds run over MATERIALIZED array columns: higher-order
+    // functions are CodegenFallback, so an expression referenced inside
+    // the lambda re-evaluates per ELEMENT — with `split`/`array_sort`
+    // inline that made the fold O(n²) per doc (12.7 s at sf0.1 once the
+    // noop bench stopped pruning this projection; 1 s materialized).
+    def maxRun(arr: Column, n: Column): Column = aggregate(
       sequence(lit(2), n),
       struct(lit(1).as("best"), lit(1).as("cur")),
       (st, i) => {
-        val cur = when(element_at(toks, i) === element_at(toks, i - 1),
+        val cur = when(element_at(arr, i) === element_at(arr, i - 1),
           st.getField("cur") + 1).otherwise(lit(1))
         struct(greatest(st.getField("best"), cur).as("best"), cur.as("cur"))
       },
       st => st.getField("best"))
-    val topShare = aggregate(
-      transform(array_distinct(toks),
-        t => size(filter(toks, x => x === t))),
-      lit(0), (acc, c) => greatest(acc, c))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      // max token multiplicity = longest equal-run in the SORTED array:
+      // O(n log n) instead of the distinct × filter O(n²) scan
+      .withColumn("srt", array_sort(col("tk")))
       .select(col("doc_id"),
-        round(size(array_distinct(toks)).cast("double") / n, 6).as("ttr"),
-        round(topShare.cast("double") / n, 6).as("top_token_share"),
-        when(n >= 2, runs).otherwise(lit(1)).as("max_run"))
+        round(size(array_distinct(col("tk"))).cast("double") / col("n"), 6)
+          .as("ttr"),
+        round(when(col("n") >= 2, maxRun(col("srt"), col("n")))
+          .otherwise(lit(1)).cast("double") / col("n"), 6)
+          .as("top_token_share"),
+        when(col("n") >= 2, maxRun(col("tk"), col("n")))
+          .otherwise(lit(1)).as("max_run"))
       .orderBy(col("doc_id"))
   }
 

@@ -266,8 +266,12 @@ object Temporal {
     val fourLn2 = 2.772588722239781 // 4*ln(2), pinned so libm can't drift
     Tables.events(spark, dir)
       .withColumn("prev", lag(col("value"), 1).over(w))
+      // non-positive ticks have no log-return: explicit guard (Spark's
+      // log already nulls them, but the oracle's ln(0) is -inf — the
+      // guard keeps both engines on the same NULL)
       .withColumn("r_u",
-        round((log(col("value")) - log(col("prev"))) * 1e6).cast("long"))
+        when(col("value") > 0 && col("prev") > 0,
+          round((log(col("value")) - log(col("prev"))) * 1e6).cast("long")))
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(
         count(col("r_u")).as("n_returns"),
@@ -282,9 +286,14 @@ object Temporal {
           .as("rv_q6"),
         round(sqrt(col("rv_units").cast("double") / 1e12) * 1e6).cast("long")
           .as("vol_q6"),
-        round(sqrt(
-          pow(round(log(col("high") / col("low")) * 1e6).cast("long")
-            .cast("double"), 2) / 1e12 / fourLn2) * 1e6).cast("long")
+        // Parkinson vol is undefined on a day whose low touches zero
+        // (ANSI high/low would throw; the oracle's ln(inf) would too —
+        // found when the noop bench first evaluated this column at
+        // sf0.1): NULL, mirrored in the oracle
+        when(col("low") > 0,
+          round(sqrt(
+            pow(round(log(col("high") / col("low")) * 1e6).cast("long")
+              .cast("double"), 2) / 1e12 / fourLn2) * 1e6).cast("long"))
           .as("park_q6"))
       .orderBy(col("user_id"), col("day"))
   }
