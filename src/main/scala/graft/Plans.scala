@@ -86,7 +86,11 @@ object Plans {
     "q_pca_topk", "q_quantile_sketch", "q_cdc_chunks", "q_cdc_dedup",
     // round 9: version-tagged single-pass incremental CDC census;
     // multi-probe compensation for capped LSH buckets
-    "q_cdc_incremental", "q_knn_compensated")
+    "q_cdc_incremental", "q_knn_compensated",
+    // round 9 cont.: broadcast-centroid IVF maintenance + recall gain,
+    // vocab-prefiltered benchmark span search and its excision form
+    "q_ivf_maintenance", "q_ivf_retrain_gain",
+    "q_decontam_spans", "q_decontam_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
