@@ -75,17 +75,23 @@ object Bench {
         // span search was join-eliminated). The noop writer consumes
         // every row and column of the ACTUAL result, which is what a
         // user pays. Round-9 records onward use this action.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          if (!errors.contains(name)) { errors += name
-            // exactly ONE stderr line per failure: analysis errors carry
-            // multi-line messages (plan fragments) that would eat the
-            // driver's 2000-char tail capture and push the JSON line out
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .linesIterator.mkString(" | ").take(300)
-            System.err.println(s"[bench] $name failed: $msg") }
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a failed query must read as -1 in the JSON, like the
+        // stopped-context path — the elapsed time of a PARTIAL plan
+        // (the noop sink fails mid-materialization) is not a timing
+        // and must never be mistakable for a fast run
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!errors.contains(name)) { errors += name
+              // exactly ONE stderr line per failure: analysis errors carry
+              // multi-line messages (plan fragments) that would eat the
+              // driver's 2000-char tail capture and push the JSON line out
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.mkString(" | ").take(300)
+              System.err.println(s"[bench] $name failed: $msg") }
+            false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // blocking: an async unpersist lets the NEXT run (or the min-of-2
         // repeat) race the release of this run's pinned blocks — at sf10
         // that race is a JVM-killing OOM (q_pagerank's repeat died with

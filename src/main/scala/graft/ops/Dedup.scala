@@ -630,8 +630,14 @@ object Dedup {
     val ivs = decontamIntervals(train, bench, seed)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("pa"), col("e"))).as("ivs"))
-    val toks = transform(sequence(lit(1L), col("n").cast("long")),
-      j => struct(j.as("j"), element_at(col("t"), j.cast("int")).as("tok")))
+    // n >= 1 guard: sequence(1, 0) infers step -1 and yields [1, 0] —
+    // an empty token array would grow two phantom null tokens and a
+    // negative n_removed. Unreachable on split-of-non-null text (never
+    // empty), but the rebuild must not depend on that upstream detail.
+    val toks = when(col("n") >= 1,
+      transform(sequence(lit(1L), col("n").cast("long")),
+        j => struct(j.as("j"), element_at(col("t"), j.cast("int")).as("tok"))))
+      .otherwise(array().cast("array<struct<j:bigint,tok:string>>"))
     val kept = filter(toks, s =>
       !exists(col("ivs"), iv =>
         s("j") >= iv("pa") && s("j") <= iv("e")))

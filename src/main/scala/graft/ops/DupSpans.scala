@@ -110,16 +110,18 @@ object DupSpans {
     // materializes, the previous round's positions block is dead weight
     // in the block manager — free it (the FINAL round's block survives:
     // the adjacency step below still reads it)
-    val sc = docsRaw.sparkSession.sparkContext
-    var liveIds: scala.collection.Set[Int] = Set.empty[Int]
+    // blocks are tracked DIRECTLY (the checkpointed frame's LogicalRDD),
+    // never by set-diffing sc.getPersistentRDDs: on a shared context a
+    // registry diff would claim any RDD another thread persisted in the
+    // window and later evict someone else's cache — and an unpersisted
+    // localCheckpoint block is unrecoverable
+    var liveRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     def trackedRank(df: DataFrame, keys: Seq[String],
         round: Int): (DataFrame, RoundStats) = {
-      val before = sc.getPersistentRDDs.keySet
       val res = rankRound(df, keys, round)
-      val created = sc.getPersistentRDDs.keySet -- before
-      liveIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      liveIds = created
+      val created = checkpointRdds(res._1)
+      liveRdds.foreach(_.unpersist(blocking = false))
+      liveRdds = created
       res
     }
     var (pos, st) = trackedRank(seeded,
@@ -202,15 +204,13 @@ object DupSpans {
   private def rankRound(df: DataFrame, keyCols: Seq[String],
       round: Int): (DataFrame, RoundStats) = {
     val spark = df.sparkSession
-    val sc = spark.sparkContext
     val keyed = df.withColumn("__k", struct(keyCols.map(col): _*))
     // materialized BEFORE the range sort: orderBy's partitioner runs a
     // sampling job over its child, which would otherwise re-execute the
     // whole window+groupBy lineage a second time per round
-    val before = sc.getPersistentRDDs.keySet
     val grouped = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
       .localCheckpoint()
-    val scratch = sc.getPersistentRDDs.keySet -- before
+    val scratch = checkpointRdds(grouped)
     val outSchema = StructType(
       grouped.schema.fields :+ StructField("__r", LongType, nullable = false))
     val ranked = spark.createDataFrame(
@@ -231,10 +231,17 @@ object DupSpans {
     val maxTied = Option(obs.get("maxtied"))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     // the distinct-key block is dead once `next` is materialized
-    scratch.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    scratch.foreach(_.unpersist(blocking = false))
     (next.drop("__cnt"), RoundStats(noTies, maxTied))
   }
+
+  /** The persisted RDDs backing a localCheckpoint()ed frame — read off
+    * the frame's own LogicalRDD leaves, so unpersisting them can never
+    * touch blocks some other query on the shared context owns. */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 
   /** Token-LCP of two suffix arrays, in-row: zip the length-aligned
     * slices, find the first mismatch position. O(min len) per pair,
