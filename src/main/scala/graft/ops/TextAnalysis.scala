@@ -123,21 +123,48 @@ object TextAnalysis {
   /** Per-document text feature table. Ratio features are gated as
     * 1e-6-quantized BIGINTs (_q6): the raw ratios are dyadic-prone
     * (length clamps, power-of-two denominators), so a 6dp DOUBLE gate
-    * sat on exact half-way ties — the q_pack_bins failure class. */
-  def docFeatures(spark: SparkSession, dir: String): DataFrame =
+    * sat on exact half-way ties — the q_pack_bins failure class.
+    *
+    * All nine feature columns derive from ONE fused byte scan
+    * ([[graft.functions.TextStats]]) — the unfused spelling re-scanned
+    * `text` nine times (five split() array materializations, two regex
+    * passes, an O(len²) rolling-hash HOF) and cost 529 s at sf100.
+    * The double chains below are the SAME IEEE operations as the
+    * column-algebra forms (TextPipelineSpec pins field parity), only
+    * their integer inputs now come from the struct. */
+  def docFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val st = col("st")
+    val nTok = st.getField("n_tokens")
+    val nCh = st.getField("n_chars")
+    val stopRatio = st.getField("n_stop").cast("double") / nTok
+    val pRatio = st.getField("n_punct").cast("double") / nCh
+    val lenScore = least(nCh.cast("double") / 200.0, lit(1.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    val punctPenalty = least(pRatio * 10.0, lit(1.0))
+    val en = st.getField("s_en"); val es = st.getField("s_es")
+    val fr = st.getField("s_fr"); val de = st.getField("s_de")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        subtokenCount(col("text")).as("n_subtokens"),
-        round(avgWordLen(col("text")) * 1e6).cast("long").as("avg_word_len_q6"),
-        round(stopwordRatio(col("text")) * 1e6).cast("long")
-          .as("stopword_ratio_q6"),
-        round(punctRatio(col("text")) * 1e6).cast("long").as("punct_ratio_q6"),
-        round(qualityScore(col("text")) * 1e6).cast("long").as("quality_q6"),
-        langId(col("text")).as("lang_pred"),
+        graft.functions.TextStats(spark, col("text")).as("st"),
+        col("text"))
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        st.getField("n_subtokens").as("n_subtokens"),
+        round((nCh - (nTok - 1)).cast("double") / nTok * 1e6)
+          .cast("long").as("avg_word_len_q6"),
+        round(stopRatio * 1e6).cast("long").as("stopword_ratio_q6"),
+        round(pRatio * 1e6).cast("long").as("punct_ratio_q6"),
+        round((lenScore * 0.5 + stopScore * 0.3 +
+          (lit(1.0) - punctPenalty) * 0.2) * 1e6).cast("long").as("quality_q6"),
+        when(en >= es && en >= fr && en >= de && en > 0, "en")
+          .when(es >= fr && es >= de && es > 0, "es")
+          .when(fr >= de && fr > 0, "fr")
+          .when(de > 0, "de")
+          .otherwise("unknown").as("lang_pred"),
         fingerprintBucket(col("text")).as("fp_bucket"),
-        rollingHash(col("text")).as("rhash"))
+        st.getField("rhash").as("rhash"))
       .orderBy(col("doc_id"))
+  }
 
   /** Linear quality-classifier inference pass — the fasttext-style
     * model-scoring stage of a data pipeline, as pure column algebra: a
@@ -154,17 +181,22 @@ object TextAnalysis {
     * projection over the scan, exactly how a 100 TB scoring pass runs;
     * real model weights would arrive broadcast the same way. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val n = tokenCount(t).cast("long")
-    val s = size(filter(tokens(t), tk => tk.isin(stopwords: _*))).cast("long")
-    val nc = length(t).cast("long")
-    val p = (nc - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long")
+    // the four integer features ride the same fused scan as docFeatures
+    // (one byte pass instead of a TokCount + split-filter + regex pass);
+    // two-projection spelling so the non-cheap scan is never inlined
+    // per consumer by CollapseProject
+    val n = col("st").getField("n_tokens").cast("long")
+    val s = col("st").getField("n_stop").cast("long")
+    val nc = col("st").getField("n_chars").cast("long")
+    val p = col("st").getField("n_punct").cast("long")
     // L = 1000·n·nc · logit, with logit =
     //     -1 + 4·(s/n) + 0.3·((nc-n+1)/n) - 8·(p/nc) + 0.002·n
     val L = lit(-1000L) * n * nc + lit(4000L) * s * nc +
       lit(300L) * (nc - n + lit(1L)) * nc - lit(8000L) * p * n +
       lit(2L) * n * n * nc
     Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextStats(spark, col("text")).as("st"))
       .select(col("doc_id"),
         // gated as the 1e-6-quantized BIGINT: the logit is an exact
         // rational L/D whose 6dp roundings sit on genuine half-way

@@ -211,6 +211,55 @@ class FunctionsSpec extends SparkSpec {
     assert(probe.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("text_stats: every field bit-identical to its column-algebra form") {
+    import graft.ops.TextAnalysis
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    // adversarial fixtures: empty, space runs, trailing/leading spaces,
+    // marker words at doc edges, accented twins (2-byte letters), an
+    // astral-plane codepoint, digits/punct runs, 3-byte CJK
+    val edge = Seq("", " ", "a", "the", "et", "a b", "a  b", " the", "und ",
+      "the quick brown fox, jumps over... the lazy dog!?",
+      "thé qüick brown föx, jümps övér thé lazy dög!?",
+      "el la los le les et der die und the a and of to in",
+      "1,2.3!x?y;z: 42 a1b2 33", "日本 語 テスト 😀 ok",
+      "words; and: more. punct!").toDF("t")
+    val corpus = Tables.documents(spark, sf).select($"text".as("t"))
+    def markers(t: org.apache.spark.sql.Column, ws: Seq[String]) =
+      size(filter(split(t, " "), x => x.isin(ws: _*)))
+    Seq(edge, corpus).foreach { df =>
+      val cmp = df
+        .select($"t", graft.functions.TextStats(spark, $"t").as("st"))
+        .select(
+          ($"st.n_tokens" === size(split($"t", " "))).as("c1"),
+          ($"st.n_subtokens" ===
+            regexp_count($"t", lit("\\p{L}+|[0-9]|[^\\p{L}0-9 ]"))).as("c2"),
+          ($"st.n_chars" === length($"t")).as("c3"),
+          ($"st.n_stop" === markers($"t", stop)).as("c4"),
+          ($"st.n_punct" ===
+            (length($"t") - length(regexp_replace($"t", "[.,!?;:]", "")))).as("c5"),
+          ($"st.s_en" === markers($"t", Seq("the", "a", "and"))).as("c6"),
+          ($"st.s_es" === markers($"t", Seq("el", "la", "los"))).as("c7"),
+          ($"st.s_fr" === markers($"t", Seq("le", "les", "et"))).as("c8"),
+          ($"st.s_de" === markers($"t", Seq("der", "die", "und"))).as("c9"),
+          ($"st.rhash" === TextAnalysis.rollingHash($"t")).as("c10"))
+      val bad = cmp.filter((1 to 10).map(i => !col(s"c$i")).reduce(_ || _))
+      assert(bad.count() === 0)
+    }
+    // null propagates to a null struct
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(graft.functions.TextStats(spark, $"t")).head().isNullAt(0))
+    // the fused scan appears exactly ONCE in the docFeatures plan (the
+    // point of the two-projection spelling: CollapseProject must not
+    // inline the non-cheap producer into its nine consumers)
+    val feats = TextAnalysis.docFeatures(spark, sf)
+    feats.collect()
+    // AQE's toString prints the final AND initial plans — count within
+    // the final one only
+    val plan = feats.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.sliding("text_stats".length).count(_ == "text_stats") === 1)
+  }
+
   test("cov_accum UDAF via plain SQL: packed sums match hand arithmetic") {
     graft.functions.CovAccum.register(spark, 2)
     Seq((Seq(1L, 2L)), (Seq(3L, 5L)), (Seq(-2L, 4L)))
