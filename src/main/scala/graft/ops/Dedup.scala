@@ -327,8 +327,14 @@ object Dedup {
     * twice. */
   def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cand = lshCandidates(spark, dir).select(col("id_a"), col("id_b"), col("n_bands"))
-    val sig = minhashSignatures(docs).localCheckpoint() // one build, two probes
+    // ONE signature build feeds candidates AND both estimate probes —
+    // the lshCandidates(spark, dir) spelling rebuilt the whole
+    // shingle+signature pipeline a second time (the r9 bench's #1 cost
+    // inside this query at sf10)
+    val sig = minhashSignatures(docs).localCheckpoint()
+    val cand = lshCandidatesOf(sig)
+      .select(col("id_a"), col("id_b"), col("n_bands"))
+      .localCheckpoint() // two consumers (estimate join + exact verify)
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_a" else c + "_a"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_b" else c + "_b"): _*)
     val nMatch = (0 until MinhashK).map(k =>
@@ -338,12 +344,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_bands"), col("n_match"),
         round(col("n_match").cast("double") / MinhashK, 6).as("mh_est"))
     val exact = verifyPairs(cand.select(col("id_a"), col("id_b")),
-      shinglesWithCard(docs), tau = 0.0)
+      candidateShingles(docs, cand), tau = 0.0)
     withEst.join(exact, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("n_bands"), col("n_match"),
         col("mh_est"), col("jac"),
         round(abs(col("mh_est") - col("jac")), 6).as("err"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The (doc_id, c, s) shingle stream pruned to documents that appear
+    * in some candidate pair — exact verification never needs the rest
+    * of the corpus. The semi-join shuffles on doc_id, the SAME key the
+    * cardinality window needs, so the prune costs no extra exchange;
+    * `c` is a per-doc count, unchanged by dropping other docs. */
+  private def candidateShingles(docs: DataFrame, cand: DataFrame): DataFrame = {
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id")))
+      .distinct()
+    withCard(shingles(docs).join(ids, Seq("doc_id"), "leftsemi"))
   }
 
   /** Dedup threshold sweep — the q_pr_curve analog for near-dup dedup:
@@ -356,9 +374,9 @@ object Dedup {
     * corpus-scale work is not repeated per threshold. */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = verifyPairs(
-      lshCandidates(spark, dir).select(col("id_a"), col("id_b")),
-      shinglesWithCard(docs), tau = 0.0)
+    val cand = lshCandidates(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint() // two consumers (verify join + shingle prune)
+    val pairs = verifyPairs(cand, candidateShingles(docs, cand), tau = 0.0)
       .localCheckpoint() // one verification pass, ten thresholds
     val spine = spark.range(0, 10)
       .select((lit(0.5) + col("id") * 0.05).as("tau"))
@@ -394,8 +412,13 @@ object Dedup {
   /** LSH candidate pairs: docs sharing at least one of the `Bands` band
     * hashes (md5 of the concatenated band rows). Output is distinct
     * (id_a < id_b) pairs with the count of agreeing bands. */
-  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(Tables.documents(spark, dir))
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatesOf(minhashSignatures(Tables.documents(spark, dir)))
+
+  /** [[lshCandidates]] over an existing signature frame — callers that
+    * also probe signatures (q_minhash_acc) pass one checkpointed build
+    * instead of paying the shingle+signature pipeline twice. */
+  def lshCandidatesOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { bnd =>
       val rows = (0 until RowsPerBand).map(r => col(s"h${bnd * RowsPerBand + r}"))
       md5(concat_ws("|", rows: _*)).as(s"b$bnd")
