@@ -37,6 +37,17 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = args(2).toInt
+    // --hub=P: make P of all documents (uniform across replicas) share
+    // one fixed boilerplate sentence — the synthetic twin of crawl
+    // boilerplate (cookie banners, nav chrome, legal footers). The
+    // harness corpus is deliberately hub-free, which makes every
+    // Σf²-shaped all-pairs join look linear; a hubbed fixture is the
+    // corpus shape PPJoin's prefix filter exists for (its hub shingles
+    // have frequency P·N, so the naive shingle self-join grows (P·N)²
+    // per hub gram while rarest-first prefixes never touch them).
+    val hubFrac = args.drop(3).find(_.startsWith("--hub="))
+      .map(_.drop("--hub=".length).toDouble).getOrElse(0.0)
+    require(hubFrac >= 0.0 && hubFrac < 1.0, s"--hub=$hubFrac out of [0,1)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,12 +102,25 @@ object ScaleUp {
     // ts stays raw int64 nanos (read via nanosAsLong) — Tables.events
     // converts on read, eventsBetween prunes on the raw long
     write(replicate("events", Seq("event_id", "user_id"))(), "events")
+    // 16 words -> 14 three-gram hub shingles, constant across replicas
+    // (prepended AFTER the replica word-suffixing: real boilerplate is
+    // the same bytes on every page regardless of which crawl slice the
+    // page came from)
+    val boiler = "this site uses cookies to improve your experience " +
+      "please accept our terms of service and policy"
     write(replicate("documents", Seq("doc_id")) { d =>
-      d.withColumn("text",
-          when(col("rep_i") === 0, col("text"))
-            .otherwise(array_join(transform(split(col("text"), " "),
-              w => concat(w, lit("_r"), col("rep_i").cast("string"))), " ")))
-        .withColumn("n_chars", length(col("text")))
+      val suffixed = d.withColumn("text",
+        when(col("rep_i") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("_r"), col("rep_i").cast("string"))), " ")))
+      val hubbed =
+        if (hubFrac == 0.0) suffixed
+        else suffixed.withColumn("text",
+          when(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+              lit((hubFrac * 1000000L).toLong),
+            concat(lit(boiler), lit(" "), col("text")))
+            .otherwise(col("text")))
+      hubbed.withColumn("n_chars", length(col("text")))
     }, "documents")
     write(replicate("embeddings", Seq("vec_id")) { d =>
       d.withColumn("embedding",

@@ -262,16 +262,21 @@ object Dedup {
     * stages cost more than they save, so the naive form stays the bench
     * default; on a web-scale corpus the selectivity inverts that. */
   def jaccardPairsPrefix(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
-    // materialized ONCE: three consumers (frequency agg, prefix join,
-    // verification) would otherwise each re-run the gram pipeline; at
-    // cluster scale use checkpoint() for the same cut, fault-tolerantly
-    // DISK_ONLY, not localCheckpoint: the materialized shingle stream is
-    // ~130 rows/doc (26 GB at the sf100 rung), and localCheckpoint's
-    // MEMORY_AND_DISK blocks created it THROUGH the heap — measured as a
-    // GCLocker allocation storm that shut the context down. Disk-backed
-    // reuse costs a read-back per consumer and nothing else.
-    val sh = shinglesWithCard(Tables.documents(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // STAGED to parquet, one phase per materialization, because one
+    // mega-plan re-spills the shingle stream per consumer: the round-9
+    // sf100 attempt died at ~430 s with "No space left on device" when
+    // the persisted stream (DISK_ONLY serialized rows), the freq join,
+    // the per-doc rank window, the candidate DISTINCT and the verify
+    // sorts all held spill simultaneously. Writing each phase's output
+    // as compressed columnar parquet and reading it back caps peak disk
+    // at (shingle parquet) + (one phase's own shuffle spill) — each
+    // phase's scratch is freed before the next runs. On a cluster the
+    // same staging is checkpoint()/exchange-reuse; the parquet spelling
+    // is also restart-friendly (phases are idempotent overwrites).
+    val scratch = stageDir(spark, s"ppjoin_${dir.hashCode.toHexString}_$tau")
+    shinglesWithCard(Tables.documents(spark, dir))
+      .write.mode("overwrite").parquet(s"$scratch/sh")
+    val sh = spark.read.parquet(s"$scratch/sh")
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
     // ceil over double arithmetic can round tau*c to just ABOVE an exact
@@ -282,11 +287,13 @@ object Dedup {
     // far below 1/maxCard before ceil can only loosen the bound (more
     // candidates, same exact-verified output).
     def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
-    val prefix = sh.hint("merge").join(freq, "s")
+    sh.hint("merge").join(freq, "s")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
       .select(col("doc_id"), col("c"), col("s"))
-    val cand = prefix.hint("merge").as("a")
+      .write.mode("overwrite").parquet(s"$scratch/prefix")
+    val prefix = spark.read.parquet(s"$scratch/prefix")
+    prefix.hint("merge").as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // size filter: J >= tau forces tau*|A| <= |B| and tau*|B| <= |A|
@@ -294,8 +301,36 @@ object Dedup {
           col("a.c") >= ceilSafe(lit(tau) * col("b.c")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyPairs(cand.hint("merge"), sh, tau)
+      .write.mode("overwrite").parquet(s"$scratch/cand")
+    val cand = spark.read.parquet(s"$scratch/cand")
+    // verification only needs shingles of docs that appear in some
+    // candidate pair (dup-rate bounded); `c` is per-doc, unchanged by
+    // the semi-join prune
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    verifyPairs(cand.hint("merge"),
+      sh.join(ids, Seq("doc_id"), "leftsemi"), tau)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-(operator, input) scratch dir for phase staging — deterministic
+    * path + overwrite-mode writes so repeated runs (bench min-of-2)
+    * reuse the slot instead of accumulating; recursively deleted on JVM
+    * exit (deleteOnExit alone cannot remove a populated dir). */
+  private val stagedSlots = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def stageDir(spark: SparkSession, slot: String): String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_stage_$slot")
+    d.mkdirs()
+    if (stagedSlots.putIfAbsent(d.getAbsolutePath, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(d)
+      }))
+    d.getAbsolutePath
   }
 
   /** Exact Jaccard over candidate pairs: join each side's full shingle

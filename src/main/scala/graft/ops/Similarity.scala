@@ -208,62 +208,17 @@ object Similarity {
   def knnPlanes(n: Long, target: Int = KnnBucketTarget): Int =
     (1 to 32).find(p => (1L << p) * target >= n).getOrElse(32)
 
+  /** Mutual-kNN graph with the bucket cap AND automatic multi-probe
+    * compensation: a node whose own bucket saturates (|b| > cap) also
+    * probes the Hamming-1 flip buckets — the recall remedy is wired in
+    * by default, not a separate gate (round-10; the `when(bsz > cap)`
+    * guard makes it a no-op on uncapped corpora, so healthy corpora pay
+    * one extra bucket-size aggregate and nothing else — output
+    * byte-identical, asserted in SimilaritySpec). */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
-      truncate: Boolean = true): DataFrame = {
-    // eager=false: lineage still truncates at first execution, but
-    // CONSTRUCTION stays analysis-only (plan dumps and analysis-only
-    // spec loops must not run two corpus-scale jobs as a side effect)
-    def cp(df: DataFrame): DataFrame =
-      if (truncate) df.localCheckpoint(eager = false) else df
-    val base = vecs(spark, dir).filter(size(col("v")) > 0)
-      .repartition(spark.sparkContext.defaultParallelism)
-    // one cheap count pass derives the plane count; the 32-bit signature
-    // is cropped per row to that length (same nibble per plane as the
-    // fixed-count signature, so outputs at the n where the rule gives 8
-    // planes are bit-identical to the old gate)
-    val tot = base.agg(count(lit(1)).as("n_tot"))
-    val sv = cp(base
-      .crossJoin(broadcast(tot))
-      .withColumn("sig32", hyperplaneSignature(col("v"), 32))
-      .withColumn("sig", expr(
-        s"""substring(sig32, 1, coalesce(array_min(filter(sequence(1, 32),
-           |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)), 32))"""
-          .stripMargin))
-      .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
-    ) // one signature pass feeds both join sides
-    val rhs = sv.select(col("sig"), col("vec_id").as("b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-      // deterministic per-bucket truncation (see KnnBucketCap): every
-      // node still probes min(|bucket|, C) representatives
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("sig")).orderBy(col("b"))))
-      .filter(col("rk") <= KnnBucketCap).drop("rk")
-    val cand = sv.join(rhs, Seq("sig")).filter(col("vec_id") =!= col("b"))
-      .withColumn("cos", round(
-        cosinePrenormed(col("v"), col("vb"), col("nrm"), col("nb")), 6))
-      .select(col("vec_id").as("a"), col("b"), col("cos"))
-    val nCand = cand.groupBy(col("a")).agg(count(lit(1)).as("n_cand"))
-    val knn = cp(graft.plans.Graft.topKPerKey(cand, Seq("a"),
-      Seq(("cos", true), ("b", false)), k))
-    val mutual = knn.join(
-      knn.select(col("a").as("b2"), col("b").as("a2")),
-      col("a") === col("a2") && col("b") === col("b2"), "left_semi")
-    val deg = knn.groupBy(col("a")).agg(count(lit(1)).as("knn_deg"),
-        max(struct(col("cos"), (-col("b")).as("nb"))).as("m"))
-      .select(col("a"), col("knn_deg"),
-        (-col("m.nb")).as("nn_top"), col("m.cos").as("nn_top_cos"))
-    val mdeg = mutual.groupBy(col("a")).agg(count(lit(1)).as("mutual_deg"))
-    sv.select(col("vec_id"))
-      .join(nCand, col("vec_id") === nCand("a"), "left").drop("a")
-      .join(deg, col("vec_id") === deg("a"), "left").drop("a")
-      .join(mdeg, col("vec_id") === mdeg("a"), "left").drop("a")
-      .select(col("vec_id"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("knn_deg"), lit(0L)).as("knn_deg"),
-        coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
-        col("nn_top"), col("nn_top_cos"))
-      .orderBy(col("vec_id"))
-  }
+      truncate: Boolean = true): DataFrame =
+    knnGraphCore(spark, dir, k, KnnBucketCap, includeProbes = false,
+      compensate = true, truncate = truncate)
 
   /** Multi-probe-compensated kNN graph, gated as q_knn_compensated: the
     * [[knnGraph]] pipeline with the recall remedy for exactly the rows
@@ -287,28 +242,50 @@ object Similarity {
     * 256) so the saturated path actually executes at gate scale; the
     * oracle replays the flip set and the cap bit-for-bit. */
   def knnGraphCompensated(spark: SparkSession, dir: String, k: Int = 5,
-      cap: Int = 8): DataFrame = {
+      cap: Int = 8): DataFrame =
+    knnGraphCore(spark, dir, k, cap, includeProbes = true,
+      compensate = true, truncate = true)
+
+  /** Shared pipeline behind [[knnGraph]] and [[knnGraphCompensated]].
+    * `compensate = false` exists ONLY so SimilaritySpec can build the
+    * uncompensated twin for its recall A/B — production callers always
+    * compensate (the guard is a per-node no-op on healthy buckets). */
+  private[graft] def knnGraphCore(spark: SparkSession, dir: String, k: Int,
+      cap: Int, includeProbes: Boolean, compensate: Boolean,
+      truncate: Boolean): DataFrame = {
+    // eager=false: lineage still truncates at first execution, but
+    // CONSTRUCTION stays analysis-only (plan dumps and analysis-only
+    // spec loops must not run two corpus-scale jobs as a side effect)
+    def cp(df: DataFrame): DataFrame =
+      if (truncate) df.localCheckpoint(eager = false) else df
     val base = vecs(spark, dir).filter(size(col("v")) > 0)
       .repartition(spark.sparkContext.defaultParallelism)
+    // one cheap count pass derives the plane count; the 32-bit signature
+    // is cropped per row to that length (same nibble per plane as the
+    // fixed-count signature, so outputs at the n where the rule gives 8
+    // planes are bit-identical to the old gate)
     val tot = base.agg(count(lit(1)).as("n_tot"))
-    val sv = base.crossJoin(broadcast(tot))
+    val sv = cp(base
+      .crossJoin(broadcast(tot))
       .withColumn("sig32", hyperplaneSignature(col("v"), 32))
       .withColumn("sig", expr(
         s"""substring(sig32, 1, coalesce(array_min(filter(sequence(1, 32),
            |  p -> shiftleft(1L, p) * $KnnBucketTarget >= n_tot)), 32))"""
           .stripMargin))
       .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
-      .localCheckpoint(eager = false) // buckets, probes, rhs all read it
+    ) // one signature pass feeds buckets, probes, and the rhs
     val bsz = sv.groupBy(col("sig")).agg(count(lit(1)).as("bsz"))
     val rhs = sv.select(col("sig"), col("vec_id").as("b"),
         col("v").as("vb"), col("nrm").as("nb"))
+      // deterministic per-bucket truncation (see KnnBucketCap): every
+      // node still probes min(|bucket|, C) representatives
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("sig")).orderBy(col("b"))))
       .filter(col("rk") <= cap).drop("rk")
     // own bucket always; the planes single-bit flips only when saturated
     val probes = sv.join(bsz, "sig")
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(when(col("bsz") > cap,
+        explode(when(lit(compensate) && col("bsz") > cap,
           concat(array(col("sig")), expr(
             """transform(sequence(1, length(sig)), p -> concat(
               |  substring(sig, 1, p - 1),
@@ -322,10 +299,9 @@ object Similarity {
       .withColumn("cos", round(
         cosinePrenormed(col("v"), col("vb"), col("nrm"), col("nb")), 6))
       .select(col("vec_id").as("a"), col("b"), col("cos"))
-    val np = probes.groupBy(col("vec_id")).agg(count(lit(1)).as("n_probes"))
     val nCand = cand.groupBy(col("a")).agg(count(lit(1)).as("n_cand"))
-    val knn = graft.plans.Graft.topKPerKey(cand, Seq("a"),
-      Seq(("cos", true), ("b", false)), k).localCheckpoint(eager = false)
+    val knn = cp(graft.plans.Graft.topKPerKey(cand, Seq("a"),
+      Seq(("cos", true), ("b", false)), k))
     val mutual = knn.join(
       knn.select(col("a").as("b2"), col("b").as("a2")),
       col("a") === col("a2") && col("b") === col("b2"), "left_semi")
@@ -334,18 +310,22 @@ object Similarity {
       .select(col("a"), col("knn_deg"),
         (-col("m.nb")).as("nn_top"), col("m.cos").as("nn_top_cos"))
     val mdeg = mutual.groupBy(col("a")).agg(count(lit(1)).as("mutual_deg"))
-    sv.select(col("vec_id"))
-      .join(np, Seq("vec_id"), "left")
+    val base0 = sv.select(col("vec_id"))
+    val out = (if (includeProbes)
+        base0.join(probes.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_probes")), Seq("vec_id"), "left")
+      else base0)
       .join(nCand, col("vec_id") === nCand("a"), "left").drop("a")
       .join(deg, col("vec_id") === deg("a"), "left").drop("a")
       .join(mdeg, col("vec_id") === mdeg("a"), "left").drop("a")
-      .select(col("vec_id"),
-        coalesce(col("n_probes"), lit(0L)).as("n_probes"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+    val cols = Seq(col("vec_id")) ++
+      (if (includeProbes)
+        Seq(coalesce(col("n_probes"), lit(0L)).as("n_probes")) else Nil) ++
+      Seq(coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("knn_deg"), lit(0L)).as("knn_deg"),
         coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
         col("nn_top"), col("nn_top_cos"))
-      .orderBy(col("vec_id"))
+    out.select(cols: _*).orderBy(col("vec_id"))
   }
 
   /** Plane-count recall ladder, gated as q_plane_sweep: for each

@@ -370,6 +370,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rows2.exists(_._2 === 1L), "no healthy bucket at cap=30")
   }
 
+  test("knnGraph auto-compensation: no-op on healthy corpora, recall >= plain on capped") {
+    // 1) at the production cap nothing saturates at spec scale, so the
+    // default (compensating) graph must be byte-identical to the
+    // uncompensated twin — the wiring costs healthy corpora nothing
+    val comp256 = Similarity.knnGraph(spark, sf, k = 5).collect().toSeq
+    val plain256 = Similarity.knnGraphCore(spark, sf, k = 5,
+      cap = Similarity.KnnBucketCap, includeProbes = false,
+      compensate = false, truncate = true).collect().toSeq
+    assert(comp256 === plain256)
+    // 2) at a saturating cap the compensated graph dominates the plain
+    // capped graph: strictly more candidates overall, and per node the
+    // best-neighbor cosine can only improve (superset of candidates)
+    val cap = 8
+    def byId(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(4)).map(_ => r.getDouble(5)))).toMap
+    val comp = byId(Similarity.knnGraphCore(spark, sf, k = 5, cap = cap,
+      includeProbes = false, compensate = true, truncate = true).collect().toSeq)
+    val plain = byId(Similarity.knnGraphCore(spark, sf, k = 5, cap = cap,
+      includeProbes = false, compensate = false, truncate = true).collect().toSeq)
+    assert(comp.keySet === plain.keySet)
+    comp.keySet.foreach { id =>
+      assert(comp(id)._1 >= plain(id)._1, s"$id: compensated n_cand shrank")
+      (comp(id)._2, plain(id)._2) match {
+        case (Some(c), Some(p)) =>
+          assert(c >= p, s"$id: compensated nn_top_cos worse than plain")
+        case (None, Some(_)) => fail(s"$id: compensation lost the neighbor")
+        case _ => ()
+      }
+    }
+    assert(comp.values.map(_._1).sum > plain.values.map(_._1).sum,
+      "cap=8 saturates this corpus; compensation must add candidates")
+  }
+
   test("jlProject: norm-preserving in expectation, signs non-degenerate") {
     val proj = Similarity.jlProject(spark, sf, k = 8)
       .as[(Long, Long, Double)].collect().groupBy(_._1)
