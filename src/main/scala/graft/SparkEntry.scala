@@ -358,6 +358,9 @@ object SparkEntry {
     "q_ticker_agg" -> (graft.sources.TickerQueries.aggCensus _),
     // the transformWithState fold in batch mode over the same feed
     "q_state_v2" -> (graft.streaming.StateV2.tickerPartials _),
+    // round 10: MV generation machinery hash-gated vs a DuckDB replay
+    // (the q_state_v2 pattern applied to the StreamingMV family)
+    "q_mv_replay" -> (graft.streaming.StreamingMV.replayGate _),
     // round 7 (cont. 4): web-crawl curation + feature selection
     "q_url_canon" -> (graft.ops.Web.urlCanon _),
     "q_dedup_url" -> (graft.ops.Web.dedupUrl _),
@@ -3618,6 +3621,20 @@ object SparkEntry {
         |    AS var_value_q6
         |FROM m
         |WHERE n >= 2
+        |ORDER BY user_id""".stripMargin,
+
+    // the MV replay's final state must equal the ONE-SHOT aggregate no
+    // matter how the stream was batched or which batches were retried —
+    // that algebraic identity IS the oracle; n_gens pins that retries
+    // overwrote their generation rather than appending a sixth
+    "q_mv_replay" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(epoch_us(ts)) AS first_us,
+        |  max(epoch_us(ts)) AS last_us,
+        |  CAST(5 AS BIGINT) AS n_gens
+        |FROM events
+        |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
     "q_incremental_agg" ->

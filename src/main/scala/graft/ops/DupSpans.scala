@@ -154,14 +154,43 @@ object DupSpans {
       .select(col("r"), col("__nr").as("q"),
         col("rep.doc_id").as("rd"), col("rep.i").as("ri"), col("cnt"))
       .localCheckpoint() // read three times below
-    val withToks = reps
+    // LCP of adjacent distinct suffixes, TWO-PHASE (the honest-bench
+    // fix: materializing every rep's FULL suffix slice shuffled
+    // O(Σ suffix lengths) ≈ (avg doc len / 2)× the corpus token volume
+    // and dominated the sf10 wall clock). Phase 1 compares bounded
+    // Seed-token prefixes — an 8× corpus volume instead of ~65× — and
+    // is EXACT for every pair whose LCP < Seed (the first mismatch is
+    // inside the window) and for every pair where one suffix ends
+    // within Seed (a proper prefix; lcp = its full length). Only pairs
+    // tied through the whole window — positions inside a >= Seed-token
+    // shared run, the duplicated mass itself — go to phase 2, which
+    // joins the two full token arrays and scans from offset Seed.
+    val pref = reps
       .join(docs.select(col("doc_id").as("rd"), col("t")), Seq("rd"))
+      .select(col("q"), col("rd"), col("ri"),
+        slice(col("t"), col("ri"),
+          least(lit(Seed), size(col("t")) - col("ri") + 1)).as("p8"))
+    val adj = pref.as("a")
+      .join(pref.withColumn("q", col("q") - 1).as("b"), Seq("q"))
       .select(col("q"),
-        slice(col("t"), col("ri"), size(col("t")) - col("ri") + 1).as("suf"))
-    // LCP of adjacent distinct suffixes: in-row first-mismatch scan
-    val lcpNext = withToks.as("a")
-      .join(withToks.withColumn("q", col("q") - 1).as("b"), Seq("q"))
-      .select(col("q"), lcp(col("a.suf"), col("b.suf")).as("lcp"))
+        col("a.rd").as("rda"), col("a.ri").as("ria"), col("a.p8").as("pa"),
+        col("b.rd").as("rdb"), col("b.ri").as("rib"), col("b.p8").as("pb"))
+      .withColumn("l8", lcp(col("pa"), col("pb")))
+    val deepNeeded = col("l8") === Seed &&
+      size(col("pa")) === Seed && size(col("pb")) === Seed
+    val shallow = adj.filter(!deepNeeded)
+      .select(col("q"), col("l8").as("lcp"))
+    val deep = adj.filter(deepNeeded)
+      .select(col("q"), col("rda"), col("ria"), col("rdb"), col("rib"))
+      .join(docs.select(col("doc_id").as("rda"), col("t").as("ta")), Seq("rda"))
+      .join(docs.select(col("doc_id").as("rdb"), col("t").as("tb")), Seq("rdb"))
+      .select(col("q"), (lit(Seed) + lcp(
+        slice(col("ta"), col("ria") + Seed,
+          greatest(size(col("ta")) - col("ria") - (Seed - 1), lit(0))),
+        slice(col("tb"), col("rib") + Seed,
+          greatest(size(col("tb")) - col("rib") - (Seed - 1), lit(0)))))
+        .as("lcp"))
+    val lcpNext = shallow.unionByName(deep)
 
     val d = pos
       .join(reps.select(col("r"), col("q"), col("cnt")), Seq("r"))

@@ -84,4 +84,33 @@ object StreamingMV {
         mergeBatch(df, stateDir, id)
       }
       .start()
+
+  /** Oracle gate (q_mv_replay): batch-mode replay of the maintenance
+    * loop against DuckDB — the q_state_v2 pattern applied to the MV
+    * family. Events are split into 5 deterministic slices
+    * (pmod(event_id, 5)), merged in order, and two batches are
+    * RE-DELIVERED (the crash-retry twin): batch 2 after later batches
+    * exist, and batch 4 — the final generation — immediately after its
+    * first delivery. The read-below-own-id rule makes both retries
+    * overwrite their own generation from the same pre-state; if a retry
+    * ever read the newest state instead, batch 4 would double-count and
+    * the hash against the one-shot DuckDB aggregate would fail. The
+    * output is the final materialized state plus the generation count
+    * (5 — retries overwrite, never append). */
+  def replayGate(spark: SparkSession, dir: String): DataFrame = {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_mv_gate").toString
+    val ev = graft.util.Tables.events(spark, dir)
+    val slices = (0 until 5).map(i =>
+      ev.filter(pmod(col("event_id"), lit(5)) === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      mergeBatch(b, stateDir, i.toLong)
+      if (i == 4) mergeBatch(b, stateDir, i.toLong) // retry of the tail batch
+    }
+    mergeBatch(slices(2), stateDir, 2L) // late retry of a mid batch
+    val nGens = generations(spark, stateDir).length.toLong
+    readState(spark, stateDir).get
+      .withColumn("n_gens", lit(nGens))
+      .orderBy(col("user_id"))
+  }
 }
