@@ -80,7 +80,16 @@ object Bench {
         // (the noop sink fails mid-materialization) is not a timing
         // and must never be mistakable for a fast run
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try {
+            // AUDIT-ONLY escape hatch: ACTION=count re-times a query
+            // under the pre-round-9 count() action so the per-query
+            // noop-vs-count delta (how much work Catalyst was silently
+            // eliminating) can be measured. Records are ALWAYS noop.
+            if (sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count"))
+              fn(spark, sfDir).count()
+            else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          }
           catch { case e: Throwable =>
             if (!errors.contains(name)) { errors += name
               // exactly ONE stderr line per failure: analysis errors carry
