@@ -277,8 +277,19 @@ object Dedup {
     shinglesWithCard(Tables.documents(spark, dir))
       .write.mode("overwrite").parquet(s"$scratch/sh")
     val sh = spark.read.parquet(s"$scratch/sh")
-    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    // the frequency/prefix/candidate phases run on 8-byte xxhash64
+    // shingle keys, not the ~30-byte gram strings: PPJoin is correct
+    // under ANY fixed global shingle order (rarest-first is only the
+    // efficiency choice), and a 64-bit collision can only MERGE two
+    // grams' counts/candidate groups — extra candidates that exact
+    // verification (on the TRUE shingles) removes; a true candidate
+    // can never be lost (equal grams always share h). This halves the
+    // row width through the two full-stream sorts (the f join and the
+    // per-doc rank window) — the phases where the sf100 attempt
+    // exhausted the box's spill disk even staged.
+    val shh = sh.select(col("doc_id"), col("c"), xxhash64(col("s")).as("h"))
+    val freq = shh.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
     // ceil over double arithmetic can round tau*c to just ABOVE an exact
     // integer (e.g. 0.7*10 = 7.000000000000001 → ceil 8), which would
     // shrink the prefix / tighten the size filter and silently drop
@@ -287,15 +298,15 @@ object Dedup {
     // far below 1/maxCard before ceil can only loosen the bound (more
     // candidates, same exact-verified output).
     def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
-    sh.hint("merge").join(freq, "s")
+    shh.hint("merge").join(freq, "h")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
-      .select(col("doc_id"), col("c"), col("s"))
+      .select(col("doc_id"), col("c"), col("h"))
       .write.mode("overwrite").parquet(s"$scratch/prefix")
     val prefix = spark.read.parquet(s"$scratch/prefix")
     prefix.hint("merge").as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           // size filter: J >= tau forces tau*|A| <= |B| and tau*|B| <= |A|
           col("b.c") >= ceilSafe(lit(tau) * col("a.c")) &&
           col("a.c") >= ceilSafe(lit(tau) * col("b.c")))
