@@ -274,8 +274,22 @@ object Dedup {
     // same staging is checkpoint()/exchange-reuse; the parquet spelling
     // is also restart-friendly (phases are idempotent overwrites).
     val scratch = stageDir(spark, s"ppjoin_${dir.hashCode.toHexString}_$tau")
-    shinglesWithCard(Tables.documents(spark, dir))
-      .write.mode("overwrite").parquet(s"$scratch/sh")
+    // shingle stream with IN-ROW cardinality (size of the distinct gram
+    // array, materialized once per row by the three-projection spelling
+    // — CollapseProject never inlines the non-cheap gram lambda into
+    // its two consumers), instead of shinglesWithCard's count window:
+    // this operator's sf100 budget cannot afford the window's extra
+    // full-stream exchange sitting in the block store while the later
+    // phases spill.
+    locally {
+      val withArr = spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), shingleArray(col("text")).as("arr"))
+      withArr
+        .select(col("doc_id"), size(col("arr")).as("c"), col("arr"))
+        .select(col("doc_id"), col("c"), explode(col("arr")).as("s"))
+        .write.mode("overwrite").parquet(s"$scratch/sh")
+    }
+    dropPhaseShuffles(spark)
     val sh = spark.read.parquet(s"$scratch/sh")
     // the frequency/prefix/candidate phases run on 8-byte xxhash64
     // shingle keys, not the ~30-byte gram strings: PPJoin is correct
@@ -287,8 +301,6 @@ object Dedup {
     // row width through the two full-stream sorts (the f join and the
     // per-doc rank window) — the phases where the sf100 attempt
     // exhausted the box's spill disk even staged.
-    val shh = sh.select(col("doc_id"), col("c"), xxhash64(col("s")).as("h"))
-    val freq = shh.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
     // ceil over double arithmetic can round tau*c to just ABOVE an exact
     // integer (e.g. 0.7*10 = 7.000000000000001 → ceil 8), which would
@@ -298,11 +310,16 @@ object Dedup {
     // far below 1/maxCard before ceil can only loosen the bound (more
     // candidates, same exact-verified output).
     def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
-    shh.hint("merge").join(freq, "h")
-      .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
-      .select(col("doc_id"), col("c"), col("h"))
-      .write.mode("overwrite").parquet(s"$scratch/prefix")
+    locally {
+      val shh = sh.select(col("doc_id"), col("c"), xxhash64(col("s")).as("h"))
+      val freq = shh.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      shh.hint("merge").join(freq, "h")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
+        .select(col("doc_id"), col("c"), col("h"))
+        .write.mode("overwrite").parquet(s"$scratch/prefix")
+    }
+    dropPhaseShuffles(spark)
     val prefix = spark.read.parquet(s"$scratch/prefix")
     prefix.hint("merge").as("a")
       .join(prefix.as("b"),
@@ -313,6 +330,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
       .write.mode("overwrite").parquet(s"$scratch/cand")
+    dropPhaseShuffles(spark)
     val cand = spark.read.parquet(s"$scratch/cand")
     // verification only needs shingles of docs that appear in some
     // candidate pair (dup-rate bounded); `c` is per-doc, unchanged by
@@ -322,6 +340,20 @@ object Dedup {
     verifyPairs(cand.hint("merge"),
       sh.join(ids, Seq("doc_id"), "leftsemi"), tau)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Release the finished phase's shuffle files before the next phase
+    * spills: shuffle data lives on disk until the ShuffleDependency is
+    * garbage-collected and the ContextCleaner processes it, so a staged
+    * pipeline that keeps its plan objects reachable still ACCUMULATES
+    * every phase's shuffle on disk (measured: the sf100 prefix pipeline
+    * died of disk with each phase individually affordable). The phase
+    * plans are scoped in `locally` blocks so their references die here;
+    * the gc + pause lets the (blocking-mode) cleaner drain. On a real
+    * cluster the equivalent is the shuffle service's stage cleanup. */
+  private def dropPhaseShuffles(spark: SparkSession): Unit = {
+    System.gc()
+    Thread.sleep(3000)
   }
 
   /** Per-(operator, input) scratch dir for phase staging — deterministic
