@@ -281,26 +281,27 @@ object Dedup {
     // this operator's sf100 budget cannot afford the window's extra
     // full-stream exchange sitting in the block store while the later
     // phases spill.
-    locally {
-      val withArr = spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), shingleArray(col("text")).as("arr"))
-      withArr
-        .select(col("doc_id"), size(col("arr")).as("c"), col("arr"))
-        .select(col("doc_id"), col("c"), explode(col("arr")).as("s"))
-        .write.mode("overwrite").parquet(s"$scratch/sh")
-    }
-    dropPhaseShuffles(spark)
-    val sh = spark.read.parquet(s"$scratch/sh")
     // the frequency/prefix/candidate phases run on 8-byte xxhash64
     // shingle keys, not the ~30-byte gram strings: PPJoin is correct
     // under ANY fixed global shingle order (rarest-first is only the
     // efficiency choice), and a 64-bit collision can only MERGE two
     // grams' counts/candidate groups — extra candidates that exact
     // verification (on the TRUE shingles) removes; a true candidate
-    // can never be lost (equal grams always share h). This halves the
-    // row width through the two full-stream sorts (the f join and the
-    // per-doc rank window) — the phases where the sf100 attempt
-    // exhausted the box's spill disk even staged.
+    // can never be lost (equal grams always share h). The staged
+    // stream carries ONLY (doc_id, c, h): the true shingles are
+    // rebuilt in-row from `documents` at verification time, so no
+    // string column ever sits on disk between phases.
+    locally {
+      val withArr = spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), shingleArray(col("text")).as("arr"))
+      withArr
+        .select(col("doc_id"), size(col("arr")).as("c"), col("arr"))
+        .select(col("doc_id"), col("c"), explode(col("arr")).as("s"))
+        .select(col("doc_id"), col("c"), xxhash64(col("s")).as("h"))
+        .write.mode("overwrite").parquet(s"$scratch/shh")
+    }
+    dropPhaseShuffles(spark)
+    val shh = spark.read.parquet(s"$scratch/shh")
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
     // ceil over double arithmetic can round tau*c to just ABOVE an exact
     // integer (e.g. 0.7*10 = 7.000000000000001 → ceil 8), which would
@@ -310,16 +311,31 @@ object Dedup {
     // far below 1/maxCard before ceil can only loosen the bound (more
     // candidates, same exact-verified output).
     def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
+    // frequency, f-join, and rank window as SEPARATE phases: inside one
+    // job the f-join's exchange and the window's exchange coexist on
+    // disk (~2 full-stream copies + the window's sort spill), which is
+    // exactly the 66 GB overage the sf100 attempts kept dying of;
+    // phase-split, each holds ONE full-stream exchange at a time
     locally {
-      val shh = sh.select(col("doc_id"), col("c"), xxhash64(col("s")).as("h"))
-      val freq = shh.groupBy(col("h")).agg(count(lit(1)).as("f"))
-      shh.hint("merge").join(freq, "h")
+      shh.groupBy(col("h")).agg(count(lit(1)).as("f"))
+        .write.mode("overwrite").parquet(s"$scratch/freq")
+    }
+    dropPhaseShuffles(spark)
+    locally {
+      shh.hint("merge")
+        .join(spark.read.parquet(s"$scratch/freq"), "h")
+        .write.mode("overwrite").parquet(s"$scratch/joined")
+    }
+    dropPhaseShuffles(spark)
+    locally {
+      spark.read.parquet(s"$scratch/joined")
         .withColumn("rn", row_number().over(wDoc))
         .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
         .select(col("doc_id"), col("c"), col("h"))
         .write.mode("overwrite").parquet(s"$scratch/prefix")
     }
     dropPhaseShuffles(spark)
+    rmStage(s"$scratch/freq"); rmStage(s"$scratch/joined")
     val prefix = spark.read.parquet(s"$scratch/prefix")
     prefix.hint("merge").as("a")
       .join(prefix.as("b"),
@@ -332,14 +348,31 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$scratch/cand")
     dropPhaseShuffles(spark)
     val cand = spark.read.parquet(s"$scratch/cand")
-    // verification only needs shingles of docs that appear in some
-    // candidate pair (dup-rate bounded); `c` is per-doc, unchanged by
-    // the semi-join prune
+    // verification only needs the TRUE shingles of docs that appear in
+    // some candidate pair (dup-rate bounded) — rebuilt in-row from
+    // `documents` behind the semi-join prune, so the corpus-scale
+    // string stream never existed on disk; `c` is per-doc, unchanged
+    // by the prune
     val ids = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    verifyPairs(cand.hint("merge"),
-      sh.join(ids, Seq("doc_id"), "leftsemi"), tau)
+    val candDocs = spread(Tables.documents(spark, dir))
+      .join(ids, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), shingleArray(col("text")).as("arr"))
+    val candSh = candDocs
+      .select(col("doc_id"), size(col("arr")).as("c"), col("arr"))
+      .select(col("doc_id"), col("c"), explode(col("arr")).as("s"))
+    verifyPairs(cand.hint("merge"), candSh, tau)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Delete a consumed phase directory early (the shutdown hook handles
+    * whatever remains). */
+  private def rmStage(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
   }
 
   /** Release the finished phase's shuffle files before the next phase
