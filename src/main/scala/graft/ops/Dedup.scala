@@ -327,6 +327,11 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$scratch/joined")
     }
     dropPhaseShuffles(spark)
+    // the hashed stream and frequency table are consumed — free their
+    // parquet BEFORE the window phase, whose exchange + sort spill is
+    // the single largest disk moment of the pipeline (attempt 4 died
+    // here ~10 GB short with them still on disk)
+    rmStage(s"$scratch/shh"); rmStage(s"$scratch/freq")
     locally {
       spark.read.parquet(s"$scratch/joined")
         .withColumn("rn", row_number().over(wDoc))
@@ -335,7 +340,7 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$scratch/prefix")
     }
     dropPhaseShuffles(spark)
-    rmStage(s"$scratch/freq"); rmStage(s"$scratch/joined")
+    rmStage(s"$scratch/joined")
     val prefix = spark.read.parquet(s"$scratch/prefix")
     prefix.hint("merge").as("a")
       .join(prefix.as("b"),
