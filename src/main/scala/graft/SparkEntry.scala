@@ -116,6 +116,9 @@ object SparkEntry {
     // the PPJoin prefix-filtered path as a gated query: identical result
     // to q_dedup_jaccard (same oracle), different physical strategy
     "q_dedup_ppjoin" -> ((s, d) => Dedup.jaccardPairsPrefix(s, d)),
+    // census-driven chooser between the naive and prefix strategies
+    // (round 11): hub-mass statistic decides, result identical either way
+    "q_dedup_auto" -> ((s, d) => Dedup.jaccardPairsAuto(s, d)),
     // LLM-pipeline: similarity search
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     // JL sign projection: deterministic md5 sign matrix, integer-exact sums
@@ -1973,6 +1976,21 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) AS jac
+         |FROM inter
+         |JOIN card ca ON ca.doc_id = id_a
+         |JOIN card cb ON cb.doc_id = id_b
+         |WHERE round(CAST(ix AS DOUBLE) / (ca.c + cb.c - ix), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // census-chosen strategy: same result contract as q_dedup_jaccard
+    "q_dedup_auto" ->
       s"""WITH $shingleCte,
          |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix

@@ -122,14 +122,24 @@ object TextStats {
       var cp = 0
       var len = 1
       if (b0 < 0x80) cp = b0
-      else if ((b0 & 0xe0) == 0xc0) {
-        cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f); len = 2
-      } else if ((b0 & 0xf0) == 0xe0) {
-        cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
-          (s.getByte(i + 2) & 0x3f); len = 3
-      } else {
-        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
-          ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f); len = 4
+      else {
+        // clamp continuation reads at numBytes: a string ending in a
+        // truncated multi-byte sequence (binary casts, non-UTF-8
+        // ingestion) must yield a deterministic replacement codepoint,
+        // not unsafe reads past the buffer (matches UTF8String's own
+        // malformed-tail handling)
+        if ((b0 & 0xe0) == 0xc0) len = 2
+        else if ((b0 & 0xf0) == 0xe0) len = 3
+        else len = 4
+        if (i + len > n) { cp = 0xFFFD; len = n - i }
+        else if (len == 2)
+          cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f)
+        else if (len == 3)
+          cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
+            (s.getByte(i + 2) & 0x3f)
+        else
+          cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
+            ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f)
       }
       nChars += 1
       rhash = (rhash * 31 + cp) % M

@@ -260,8 +260,73 @@ object Dedup {
     *
     * On this synthetic corpus (hub-free by construction) the extra
     * stages cost more than they save, so the naive form stays the bench
-    * default; on a web-scale corpus the selectivity inverts that. */
-  def jaccardPairsPrefix(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    * default; on a web-scale corpus the selectivity inverts that.
+    *
+    * Execution is ADAPTIVE (round 11): below
+    * `spark.graft.ppjoin.stagingMinBytes` (default 256 MiB of documents
+    * parquet — between the sf10 rung that completes un-staged and the
+    * sf100 rung that does not) the whole prefix pipeline is ONE lazy
+    * plan, analysis-only at construction; above it, the disk-bounded
+    * staged pipeline below runs eagerly at construction (documented
+    * deviation from the analysis-only convention — the staging IS the
+    * operator at that scale). `spark.graft.ppjoin.staging` = on|off
+    * overrides the auto choice. */
+  def jaccardPairsPrefix(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
+    if (stagingEnabled(spark, dir)) jaccardPairsPrefixStaged(spark, dir, tau)
+    else jaccardPairsPrefixPlan(spark, dir, tau)
+
+  private def stagingEnabled(spark: SparkSession, dir: String): Boolean =
+    spark.conf.get("spark.graft.ppjoin.staging", "auto") match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        val minBytes = spark.conf.get(
+          "spark.graft.ppjoin.stagingMinBytes", (256L << 20).toString).toLong
+        inputBytes(spark, s"$dir/documents.parquet") >= minBytes
+    }
+
+  /** On-disk size of one input path (0 if absent) — the staging decision
+    * reads parquet footprint, never row counts, so it costs no job. */
+  private[ops] def inputBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Single-plan prefix pipeline for inputs whose spill fits the disk
+    * budget (the r9 form, kept as the small-input path: ~4 s vs the
+    * staged form's 34.5 s at sf0.1). The shingle stream is persisted
+    * DISK_ONLY (lazily — construction stays analysis-only) because the
+    * frequency aggregate, the f-join, and verification all consume it.
+    * NOTE this spelling intentionally differs from the staged twin: the
+    * window-count cardinality + string keys measured ~2× faster than
+    * the in-row-cardinality/hashed-key form when the stream lives in
+    * the block-manager cache (the hashed form only wins when phases
+    * round-trip through parquet, where the string column's disk
+    * footprint dominates). */
+  private def jaccardPairsPrefixPlan(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val sh = shinglesWithCard(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
+    val prefix = sh.hint("merge").join(freq, "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("c") - ceilSafe(lit(tau) * col("c")) + 1)
+      .select(col("doc_id"), col("c"), col("s"))
+    val cand = prefix.hint("merge").as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // size filter: J >= tau forces tau*|A| <= |B| and tau*|B| <= |A|
+          col("b.c") >= ceilSafe(lit(tau) * col("a.c")) &&
+          col("a.c") >= ceilSafe(lit(tau) * col("b.c")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyPairs(cand.hint("merge"), sh, tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def jaccardPairsPrefixStaged(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     // STAGED to parquet, one phase per materialization, because one
     // mega-plan re-spills the shingle stream per consumer: the round-9
     // sf100 attempt died at ~430 s with "No space left on device" when
@@ -273,7 +338,13 @@ object Dedup {
     // phase's scratch is freed before the next runs. On a cluster the
     // same staging is checkpoint()/exchange-reuse; the parquet spelling
     // is also restart-friendly (phases are idempotent overwrites).
-    val scratch = stageDir(spark, s"ppjoin_${dir.hashCode.toHexString}_$tau")
+    // The slot is keyed by a digest of the ABSOLUTE input path (not
+    // String.hashCode — 32-bit collisions between two dirs would silently
+    // cross-wire their staged candidates) plus a per-construction
+    // sequence number, so two interleaved constructions on the same
+    // input can never overwrite each other's phases.
+    val scratch = stageDir(spark,
+      s"ppjoin_${pathDigest(dir)}_${tau}_${stageSeq.getAndIncrement()}")
     // shingle stream with IN-ROW cardinality (size of the distinct gram
     // array, materialized once per row by the three-projection spelling
     // — CollapseProject never inlines the non-cheap gram lambda into
@@ -300,7 +371,7 @@ object Dedup {
         .select(col("doc_id"), col("c"), xxhash64(col("s")).as("h"))
         .write.mode("overwrite").parquet(s"$scratch/shh")
     }
-    dropPhaseShuffles(spark)
+    drainPhaseShuffles(spark)
     val shh = spark.read.parquet(s"$scratch/shh")
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
     // ceil over double arithmetic can round tau*c to just ABOVE an exact
@@ -320,13 +391,13 @@ object Dedup {
       shh.groupBy(col("h")).agg(count(lit(1)).as("f"))
         .write.mode("overwrite").parquet(s"$scratch/freq")
     }
-    dropPhaseShuffles(spark)
+    drainPhaseShuffles(spark)
     locally {
       shh.hint("merge")
         .join(spark.read.parquet(s"$scratch/freq"), "h")
         .write.mode("overwrite").parquet(s"$scratch/joined")
     }
-    dropPhaseShuffles(spark)
+    drainPhaseShuffles(spark)
     // the hashed stream and frequency table are consumed — free their
     // parquet BEFORE the window phase, whose exchange + sort spill is
     // the single largest disk moment of the pipeline (attempt 4 died
@@ -339,7 +410,7 @@ object Dedup {
         .select(col("doc_id"), col("c"), col("h"))
         .write.mode("overwrite").parquet(s"$scratch/prefix")
     }
-    dropPhaseShuffles(spark)
+    drainPhaseShuffles(spark)
     rmStage(s"$scratch/joined")
     val prefix = spark.read.parquet(s"$scratch/prefix")
     prefix.hint("merge").as("a")
@@ -351,7 +422,10 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
       .write.mode("overwrite").parquet(s"$scratch/cand")
-    dropPhaseShuffles(spark)
+    drainPhaseShuffles(spark)
+    // only `cand` outlives construction (re-read lazily by the returned
+    // plan); the prefix stream is consumed — free it now
+    rmStage(s"$scratch/prefix")
     val cand = spark.read.parquet(s"$scratch/cand")
     // verification only needs the TRUE shingles of docs that appear in
     // some candidate pair (dup-rate bounded) — rebuilt in-row from
@@ -387,21 +461,55 @@ object Dedup {
     * every phase's shuffle on disk (measured: the sf100 prefix pipeline
     * died of disk with each phase individually affordable). The phase
     * plans are scoped in `locally` blocks so their references die here;
-    * the gc + pause lets the (blocking-mode) cleaner drain. On a real
-    * cluster the equivalent is the shuffle service's stage cleanup. */
-  private def dropPhaseShuffles(spark: SparkSession): Unit = {
+    * System.gc() queues them for the cleaner, and instead of a fixed
+    * sleep we POLL the block-manager scratch (`blockmgr-*` under
+    * spark.local.dir) until its footprint stops shrinking — a clean
+    * input exits in ~2 samples, a draining one gets up to 3 s, and a
+    * -XX:+DisableExplicitGC JVM just falls through after the bound
+    * (correctness never depends on the drain; only peak disk does).
+    * On a real cluster the equivalent is the shuffle service's stage
+    * cleanup. */
+  private def drainPhaseShuffles(spark: SparkSession): Unit = {
+    val roots = spark.sparkContext.getConf
+      .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      .split(",").map(new java.io.File(_))
+    def dirSize(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+      else f.length()
+    def shuffleBytes: Long = roots
+      .flatMap(r => Option(r.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .filter(_.getName.startsWith("blockmgr-")).map(dirSize).sum
     System.gc()
-    Thread.sleep(3000)
+    val deadline = System.nanoTime() + 3000L * 1000 * 1000
+    var prev = shuffleBytes
+    var flat = 0
+    while (System.nanoTime() < deadline && flat < 2) {
+      Thread.sleep(150)
+      val now = shuffleBytes
+      if (now < prev) flat = 0 else flat += 1
+      prev = now
+    }
   }
 
-  /** Per-(operator, input) scratch dir for phase staging — deterministic
-    * path + overwrite-mode writes so repeated runs (bench min-of-2)
-    * reuse the slot instead of accumulating; recursively deleted on JVM
-    * exit (deleteOnExit alone cannot remove a populated dir). */
+  /** Per-construction scratch dir for phase staging, rooted at
+    * `spark.graft.stage.root` (default java.io.tmpdir — on a cluster
+    * point it at the shuffle-grade volume); recursively deleted on JVM
+    * exit (deleteOnExit alone cannot remove a populated dir). Slot names
+    * carry a digest of the input path plus a sequence number (see
+    * [[jaccardPairsPrefixStaged]]), so slots are never shared between
+    * constructions. */
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def pathDigest(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
   private val stagedSlots = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   private def stageDir(spark: SparkSession, slot: String): String = {
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_stage_$slot")
+    val root = spark.conf.get(
+      "spark.graft.stage.root", System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(root, s"graft_stage_$slot")
     d.mkdirs()
     if (stagedSlots.putIfAbsent(d.getAbsolutePath, true) == null)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -413,6 +521,80 @@ object Dedup {
       }))
     d.getAbsolutePath
   }
+
+  /** Census-driven selection between the naive shingle self-join
+    * ([[jaccardPairs]]) and the prefix-filtered form
+    * ([[jaccardPairsPrefix]]). The two are output-identical; which is
+    * CHEAPER is a corpus property: the naive join's extra cost is the
+    * hub-collision mass Σ_s f_s·(f_s−1) (rows its shingle self-join
+    * must produce), while the prefix form pays a roughly constant
+    * multiple of the stream size N for its extra stages (measured ~2.5×
+    * at sf10). So: take a deterministic ≤`sampleCap`-doc sample, census
+    * the hashed shingle frequencies, and pick the prefix path iff the
+    * full-corpus extrapolation of the hub mass exceeds `overheadFactor`
+    * × N. Only shingles with sample frequency ≥ 5 count toward hub mass
+    * — bounded duplicate clusters (f ≤ 2–3) make the naive join LINEAR,
+    * not quadratic, and must not be upscaled by the (n/m)² hub
+    * extrapolation. On the hub-free synthetic corpus this picks naive;
+    * on the 2 %-hub fixture (each hub shingle in ~2 % of docs, so mass
+    * grows n²) it picks prefix — both asserted in DedupSpec.
+    *
+    * The census is one count + one aggregate over the sample (the
+    * q_bucket_stats statistic applied to shingles) and runs at
+    * construction time — the same data-dependent plan selection AQE
+    * performs, paid once per (dir, tau) per JVM (memoized: inputs are
+    * immutable for a run). */
+  def prefixPathWins(spark: SparkSession, dir: String,
+      sampleCap: Long = 20000L, overheadFactor: Double = 8.0): Boolean =
+    chooserCache.computeIfAbsent(
+      s"${pathDigest(dir)}_${sampleCap}_$overheadFactor", _ => {
+        val docs = Tables.documents(spark, dir)
+        val n = docs.count()
+        if (n == 0) java.lang.Boolean.FALSE
+        else {
+          val frac = math.min(1.0, sampleCap.toDouble / n.toDouble)
+          val sample =
+            if (frac >= 1.0) docs
+            else docs.filter(pmod(xxhash64(col("doc_id")), lit(1000000L))
+              < lit(math.round(frac * 1000000)))
+          // hub cut: a HUB shingle appears in a constant FRACTION of
+          // documents (its sample frequency scales with m), while
+          // shared-vocabulary / duplicate-cluster shingles have BOUNDED
+          // frequency at any corpus size (measured: the hub-free corpus
+          // peaks at f=25 over 5k docs and f=6 over a 20k-doc sample of
+          // 500k, while each 2%-hub shingle hits f≈400 in the same
+          // sample). Only fraction-scaled shingles may be extrapolated
+          // by (n/m)² — counting bounded-f mass there misclassified the
+          // hub-free corpus in the first cut of this chooser.
+          val mHat = math.max(1.0, n * frac)
+          val hubCut = math.max(5.0, 0.005 * mHat)
+          val census = spread(sample)
+            .select(col("doc_id"), explode(shingleArray(col("text"))).as("s"))
+            .groupBy(xxhash64(col("s")).as("h")).agg(count(lit(1)).as("f"))
+            .agg(
+              sum(col("f")).as("stream_rows"),
+              coalesce(sum(when(col("f") >= hubCut, col("f") * (col("f") - 1))),
+                lit(0L)).as("hub_mass"))
+            .head()
+          val streamRows = census.getLong(0)
+          val hubMass = census.getLong(1)
+          val scale = 1.0 / frac
+          java.lang.Boolean.valueOf(
+            hubMass * scale * scale > overheadFactor * streamRows * scale)
+        }
+      }).booleanValue()
+
+  private val chooserCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** [[jaccardPairs]] with the execution strategy chosen by
+    * [[prefixPathWins]]'s hub-mass census: naive self-join on hub-free
+    * corpora (cheaper by the prefix form's constant stage overhead),
+    * prefix-filtered on hubbed ones (where naive is quadratic in hub
+    * frequency and DNFs at scale). Output is identical either way. */
+  def jaccardPairsAuto(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
+    if (prefixPathWins(spark, dir)) jaccardPairsPrefix(spark, dir, tau)
+    else jaccardPairs(spark, dir, tau)
 
   /** Exact Jaccard over candidate pairs: join each side's full shingle
     * set, count the intersection, filter by tau. Callers choose the

@@ -70,6 +70,61 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty) // the corpus carries engineered near-dups
   }
 
+  test("staged prefix pipeline equals the naive join; scratch honors spark.graft.stage.root") {
+    val root = java.nio.file.Files.createTempDirectory("graftstage")
+    spark.conf.set("spark.graft.ppjoin.staging", "on")
+    spark.conf.set("spark.graft.stage.root", root.toString)
+    try {
+      val staged = Dedup.jaccardPairsPrefix(spark, sf)
+        .as[(Long, Long, Double)].collect().toSeq
+      val naive = Dedup.jaccardPairs(spark, sf)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(staged === naive)
+      // the staged phases must have landed under the configured root
+      val slots = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_stage_ppjoin_"))
+      assert(slots.nonEmpty, s"no stage slot under $root")
+    } finally {
+      spark.conf.set("spark.graft.ppjoin.staging", "auto")
+      spark.conf.unset("spark.graft.stage.root")
+    }
+  }
+
+  test("hub-mass census picks naive on a hub-free corpus, prefix on a hubbed one") {
+    def writeDocs(rows: Seq[(Long, String)], dir: java.nio.file.Path): String = {
+      rows.toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir.toString
+    }
+    // hub-free: every shingle unique to its document (hub mass = 0)
+    val rng = new scala.util.Random(7)
+    val clean = (0L until 300L).map { i =>
+      i -> (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    }
+    // hubbed: same unique tails + a shared 16-word boilerplate in EVERY
+    // doc — 14 hub shingles of frequency 300, the shape whose naive
+    // self-join mass grows quadratically
+    val boiler = (0 until 16).map(k => s"hub$k").mkString(" ")
+    val hubbed = clean.map { case (i, t) => i -> s"$boiler $t" }
+    // plus one engineered near-dup pair so the pair output is non-empty
+    val hubbedAll = hubbed ++ Seq(
+      (900L, s"$boiler same same same " + (0 until 20).map(j => s"x$j").mkString(" ")),
+      (901L, s"$boiler same same same " + (0 until 20).map(j => s"x$j").mkString(" ")))
+    val cleanDir = writeDocs(clean, java.nio.file.Files.createTempDirectory("hubfree"))
+    val hubDir = writeDocs(hubbedAll, java.nio.file.Files.createTempDirectory("hubbed"))
+    assert(!Dedup.prefixPathWins(spark, cleanDir), "hub-free corpus must pick naive")
+    assert(Dedup.prefixPathWins(spark, hubDir), "2%-hub-style corpus must pick prefix")
+    // the auto entry is output-identical to the naive reference on both
+    for (d <- Seq(cleanDir, hubDir)) {
+      val auto = Dedup.jaccardPairsAuto(spark, d)
+        .as[(Long, Long, Double)].collect().toSeq
+      val naive = Dedup.jaccardPairs(spark, d)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(auto === naive, s"dir=$d")
+    }
+    locally { val _ = rng }
+  }
+
   test("prefix filter survives taus where double ceil(tau*c) over-rounds") {
     // 0.7*10 = 7.000000000000001 in doubles → a naive ceil yields 8,
     // shrinking the prefix and silently dropping qualifying candidates
