@@ -184,6 +184,8 @@ object SparkEntry {
     "q_psi" -> ((s, d) => graft.ops.Monitor.psi(s, d)),
     "q_window_psi" -> ((s, d) => graft.streaming.StreamDrift.windowPsi(s, d)),
     "q_stream_cdc" -> ((s, d) => graft.streaming.StreamCdc.snapshotBatch(s, d)),
+    // micro-batch split replay of the CDC snapshot (q_mv_replay pattern)
+    "q_cdc_replay" -> ((s, d) => graft.streaming.StreamCdc.replayGate(s, d)),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "q_cluster_split" -> ((s, d) => graft.ops.Graph.clusterSafeSplit(s, d)),
     // LLM-pipeline: text analysis
@@ -451,6 +453,29 @@ object SparkEntry {
         |  CASE WHEN op = 'D' THEN 0 ELSE cents END AS cents,
         |  op = 'D' AS deleted,
         |  CAST(version AS BIGINT) AS version
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // streaming CDC replay across 5 micro-batch splits (the q_mv_replay
+    // pattern): the final transformWithState snapshot of the bounded
+    // user slice must equal the relational replay of the same slice
+    "q_cdc_replay" ->
+      """WITH log AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+        |  FROM events WHERE user_id % 7 = 0),
+        |r AS (SELECT user_id, op, cents,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS version
+        |      FROM log)
+        |SELECT user_id,
+        |  CASE WHEN op = 'D' THEN 0 ELSE cents END AS cents,
+        |  op = 'D' AS deleted,
+        |  CAST(version AS BIGINT) AS version,
+        |  CAST(5 AS BIGINT) AS n_batches
         |FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
@@ -3178,6 +3203,11 @@ object SparkEntry {
         |FROM rec r JOIN cost c USING (planes)
         |ORDER BY planes""".stripMargin,
 
+    // replays knnGraph EXACTLY, including the default multi-probe
+    // compensation: nodes in saturated buckets (|b| > cap=256) also
+    // probe every Hamming-1 flipped-signature bucket — at gate scale no
+    // bucket saturates, but the oracle must model the ENGINE, not the
+    // gated corpus, or the first skewed corpus silently decouples them
     "q_knn_graph" ->
       """WITH comp AS (
         |  SELECT vec_id, CAST(e AS DOUBLE) AS e, i FROM (
@@ -3200,17 +3230,34 @@ object SparkEntry {
         |                      ORDER BY p),
         |           1, (SELECT CAST(planes AS INTEGER) FROM pl)) AS sig
         |  FROM dots GROUP BY vec_id),
-        |sv AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.sig
-        |       FROM embeddings e JOIN sig s USING (vec_id)
-        |       WHERE len(e.embedding) > 0),
+        |sv AS MATERIALIZED (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.sig
+        |  FROM embeddings e JOIN sig s USING (vec_id)
+        |  WHERE len(e.embedding) > 0),
+        |bsz AS (SELECT sig, count(*) AS bsz FROM sv GROUP BY sig),
         |rhs AS (SELECT sig, vec_id, v FROM (
         |          SELECT sig, vec_id, v,
         |            row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS rk
         |          FROM sv) WHERE rk <= 256),
+        |flips AS (
+        |  SELECT s.vec_id, s.sig,
+        |    unnest(range(1, len(s.sig) + 1)) AS p
+        |  FROM sv s JOIN bsz USING (sig) WHERE bsz > 256),
+        |probes AS MATERIALIZED (
+        |  SELECT vec_id, sig AS psig FROM sv
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    substr(sig, 1, CAST(p AS INTEGER) - 1)
+        |    || (CASE WHEN substr(sig, CAST(p AS INTEGER), 1) = '1'
+        |             THEN '0' ELSE '1' END)
+        |    || substr(sig, CAST(p AS INTEGER) + 1) AS psig
+        |  FROM flips),
         |cand AS MATERIALIZED (
-        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |  SELECT pr.vec_id AS a, y.vec_id AS b,
         |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
-        |  FROM sv x JOIN rhs y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+        |  FROM probes pr
+        |  JOIN sv x ON x.vec_id = pr.vec_id
+        |  JOIN rhs y ON y.sig = pr.psig AND pr.vec_id <> y.vec_id),
         |nc AS (SELECT a, count(*) AS n_cand FROM cand GROUP BY a),
         |rnk AS (SELECT *, row_number() OVER (PARTITION BY a
         |          ORDER BY cos DESC, b) AS rn FROM cand),

@@ -61,6 +61,59 @@ object StreamCdc {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming replay gate, oracle-gated as q_cdc_replay (the
+    * q_mv_replay pattern applied to the CDC family): the op log of a
+    * bounded, deterministic user slice (user_id % 7 == 0 — the slice
+    * keeps the driver-side MemoryStream feed bounded at ANY scale
+    * factor while exercising insert/update/delete/resurrect on real
+    * keys) is split into 5 contiguous micro-batches in (ts_us,
+    * event_id) order and driven through the REAL
+    * `transformWithState` query — RocksDB store, update mode, state
+    * carried across batches. The final (max-version) snapshot per key
+    * must equal DuckDB's relational latest-op-wins replay of the same
+    * slice, which is exactly the invariant the batch face can't test:
+    * that per-key state survives and composes across micro-batch
+    * boundaries. */
+  def replayGate(parent: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val spark = parent.newSession()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.streams.active
+    val opLog = graft.util.Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(7)) === 0)
+      .select(col("user_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .as[CdcOp].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdcOp]
+    val sinkName = s"cdc_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = attach(mem.toDS())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("update").start()
+    val nBatches = 5
+    try {
+      val per = math.max(1, (opLog.length + nBatches - 1) / nBatches)
+      opLog.grouped(per).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version").desc)
+    spark.table(sinkName)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("n_batches", lit(nBatches.toLong))
+      .orderBy(col("user_id"))
+  }
+
   /** Batch face, oracle-gated as q_stream_cdc: the whole event log is
     * one "micro-batch", so the processor's sorted per-key fold must
     * equal the relational latest-op-wins replay (the DuckDB oracle).
