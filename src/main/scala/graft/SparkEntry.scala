@@ -113,6 +113,8 @@ object SparkEntry {
     // corpus the naive join wins (1.8s vs 4.0s at sf0.1), so it stays
     // the bench default
     "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // census-chosen containment strategy (same chooser as q_dedup_auto)
+    "q_containment_auto" -> ((s, d) => Dedup.containmentPairsAuto(s, d)),
     // the PPJoin prefix-filtered path as a gated query: identical result
     // to q_dedup_jaccard (same oracle), different physical strategy
     "q_dedup_ppjoin" -> ((s, d) => Dedup.jaccardPairsPrefix(s, d)),
@@ -2030,6 +2032,19 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_containment" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS ix
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_sub, id_super,
+         |       round(CAST(ix AS DOUBLE) / ca.c, 6) AS containment
+         |FROM inter JOIN card ca ON ca.doc_id = id_sub
+         |WHERE round(CAST(ix AS DOUBLE) / ca.c, 6) >= 0.9
+         |ORDER BY id_sub, id_super""".stripMargin,
+
+    // census-chosen containment strategy: same result contract
+    "q_containment_auto" ->
       s"""WITH $shingleCte,
          |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS ix

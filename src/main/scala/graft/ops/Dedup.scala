@@ -596,6 +596,17 @@ object Dedup {
     if (prefixPathWins(spark, dir)) jaccardPairsPrefix(spark, dir, tau)
     else jaccardPairs(spark, dir, tau)
 
+  /** [[containmentPairs]] under the same census-driven selection —
+    * containment's naive self-join has the identical Σf² hub-collision
+    * failure mode (same shingle stream, same equi-join on s), and
+    * BENCH_hub.json records the same inversion (naive 32.4 s vs prefix
+    * 85.9 s hub-free; 198.2 s vs 59.5 s at 2% hubs), so one chooser
+    * serves both families. Output identical either way. */
+  def containmentPairsAuto(spark: SparkSession, dir: String,
+      tau: Double = 0.9): DataFrame =
+    if (prefixPathWins(spark, dir)) containmentPairsPrefix(spark, dir, tau)
+    else containmentPairs(spark, dir, tau)
+
   /** Exact Jaccard over candidate pairs: join each side's full shingle
     * set, count the intersection, filter by tau. Callers choose the
     * candidate side's distribution (broadcast for LSH's bounded
@@ -749,25 +760,32 @@ object Dedup {
     * lexicographic mins so the SQL oracle reproduces selections exactly. */
   def winnowSummary(spark: SparkSession, dir: String,
       k: Int = 8, w: Int = 6): DataFrame = {
+    // ENTIRELY IN-ROW (round 11): winnowing is a per-document sliding
+    // minimum over that document's own char-gram hashes — nothing about
+    // it needs other rows, so the explode + doc-partitioned window
+    // spelling (5·10⁹ exploded rows and a full-stream exchange carrying
+    // 32-byte hex at sf100 ≈ 350 GB) was pure shuffle waste, and is
+    // exactly what DNF'd the sf100 rung ("No space left on device" with
+    // 66 GB free). The naive in-row fix — md5 inside `transform(...)` —
+    // trades the exchange for the interpreted-lambda path and measured
+    // 60 s at sf0.1 vs 3.3 s exploded. [[graft.functions.WinnowPrints]]
+    // keeps both properties: native md5 + O(np) deque sliding-min in
+    // ONE codegen'd expression, zero exchanges before the presentation
+    // sort. Values are bit-identical to the relational spelling (the
+    // oracle SQL is unchanged; WinnowSpec pins equality to the window
+    // form). */
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("np", length(col("text")) - (k - 1))
       // a doc needs at least one full window (length >= k+w-1) to emit a
-      // fingerprint; shorter docs would only do dead explode/hash work
+      // fingerprint; shorter docs would only do dead hashing work
       .filter(col("np") >= w)
-    val grams = docs
-      .select(col("doc_id"), col("np"),
-        explode(sequence(lit(1), col("np"))).as("i"), col("text"))
-      .withColumn("h", md5(col("text").substr(col("i"), lit(k))))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("sel", min(col("h")).over(win))
-      .filter(col("i") <= col("np") - (w - 1))
-      .select(col("doc_id"), col("sel")).distinct()
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_prints"),
-        min(col("sel")).as("min_print"), max(col("sel")).as("max_print"))
+    docs
+      .select(col("doc_id"),
+        graft.functions.WinnowPrints(spark, col("text"), k, w).as("wp"))
+      .select(col("doc_id"), col("wp.n_prints").as("n_prints"),
+        col("wp.min_print").as("min_print"),
+        col("wp.max_print").as("max_print"))
       .orderBy(col("doc_id"))
   }
 

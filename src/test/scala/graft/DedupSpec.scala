@@ -114,13 +114,19 @@ class DedupSpec extends SparkSpec {
     val hubDir = writeDocs(hubbedAll, java.nio.file.Files.createTempDirectory("hubbed"))
     assert(!Dedup.prefixPathWins(spark, cleanDir), "hub-free corpus must pick naive")
     assert(Dedup.prefixPathWins(spark, hubDir), "2%-hub-style corpus must pick prefix")
-    // the auto entry is output-identical to the naive reference on both
+    // the auto entries are output-identical to the naive references on
+    // both corpora, for both families sharing the chooser
     for (d <- Seq(cleanDir, hubDir)) {
       val auto = Dedup.jaccardPairsAuto(spark, d)
         .as[(Long, Long, Double)].collect().toSeq
       val naive = Dedup.jaccardPairs(spark, d)
         .as[(Long, Long, Double)].collect().toSeq
       assert(auto === naive, s"dir=$d")
+      val cAuto = Dedup.containmentPairsAuto(spark, d)
+        .as[(Long, Long, Double)].collect().toSeq
+      val cNaive = Dedup.containmentPairs(spark, d)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(cAuto === cNaive, s"dir=$d (containment)")
     }
     locally { val _ = rng }
   }
