@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.util.Tables
+import graft.util.{Staging, Tables}
 
 /** Deduplication operators for a training-data pipeline, over the
   * `documents` table: exact, word-shingle Jaccard, MinHash+LSH, SimHash,
@@ -287,11 +287,8 @@ object Dedup {
 
   /** On-disk size of one input path (0 if absent) — the staging decision
     * reads parquet footprint, never row counts, so it costs no job. */
-  private[ops] def inputBytes(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-  }
+  private[ops] def inputBytes(spark: SparkSession, path: String): Long =
+    Staging.inputBytes(spark, path)
 
   /** Single-plan prefix pipeline for inputs whose spill fits the disk
     * budget (the r9 form, kept as the small-input path: ~4 s vs the
@@ -444,83 +441,18 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Delete a consumed phase directory early (the shutdown hook handles
-    * whatever remains). */
-  private def rmStage(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(new java.io.File(path))
-  }
-
-  /** Release the finished phase's shuffle files before the next phase
-    * spills: shuffle data lives on disk until the ShuffleDependency is
-    * garbage-collected and the ContextCleaner processes it, so a staged
-    * pipeline that keeps its plan objects reachable still ACCUMULATES
-    * every phase's shuffle on disk (measured: the sf100 prefix pipeline
-    * died of disk with each phase individually affordable). The phase
-    * plans are scoped in `locally` blocks so their references die here;
-    * System.gc() queues them for the cleaner, and instead of a fixed
-    * sleep we POLL the block-manager scratch (`blockmgr-*` under
-    * spark.local.dir) until its footprint stops shrinking — a clean
-    * input exits in ~2 samples, a draining one gets up to 3 s, and a
-    * -XX:+DisableExplicitGC JVM just falls through after the bound
-    * (correctness never depends on the drain; only peak disk does).
-    * On a real cluster the equivalent is the shuffle service's stage
-    * cleanup. */
-  private def drainPhaseShuffles(spark: SparkSession): Unit = {
-    val roots = spark.sparkContext.getConf
-      .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
-      .split(",").map(new java.io.File(_))
-    def dirSize(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
-      else f.length()
-    def shuffleBytes: Long = roots
-      .flatMap(r => Option(r.listFiles()).getOrElse(Array.empty[java.io.File]))
-      .filter(_.getName.startsWith("blockmgr-")).map(dirSize).sum
-    System.gc()
-    val deadline = System.nanoTime() + 3000L * 1000 * 1000
-    var prev = shuffleBytes
-    var flat = 0
-    while (System.nanoTime() < deadline && flat < 2) {
-      Thread.sleep(150)
-      val now = shuffleBytes
-      if (now < prev) flat = 0 else flat += 1
-      prev = now
-    }
-  }
-
-  /** Per-construction scratch dir for phase staging, rooted at
-    * `spark.graft.stage.root` (default java.io.tmpdir — on a cluster
-    * point it at the shuffle-grade volume); recursively deleted on JVM
-    * exit (deleteOnExit alone cannot remove a populated dir). Slot names
-    * carry a digest of the input path plus a sequence number (see
-    * [[jaccardPairsPrefixStaged]]), so slots are never shared between
-    * constructions. */
-  private val stageSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def pathDigest(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    md.digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-  }
-  private val stagedSlots = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-  private def stageDir(spark: SparkSession, slot: String): String = {
-    val root = spark.conf.get(
-      "spark.graft.stage.root", System.getProperty("java.io.tmpdir"))
-    val d = new java.io.File(root, s"graft_stage_$slot")
-    d.mkdirs()
-    if (stagedSlots.putIfAbsent(d.getAbsolutePath, true) == null)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(d)
-      }))
-    d.getAbsolutePath
-  }
+  // Phase-staging helpers (rmStage / drainPhaseShuffles / stageDir /
+  // pathDigest / stageSeq) were built here for the sf100 ppjoin pipeline
+  // and now live in [[graft.util.Staging]], shared with the graph
+  // iteration loops and the KN-trigram scorer. Local aliases keep the
+  // call sites unchanged.
+  private def rmStage(path: String): Unit = Staging.rmStage(path)
+  private def drainPhaseShuffles(spark: SparkSession): Unit =
+    Staging.drainPhaseShuffles(spark)
+  private def stageSeq = Staging.stageSeq
+  private def pathDigest(dir: String): String = Staging.pathDigest(dir)
+  private def stageDir(spark: SparkSession, slot: String): String =
+    Staging.stageDir(spark, slot)
 
   /** Census-driven selection between the naive shingle self-join
     * ([[jaccardPairs]]) and the prefix-filtered form

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.util.Tables
+import graft.util.{Staging, Tables}
 
 /** Connected components over near-duplicate candidate pairs — the cluster
   * resolution step between pair generation (Dedup.jaccardPairs /
@@ -204,6 +204,80 @@ object Graph {
     ranks
   }
 
+  /** Phase-staged PageRank — output-identical to [[pageRank]] (every
+    * step is the same exact integer arithmetic), resource-shaped for the
+    * rung where the single-plan form dies of disk: with the whole loop
+    * in one plan, every iteration's join + aggregate shuffle stays
+    * referenced until the final action, so ~1.2B-edge graphs accumulate
+    * 3 iterations × ~12 GB of spill ON TOP of the adjacency persist (the
+    * recorded sf100 DNF). Here each phase ends at a parquet write, the
+    * phase's plan references die with its scope, and
+    * [[Staging.drainPhaseShuffles]] returns the spill before the next
+    * phase starts — peak disk is ONE iteration's shuffle plus the staged
+    * edge/rank parquet (ranks are one small row per node). The adjacency
+    * is re-read from compressed parquet per iteration instead of being
+    * persisted: a deliberate trade — the re-exchange is linear and
+    * predictable, while a 1.2B-row block-manager pin is exactly what
+    * blew the execution-memory budget on the label-prop twin. On a
+    * cluster the same phases are reliable checkpoints, and the pinned
+    * adjacency would come back as a bucketed table co-partitioned with
+    * the rank state. */
+  def pageRankStaged(spark: SparkSession, edges: DataFrame, iters: Int,
+      slot: String): DataFrame = {
+    val scratch = Staging.stageDir(spark,
+      s"pagerank_${slot}_${Staging.stageSeq.getAndIncrement()}")
+    // phase E: materialize the edge list once; the construction shuffles
+    // (orders⋈lineitem + distinct) are freed before iteration spill starts
+    locally {
+      edges.write.mode("overwrite").parquet(s"$scratch/edges")
+    }
+    Staging.drainPhaseShuffles(spark)
+    // phase A: degree-annotated adjacency + initial ranks (1.0 in
+    // micro-units for every node with out-degree >= 1, like pageRank's)
+    locally {
+      val e = spark.read.parquet(s"$scratch/edges")
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      e.join(deg, "src").write.mode("overwrite").parquet(s"$scratch/adj")
+    }
+    Staging.drainPhaseShuffles(spark)
+    locally {
+      spark.read.parquet(s"$scratch/adj")
+        .select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("pr"))
+        .write.mode("overwrite").parquet(s"$scratch/ranks0")
+    }
+    Staging.drainPhaseShuffles(spark)
+    Staging.rmStage(s"$scratch/edges")
+    var ranksPath = s"$scratch/ranks0"
+    for (i <- 1 to iters) {
+      val next = s"$scratch/ranks$i"
+      locally {
+        val adj = spark.read.parquet(s"$scratch/adj")
+        val ranks = spark.read.parquet(ranksPath)
+        adj.join(ranks, adj("src") === ranks("node"))
+          .select(col("dst"), expr("pr div d").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+          .write.mode("overwrite").parquet(next)
+      }
+      Staging.rmStage(ranksPath)
+      ranksPath = next
+      Staging.drainPhaseShuffles(spark)
+    }
+    spark.read.parquet(ranksPath)
+  }
+
+  /** Auto|on|off staging knob for the trade-graph iteration loops
+    * ([[tradeRank]], [[labelPropagation]]), sized on the lineitem
+    * parquet footprint: the un-staged forms complete comfortably at
+    * sf10 (~1.1 GB of lineitem) and die at sf100 (~11 GB) — threshold
+    * 4 GiB sits between the rungs. */
+  private def graphStagingEnabled(spark: SparkSession, dir: String): Boolean =
+    Staging.stagingEnabled(spark, "spark.graft.graph.staging",
+      "spark.graft.graph.stagingMinBytes", s"$dir/lineitem.parquet", 4L << 30)
+
   /** PageRank over the customer↔supplier trade graph: an (undirected)
     * edge per distinct customer–supplier pair that shares an order.
     * Node ids: customer c → 2c, supplier s → 2s+1 (disjoint spaces).
@@ -216,7 +290,11 @@ object Graph {
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val bi = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-    pageRank(bi, iters = 3).orderBy(col("node"))
+    val pr =
+      if (graphStagingEnabled(spark, dir))
+        pageRankStaged(spark, bi, iters = 3, Staging.pathDigest(dir))
+      else pageRank(bi, iters = 3)
+    pr.orderBy(col("node"))
   }
 
   /** Synchronous majority label propagation (Raghavan et al. 2007) over
@@ -241,7 +319,57 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    labelPropRounds(e0, rounds).orderBy(col("node"))
+    val lbl =
+      if (graphStagingEnabled(spark, dir))
+        labelPropRoundsStaged(spark, e0, rounds, Staging.pathDigest(dir))
+      else labelPropRounds(e0, rounds)
+    lbl.orderBy(col("node"))
+  }
+
+  /** Phase-staged LPA — output-identical to [[labelPropRounds]] (same
+    * synchronous rounds, same integer argmax tie-break), resource-shaped
+    * like [[pageRankStaged]]: the recorded sf100 DNF here was EXECUTION
+    * memory, not disk — the 1.2B-row symmetrized adjacency pinned in the
+    * block manager plus a round's join/aggregate working set overran the
+    * unified memory pool. Staging removes the pin entirely (adjacency is
+    * re-read from compressed parquet each round) and caps disk at one
+    * round's shuffle, so both failure axes are bounded by a single
+    * round's working set. */
+  def labelPropRoundsStaged(spark: SparkSession, edges: DataFrame,
+      rounds: Int, slot: String): DataFrame = {
+    val scratch = Staging.stageDir(spark,
+      s"labelprop_${slot}_${Staging.stageSeq.getAndIncrement()}")
+    locally {
+      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .write.mode("overwrite").parquet(s"$scratch/bi")
+    }
+    Staging.drainPhaseShuffles(spark)
+    locally {
+      spark.read.parquet(s"$scratch/bi")
+        .select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .write.mode("overwrite").parquet(s"$scratch/labels0")
+    }
+    Staging.drainPhaseShuffles(spark)
+    var labelsPath = s"$scratch/labels0"
+    for (r <- 1 to rounds) {
+      val next = s"$scratch/labels$r"
+      locally {
+        val bi = spark.read.parquet(s"$scratch/bi")
+        val labels = spark.read.parquet(labelsPath)
+        bi.join(labels, bi("dst") === labels("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("votes"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("votes"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+          .write.mode("overwrite").parquet(next)
+      }
+      Staging.rmStage(labelsPath)
+      labelsPath = next
+      Staging.drainPhaseShuffles(spark)
+    }
+    spark.read.parquet(labelsPath)
+      .select(col("node"), col("lbl").as("community"))
   }
 
   /** The LPA core over directed edges (src, dst); symmetrized here.

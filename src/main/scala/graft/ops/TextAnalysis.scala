@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.util.Tables
+import graft.util.{Staging, Tables}
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` table: token counting, quality scoring, language-ID
@@ -757,12 +757,29 @@ object TextAnalysis {
     * the context is unseen (the CASE cascade is consistent: a non-null
     * c3ctx implies non-null cc2ctx by construction).
     *
-    * Scale shape: trigram extraction is a map-side slice/zip (no window);
-    * each count table is one map-side-combinable aggregate over gram
-    * keys; scoring joins per-doc DISTINCT trigrams (not token instances)
-    * against the count tables, every join co-partitioned on its gram
-    * key; the two scalar totals ride a broadcast. The eval docs
-    * (doc_id % 10 ≥ 8) exercise every backoff branch. */
+    * Scale shape — TWO spellings, chosen by corpus size, byte-identical
+    * output (TextPipelineSpec asserts equality):
+    *
+    * Small rung (default): the model tables are small enough to
+    * BROADCAST, so the per-doc trigram stream runs through all five
+    * left joins in ONE whole-stage pass — no join exchange at all on
+    * the heavy stream. The cheapest possible plan while the model fits
+    * an executor.
+    *
+    * Large rung (`spark.graft.text.staging` auto-selects above
+    * `stagingMinBytes` of documents parquet, default 256 MiB — between
+    * the sf10 rung, which completes un-staged, and the sf100 rung,
+    * which died of accumulated shuffle disk): with a replica-suffixed
+    * vocabulary the model tables grow WITH the corpus, the joins become
+    * sort-merge, and dragging the full (doc_id, trigram, cnt) stream
+    * through five exchanges is 5× the heavy shuffle. Scoring is then
+    * factored through the CORPUS-DISTINCT trigram set — P3 is a
+    * function of (w1,w2,w3) alone given the model — so the five model
+    * joins run over narrow distinct-trigram rows and the per-doc stream
+    * pays exactly ONE gram-keyed join back. The pipeline is phase-staged
+    * [[graft.util.Staging]]-style (per-doc stream, c3, scored table) so
+    * peak disk is one phase's spill + the compressed stages instead of
+    * the sum of eight shuffles. */
   def knTrigramScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
@@ -773,15 +790,61 @@ object TextAnalysis {
       slice(toks, lit(3), len),
       (p, c) => struct(p.getField("w1").as("w1"),
         p.getField("w2").as("w2"), c.as("w3")))
-    val docTri = Tables.documents(spark, dir)
+    val docTri0 = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tris).as("t"))
       .select(col("doc_id"), col("t.w1").as("w1"),
         col("t.w2").as("w2"), col("t.w3").as("w3"))
       .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("cnt"))
-    val train = docTri.filter(col("doc_id") % 10 < 8)
-    val c3 = train.groupBy(col("w1"), col("w2"), col("w3"))
+    val staged = Staging.stagingEnabled(spark, "spark.graft.text.staging",
+      "spark.graft.text.stagingMinBytes", s"$dir/documents.parquet")
+    if (!staged) {
+      val c3 = knTrigramC3(docTri0)
+      val (c3x, cc2, cc2x, cc1, tots) = knTrigramModel(c3)
+      docTri0
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(c3x, Seq("w1", "w2"), "left")
+        .join(cc2, Seq("w2", "w3"), "left")
+        .join(cc2x, Seq("w2"), "left")
+        .join(cc1, Seq("w3"), "left")
+        .crossJoin(broadcast(tots))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tri"),
+          round(sum(col("cnt").cast("double") * log(knTrigramP3)) /
+            sum(col("cnt")).cast("double"), 6).as("kn_logprob"))
+        .orderBy(col("doc_id"))
+    } else {
+      val scratch = Staging.stageDir(spark,
+        s"kntri_${Staging.pathDigest(dir)}_${Staging.stageSeq.getAndIncrement()}")
+      locally {
+        docTri0.write.mode("overwrite").parquet(s"$scratch/doctri")
+      }
+      Staging.drainPhaseShuffles(spark)
+      val docTri = spark.read.parquet(s"$scratch/doctri")
+      locally {
+        knTrigramC3(docTri).write.mode("overwrite").parquet(s"$scratch/c3")
+      }
+      Staging.drainPhaseShuffles(spark)
+      locally {
+        knTrigramScoredTris(docTri, spark.read.parquet(s"$scratch/c3"))
+          .write.mode("overwrite").parquet(s"$scratch/scored")
+      }
+      Staging.drainPhaseShuffles(spark)
+      Staging.rmStage(s"$scratch/c3")
+      knTrigramFinal(docTri, spark.read.parquet(s"$scratch/scored"))
+    }
+  }
+
+  /** Raw trigram counts over the train split — the one model table every
+    * backoff level derives from. */
+  private def knTrigramC3(docTri: DataFrame): DataFrame =
+    docTri.filter(col("doc_id") % 10 < 8)
+      .groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("cnt")).as("c3"))
+
+  /** The four derived model tables + scalar totals, all from `c3`. */
+  private def knTrigramModel(c3: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val c3x = c3.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("c3ctx"), count(lit(1)).as("n3b"))
     val cc2 = c3.groupBy(col("w2"), col("w3"))
@@ -790,29 +853,49 @@ object TextAnalysis {
       .agg(sum(col("cc2")).as("cc2ctx"), count(lit(1)).as("n2b"))
     val cc1 = cc2.groupBy(col("w3")).agg(count(lit(1)).as("cc1"))
     val tots = cc1.agg(sum(col("cc1")).as("tt"), count(lit(1)).as("uu"))
+    (c3x, cc2, cc2x, cc1, tots)
+  }
+
+  /** The interpolated-KN probability cascade, as a column over the
+    * five joined model tables + broadcast totals (shared by both plan
+    * shapes, so their arithmetic is expression-identical). */
+  private def knTrigramP3: Column = {
     val p1 = (coalesce(col("cc1"), lit(0L)).cast("double") + lit(1.0)) /
       (col("tt").cast("double") + col("uu").cast("double"))
     val p2 = when(col("cc2ctx").isNull, p1)
       .otherwise((greatest(coalesce(col("cc2"), lit(0L)).cast("double") - 0.75,
         lit(0.0)) + lit(0.75) * col("n2b").cast("double") * p1) /
         col("cc2ctx").cast("double"))
-    val p3 = when(col("c3ctx").isNull, p2)
+    when(col("c3ctx").isNull, p2)
       .otherwise((greatest(coalesce(col("c3"), lit(0L)).cast("double") - 0.75,
         lit(0.0)) + lit(0.75) * col("n3b").cast("double") * p2) /
         col("c3ctx").cast("double"))
-    docTri
+  }
+
+  /** P3 per corpus-distinct trigram of `docTri` (model tables derived
+    * from `c3`) — the scoring table the staged shape joins back. */
+  private def knTrigramScoredTris(docTri: DataFrame, c3: DataFrame): DataFrame = {
+    val (c3x, cc2, cc2x, cc1, tots) = knTrigramModel(c3)
+    docTri.select(col("w1"), col("w2"), col("w3")).distinct()
       .join(c3, Seq("w1", "w2", "w3"), "left")
       .join(c3x, Seq("w1", "w2"), "left")
       .join(cc2, Seq("w2", "w3"), "left")
       .join(cc2x, Seq("w2"), "left")
       .join(cc1, Seq("w3"), "left")
       .crossJoin(broadcast(tots))
+      .select(col("w1"), col("w2"), col("w3"), knTrigramP3.as("p3"))
+  }
+
+  /** Per-doc aggregation of the scored trigrams: one gram-keyed join of
+    * the per-doc stream, then a map-side-combinable doc rollup. */
+  private def knTrigramFinal(docTri: DataFrame, scored: DataFrame): DataFrame =
+    docTri
+      .join(scored, Seq("w1", "w2", "w3"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tri"),
-        round(sum(col("cnt").cast("double") * log(p3)) /
+        round(sum(col("cnt").cast("double") * log(col("p3"))) /
           sum(col("cnt")).cast("double"), 6).as("kn_logprob"))
       .orderBy(col("doc_id"))
-  }
 
   /** DoReMi-flavored domain reweighting, gated as q_domain_reweight:
     * mixture weights from the [[domainShift]] matrix. A domain's EXCESS

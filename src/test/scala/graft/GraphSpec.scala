@@ -90,6 +90,28 @@ class GraphSpec extends SparkSpec {
     assert(supp.map(_._2).max > cust.map(_._2).max)
   }
 
+  test("staged pagerank and label prop equal the single-plan forms; scratch honors stage.root") {
+    val root = java.nio.file.Files.createTempDirectory("graftgstage")
+    val plainPr = Graph.tradeRank(spark, sf).as[(Long, Long)].collect().toSeq
+    val plainLp = Graph.labelPropagation(spark, sf).as[(Long, Long)].collect().toSeq
+    spark.conf.set("spark.graft.graph.staging", "on")
+    spark.conf.set("spark.graft.stage.root", root.toString)
+    try {
+      val stagedPr = Graph.tradeRank(spark, sf).as[(Long, Long)].collect().toSeq
+      val stagedLp = Graph.labelPropagation(spark, sf).as[(Long, Long)].collect().toSeq
+      // integer arithmetic end to end -> bit-identical, not just close
+      assert(stagedPr === plainPr)
+      assert(stagedLp === plainLp)
+      val slots = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+      assert(slots.exists(_.startsWith("graft_stage_pagerank_")), s"no pagerank slot under $root")
+      assert(slots.exists(_.startsWith("graft_stage_labelprop_")), s"no labelprop slot under $root")
+    } finally {
+      spark.conf.set("spark.graft.graph.staging", "auto")
+      spark.conf.unset("spark.graft.stage.root")
+    }
+  }
+
   test("doc clusters on testdata: members pair with a lower-id doc in-cluster") {
     val clusters = Graph.docClusters(spark, sf)
       .as[(Long, Long)].collect()

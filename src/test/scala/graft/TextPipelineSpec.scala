@@ -612,6 +612,18 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("KN trigram: staged pipeline equals the single-plan form") {
+    val plain = TextAnalysis.knTrigramScore(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    spark.conf.set("spark.graft.text.staging", "on")
+    try {
+      val staged = TextAnalysis.knTrigramScore(spark, sf)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(staged === plain)
+      assert(plain.nonEmpty)
+    } finally spark.conf.set("spark.graft.text.staging", "auto")
+  }
+
   test("KN trigram: proper distribution (all logprobs < 0), train docs score above held-out") {
     val rows = TextAnalysis.knTrigramScore(spark, sf)
       .as[(Long, Long, Double)].collect()
