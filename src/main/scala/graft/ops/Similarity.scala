@@ -589,9 +589,13 @@ object Similarity {
     *     vector splits into `m` contiguous subvectors;
     *  2. per-subspace codebooks (`ksub` centroids each) train with one
     *     integer-exact Lloyd round from the first-`ksub` seeds — ALL
-    *     subspaces in one dataflow, keyed by (sub, centroid, spos), the
-    *     same per-round shape as [[kmeansQuantized]] (corpus never
-    *     shuffles by cluster; codebooks are m×ksub×dsub rows → broadcast);
+    *     subspaces in one dataflow (codebooks are m×ksub×dsub rows →
+    *     broadcast), and the assignment aggregates straight to one row
+    *     per (vector, subspace) via a ksub-way conditional-sum pivot +
+    *     struct argmin, so the corpus stream is exchanged ONCE at
+    *     (vector, subspace) grain — never per candidate, never through
+    *     a rank window (the per-candidate spelling was the recorded
+    *     sf100 bottleneck);
     *  3. every vector encodes to `m` 4-bit codes (nearest centroid
     *     per subspace, integer squared-L2, ties to the lower id) — the
     *     16x memory compression that makes billion-vector search fit;
@@ -623,30 +627,59 @@ object Similarity {
         (col("p0") % dsub).as("spos"),
         expr("CAST(round(x / nrm * 1000) AS BIGINT)").as("qx"))
       .localCheckpoint() // feeds train, encode, and the query LUT
-    // nearest codebook entry per (vector, subspace): broadcast codebook
-    // join + map-side-combinable partial-distance sum + per-key top-1
-    def encode(cents: DataFrame): DataFrame =
-      ev.join(broadcast(cents), Seq("sub", "spos"))
-        .groupBy(col("vec_id"), col("sub"), col("centroid_id"))
-        .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("d2"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub"))
-            .orderBy(col("d2"), col("centroid_id"))))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("sub"), col("centroid_id"))
     val c0 = ev.filter(col("vec_id") < ksub)
       .select(col("vec_id").as("centroid_id"), col("sub"), col("spos"),
         col("qx").as("cx"))
-    val upd = encode(c0)
-      .join(ev, Seq("vec_id", "sub"))
-      .groupBy(col("centroid_id"), col("sub"), col("spos"))
-      .agg(expr("CAST(round(avg(qx)) AS BIGINT)").as("ux"))
+    // the ksub centroid ids actually seeded (vec_ids < ksub may have
+    // gaps on an arbitrary corpus) — a bounded driver lookup like `dim`;
+    // c1 keeps the same id set by construction
+    val cids = c0.select(col("centroid_id")).distinct()
+      .orderBy(col("centroid_id"))
+      .collect().map(_.getLong(0))
+    // nearest codebook entry per (vector, subspace). The first spelling
+    // here (groupBy (vec_id, sub, centroid) + row_number top-1) was the
+    // recorded sf100 bottleneck: the broadcast join fans every component
+    // row out ksub-fold, and BOTH the per-candidate aggregate and the
+    // rank window exchange that ~2B-row stream (q_ann_pq 700 s at sf100,
+    // 14x/decade — all spill). Instead, aggregate straight to ONE row
+    // per (vec_id, sub) with a ksub-way conditional-sum pivot (the
+    // candidate axis becomes columns, combined map-side before the only
+    // exchange) and take the argmin as array_min over (d2, centroid_id)
+    // structs — same integer distances, same lower-id tie-break, no
+    // window, and the exchanged stream shrinks ksub*dsub-fold.
+    // carrySub additionally rides each subvector's (spos, qx) pairs
+    // through the pivot (collected once, on the first candidate row) so
+    // the training update needs NO join back against the component
+    // stream.
+    def encode(cents: DataFrame, carrySub: Boolean): DataFrame = {
+      val pd = (col("qx") - col("cx")) * (col("qx") - col("cx"))
+      val sums = cids.map(c =>
+        sum(when(col("centroid_id") === c, pd)).as(s"d2_$c"))
+      val carry =
+        if (carrySub)
+          Seq(collect_list(when(col("centroid_id") === cids.head,
+            struct(col("spos"), col("qx")))).as("sv"))
+        else Seq.empty
+      val aggs = sums ++ carry
+      val best = array_min(array(cids.map(c =>
+        struct(col(s"d2_$c").as("d2"), lit(c).as("cid"))): _*))
+      ev.join(broadcast(cents), Seq("sub", "spos"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(Seq(col("vec_id"), col("sub"),
+          best.getField("cid").as("centroid_id")) ++
+          (if (carrySub) Seq(col("sv")) else Seq.empty): _*)
+    }
+    val upd = encode(c0, carrySub = true)
+      .select(col("centroid_id"), col("sub"), explode(col("sv")).as("s"))
+      .groupBy(col("centroid_id"), col("sub"), col("s.spos").as("spos"))
+      .agg(expr("CAST(round(avg(s.qx)) AS BIGINT)").as("ux"))
     // empty codebook entries keep their seed, so ids stay stable
     val c1 = c0.join(upd, Seq("centroid_id", "sub", "spos"), "left")
       .select(col("centroid_id"), col("sub"), col("spos"),
         coalesce(col("ux"), col("cx")).as("cx"))
       .localCheckpoint() // read by encode AND the LUT below
-    val codes = encode(c1)
+    val codes = encode(c1, carrySub = false)
     // ADC lookup table: the query's partial distance to every codebook
     // entry — m*ksub rows, broadcast to score the corpus by lookup only
     val lut = ev.filter(col("vec_id") === queryId)
